@@ -1,13 +1,82 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+import graft.oracle.OracleSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the oracle-declared inventory (SURVEY.md §2.9): every entry
+  * has a paired DuckDB SQL string in `oracleSql` and the driver hash-compares
+  * the two engines' outputs at sf0.01.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Aggs.a1(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans & filters
+    "c1_scan_project" -> (Core.c1 _),
+    "c2_filter_pred" -> (Core.c2 _),
+    // §2.2 joins
+    "j1_inner_equi" -> (Joins.j1 _),
+    "j2_broadcast" -> (Joins.j2 _),
+    "j3_star_5way" -> (Joins.j3 _),
+    "j4_left_outer" -> (Joins.j4 _),
+    "j5_semi" -> (Joins.j5 _),
+    "j6_anti" -> (Joins.j6 _),
+    "j7_full_outer" -> (Joins.j7 _),
+    "j8_theta_range" -> (Joins.j8 _),
+    "j9_asof" -> (Joins.j9 _),
+    "j10_cross" -> (Joins.j10 _),
+    // §2.3 aggregation / sort / set ops
+    "a1_pricing_summary" -> (Aggs.a1 _),
+    "a2_distinct_agg" -> (Aggs.a2 _),
+    "a3_rollup" -> (Aggs.a3 _),
+    "a4_cube" -> (Aggs.a4 _),
+    "a5_grouping_sets" -> (Aggs.a5 _),
+    "a6_sort_limit_offset" -> (Core.a6 _),
+    "a7_union" -> (Core.a7 _),
+    "a8_intersect" -> (Core.a8 _),
+    "a9_except" -> (Core.a9 _),
+    "a10_median_pct" -> (Aggs.a10 _),
+    // §2.4 windows + RDF view
+    "w1_rank_trio" -> (Windows.w1 _),
+    "w2_topk_per_group" -> (Windows.w2 _),
+    "w3_running" -> (Windows.w3 _),
+    "w4_lag_lead" -> (Windows.w4 _),
+    "w5_moving_avg" -> (Windows.w5 _),
+    "r1_triples_view" -> (Rdf.r1 _),
+    "r2_star_bgp" -> (Rdf.r2 _),
+    "r3_path_join" -> (Rdf.r3 _),
+    // §2.5 scalar functions
+    "f1_string" -> (Scalars.f1 _),
+    "f2_date" -> (Scalars.f2 _),
+    "f3_math" -> (Scalars.f3 _),
+    "f4_array" -> (Scalars.f4 _),
+    "f5_json" -> (Scalars.f5 _),
+    "f6_conditional" -> (Scalars.f6 _),
+    // §2.6 event/stream (batch-equivalent)
+    "s1_tumbling" -> (Events.s1 _),
+    "s2_sliding" -> (Events.s2 _),
+    "s3_session" -> (Events.s3 _),
+    "s4_dedup_first" -> (Events.s4 _),
+    // §2.7 UDF/UDAF/generator
+    "u1_scalar_udf" -> (Udfs.u1 _),
+    "u2_udaf_wavg" -> (Udfs.u2 _),
+    "u3_generator" -> (Udfs.u3 _),
+    // §2.8 LLM-pipeline ops
+    "l1_dedup_exact" -> (Llm.l1 _),
+    "l2_neardup_jaccard" -> (Llm.l2 _),
+    "l3_cosine_topk" -> (Llm.l3 _),
+    "l4_tokenize" -> (Llm.l4 _),
+    "l5_text_stats" -> (Llm.l5 _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = OracleSql.sql
 }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** Aggregation queries (SURVEY.md §2.3). Reference analog [RECON]: combiner
+  * (partial aggregation) + reducer-side counting; Spark's HashAggregateExec
+  * partial→final is the automatic twin. Rollup/cube/grouping-sets/percentiles
+  * exceed the reference surface (north-star extension).
+  */
+object Aggs {
+
+  /** a1 — TPC-H-Q1-style pricing summary. All money math in fixed-scale
+    * decimals (D2); scale is never reduced on output casts.
+    */
+  def a1(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        out2(sum(dec2(col("l_quantity")))).as("sum_qty"),
+        out2(sum(dec2(col("l_extendedprice")))).as("sum_base_price"),
+        out4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** a2 — COUNT(DISTINCT) per order year (Expand + two-phase agg). */
+  def a2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(countDistinct(col("l_suppkey")).as("supp_cnt"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("order_year")
+
+  /** a3 — ROLLUP with grouping_id (oracle gid = grouping(a)*2+grouping(b),
+    * verified SURVEY §2.0); D5 nulls-first on the nullable dims.
+    */
+  def a3(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(out2(sum(dec2(col("o_totalprice")))).as("revenue"),
+        count(lit(1)).as("order_cnt"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first,
+        col("gid"))
+
+  /** a4 — CUBE over two low-cardinality order dimensions. */
+  def a4(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_cnt"),
+        out2(sum(dec2(col("o_totalprice")))).as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first, col("gid"))
+
+  /** a5 — explicit GROUPING SETS via SQL on a temp view. */
+  def a5(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents_gs")
+    s.sql("""SELECT lang, source, COUNT(*) AS doc_cnt, SUM(n_chars) AS sum_chars,
+             CAST(grouping_id() AS BIGINT) AS gid
+             FROM documents_gs
+             GROUP BY GROUPING SETS ((lang, source), (lang), ())
+             ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, gid""")
+  }
+
+  /** a10 — exact continuous percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, same linear interpolation — verified SURVEY §2.0).
+    */
+  def a10(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(round(percentile(col("n_chars"), lit(0.5)), 2).as("p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
+        count(lit(1)).as("doc_cnt"))
+      .orderBy("lang")
+}

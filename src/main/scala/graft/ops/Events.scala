@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** Event/stream processing, batch-equivalent formulations (SURVEY.md §2.6).
+  * The same expressions run under Structured Streaming (see
+  * `graft.streaming.StreamTwins`); these batch twins are the deterministic,
+  * oracle-checkable surface. All event-time math follows the D3 ns protocol:
+  * `ts` is int64 epoch-nanoseconds (see Tables.events), window bucketing is
+  * integer division, and the oracle mirrors via `epoch_ns(ts)`.
+  */
+object Events {
+  private val NsPerHour = 3600L * 1000000000L
+
+  /** s1 — 1-hour tumbling window: count + decimal sum per event type.
+    * Semantics of `window($"ts", "1 hour")` expressed as integer bucketing.
+    */
+  def s1(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("hour_idx", expr(s"ts div $NsPerHour"))
+      .groupBy(col("hour_idx"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        out2(sum(dec2(col("value")))).as("sum_value"))
+      .select(timestamp_seconds(col("hour_idx") * 3600).as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** s2 — 1-hour windows sliding every 15 min (each event lands in exactly 4
+    * windows): semantics of `window($"ts", "1 hour", "15 minutes")` via an
+    * explicit slide-offset explode.
+    */
+  def s2(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("ts"))
+      .withColumn("k", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("slot", expr("ts div 900000000000") - col("k"))
+      .groupBy("slot")
+      .agg(count(lit(1)).as("cnt"))
+      .select(timestamp_seconds(col("slot") * 900).as("window_start"), col("cnt"))
+      .orderBy("window_start")
+
+  /** s3 — per-user session windows, 30-minute gap, via Spark's native
+    * `session_window` (batch mode). Timestamps are µs-truncated from the ns
+    * longs; the oracle's gaps-and-islands mirrors Spark's strict
+    * `gap > 30 min` session-split rule (boundary verified, SURVEY §2.0).
+    */
+  def s3(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("cnt"))
+      .orderBy("user_id", "session_start")
+
+  /** s4 — keep-first dedup per (user, event_type, minute): the deterministic
+    * twin of `dropDuplicates` keyed by the ns timestamp + event id.
+    */
+  def s4(s: SparkSession, d: String): DataFrame = {
+    // µs protocol for the emitted ts (DuckDB ≤1.0 truncates ns to µs on read).
+    val w = Window.partitionBy("user_id", "event_type", "minute_idx")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts", expr("ts div 1000"))
+      .withColumn("minute_idx", expr("ts div 60000000"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        timestamp_seconds(col("minute_idx") * 60).as("minute_start"),
+        col("event_id"), col("ts"))
+      .orderBy("user_id", "event_type", "minute_start")
+  }
+}

@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** Join queries (SURVEY.md §2.2) — the heart of the reference [RECON: the
+  * reference implements each of these as hand-coded reduce-side repartition
+  * joins or map-side (distributed-cache) joins; here the join strategy is
+  * Catalyst's choice, with explicit `broadcast()` hints where a dimension is
+  * known-small — the declarative twin of the reference's map-side join].
+  *
+  * Scale notes: every equi-join below keys the shuffle on the join column, so
+  * at 100 TB the plan is shuffle-hash/sort-merge with AQE skew splitting;
+  * dimension tables (region/nation/part/supplier at TPC-H ratios) stay
+  * broadcast-able far beyond sf1k.
+  */
+object Joins {
+
+  /** j1 — inner equi-join fact→dim. */
+  def j1(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** j2 — explicit broadcast joins against two small dims (map-side join twin). */
+  def j2(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("s_name"))
+      // full-output-column sort: (okey, lnum) is not unique in the fixture
+      .orderBy("l_orderkey", "l_linenumber", "p_name", "s_name")
+
+  /** j3 — TPC-H-Q5-style 5-way star join, revenue per nation in ASIA/1996.
+    * Join order: fact first, dims chained smallest-last so Catalyst can
+    * broadcast nation/region and AQE can re-plan the two big joins.
+    */
+  def j3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1996)
+      .groupBy(col("n_name"))
+      .agg(out4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+      .orderBy("n_name")
+
+  /** j4 — left outer join + count of the nullable side. */
+  def j4(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("order_cnt"))
+      .orderBy("c_custkey")
+
+  /** j5 — left-semi join (EXISTS): customers with at least one open order. */
+  def j5(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** j6 — left-anti join (NOT EXISTS / SPARQL OPTIONAL+!bound [RECON]):
+    * customers with no 1995 order.
+    */
+  def j6(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+
+  /** j7 — full outer join of per-nation customer/supplier counts (D5: the
+    * output key is made non-null with coalesce so ordering is portable).
+    */
+  def j7(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_cnt"))
+    val sn = Tables.supplier(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("supp_cnt"))
+    cn.join(sn, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        col("cust_cnt"), col("supp_cnt"))
+      .orderBy("nationkey")
+  }
+
+  /** j8 — theta (non-equi range) join → BroadcastNestedLoopJoin; bounded by
+    * the tiny build side, which is the only safe shape for NLJ at scale.
+    */
+  def j8(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d)
+      .join(Tables.nation(s, d), col("r_regionkey") < col("n_regionkey"))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  /** j9 — as-of join: latest signup at-or-before each purchase of the same
+    * user. No native as-of in Spark: equi-join on user + ns-long inequality,
+    * then `row_number()=1` (SURVEY §2.2). At scale the window replaces a
+    * per-key sort the reference would do in the reducer [RECON].
+    */
+  def j9(s: SparkSession, d: String): DataFrame = {
+    // µs protocol: DuckDB ≤1.0 truncates ns-parquet to µs on read, so all
+    // event-time comparison/output here is µs (ts div 1000 ≡ epoch_us(ts)).
+    val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val sg = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_user"),
+        col("ts_us").as("signup_ts"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("signup_ts").desc, col("signup_event_id").desc)
+    p.join(sg, col("user_id") === col("s_user") && col("signup_ts") <= col("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_ts"),
+        col("signup_event_id"), col("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  /** j10 — small cross join (bounded: 5×25). */
+  def j10(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+}

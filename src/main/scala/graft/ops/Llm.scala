@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** LLM-data-pipeline operators (SURVEY.md §2.8, north-star extension):
+  * dedup, near-dup, similarity search, text analysis over the documents and
+  * embeddings fixtures.
+  *
+  * Scale posture: l1 is a hash groupBy (shuffles once on the hash — the scale
+  * path); l2's pairwise compare is bucketed by lang here and by MinHash/LSH
+  * band at 100 TB (see graft.ops.Pipeline for the banded variant); l3
+  * broadcasts the query vectors so candidates never shuffle.
+  */
+object Llm {
+
+  /** l1 — exact dedup on normalized text via md5 grouping: survivor id (min
+    * doc_id) + duplicate count per content hash.
+    */
+  def l1(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("dup_cnt"))
+      .select(col("survivor_id"), col("text_hash"), col("dup_cnt"))
+      .orderBy("survivor_id")
+
+  /** l2 — near-duplicate pairs within language buckets: token-set Jaccard
+    * >= 0.9, decided in exact integer math (10*|∩| >= 9*|∪|); the reported
+    * jaccard is the rounded double (D4).
+    */
+  def l2(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
+    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("toks").as("b_toks"))
+    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("inter") * 10 >= col("uni") * 9)
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  /** l3 — brute-force cosine top-5 for the 10 query vectors (vec_id < 10).
+    * Query side is broadcast; all double math with 4-dp rounding, ranked by
+    * (rounded sim desc, id) so both engines rank identically (D4).
+    */
+  def l3(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("norm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("norm").as("c_norm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    broadcast(q).join(c, col("q_id") =!= col("c_id"))
+      .withColumn("dot",
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
+          lit(0.0), (a, v) => a + v))
+      .withColumn("sim", round(col("dot") / (col("q_norm") * col("c_norm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** l4 — tokenize + global top-20 token frequencies (UDTF-shaped explode). */
+  def l4(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** l5 — per-language text statistics: doc count, word/distinct-word sums,
+    * type-token ratio and chars-per-word as exact-integer ratios (D4).
+    */
+  def l5(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).as("wc"),
+        size(array_distinct(split(col("text"), " "))).as("dc"),
+        col("n_chars"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("doc_cnt"),
+        sum(col("wc")).as("sum_wc"),
+        sum(col("dc")).as("sum_dc"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(sum(col("dc")).cast("double") / sum(col("wc")).cast("double"), 4)
+          .as("ttr"),
+        round(sum(col("n_chars")).cast("double") / sum(col("wc")).cast("double"), 4)
+          .as("chars_per_word"))
+      .orderBy("lang")
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** RDF-view queries (SURVEY.md §2.4 r-group) — the reference's data model
+  * materialized [RECON: `ahaque/rdf-mapreduce-joins` operates on
+  * (subject, predicate, object) triples; its reduce-side joins are
+  * subject-subject star joins and subject-object path joins]. We derive the
+  * triples view from relational fixtures by unpivot (`stack`), then express
+  * the two canonical BGP join shapes as self-joins on the view.
+  *
+  * Scale note: a triples view multiplies rows by the predicate count but is
+  * narrow (3 columns); the self-joins shuffle on `s`/`o` which is exactly the
+  * reference's shuffle key [RECON], so the plan is shape-identical at 100 TB.
+  */
+object Rdf {
+
+  /** (s,p,o) view of `customer` — s: int64 key, p: predicate name, o: string. */
+  private def custTriples(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).selectExpr("c_custkey AS s",
+      """stack(3, 'name', c_name,
+               'nationkey', CAST(c_nationkey AS STRING),
+               'mktsegment', c_mktsegment) AS (p, o)""")
+
+  private def nationTriples(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).selectExpr("CAST(n_nationkey AS BIGINT) AS s",
+      """stack(2, 'name', n_name,
+               'regionkey', CAST(n_regionkey AS STRING)) AS (p, o)""")
+
+  private def regionTriples(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).selectExpr("CAST(r_regionkey AS BIGINT) AS s",
+      "stack(1, 'name', r_name) AS (p, o)")
+
+  /** r1 — triple-pattern statistics: count + distinct objects per predicate. */
+  def r1(s: SparkSession, d: String): DataFrame =
+    custTriples(s, d)
+      .groupBy(col("p"))
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("o")).as("distinct_o"))
+      .orderBy("p")
+
+  /** r2 — subject-subject star BGP: reassemble (name, mktsegment, nation)
+    * from the triples view with two self-joins on the subject [RECON core:
+    * the reference's reduce-side subject join].
+    */
+  def r2(s: SparkSession, d: String): DataFrame = {
+    val t = custTriples(s, d)
+    val names = t.filter(col("p") === "name").select(col("s"), col("o").as("c_name"))
+    val segs = t.filter(col("p") === "mktsegment")
+      .select(col("s").as("s2"), col("o").as("mktsegment"))
+    val nk = t.filter(col("p") === "nationkey")
+      .select(col("s").as("s3"), col("o").cast("int").as("nk"))
+    names
+      .join(segs, col("s") === col("s2"))
+      .join(nk, col("s") === col("s3"))
+      .join(broadcast(Tables.nation(s, d)), col("nk") === col("n_nationkey"))
+      .select(col("s").as("custkey"), col("c_name"), col("mktsegment"), col("n_name"))
+      .orderBy("custkey")
+  }
+
+  /** r3 — subject-object path BGP: customer → nation → region chained through
+    * the triples views (object of one pattern = subject of the next) [RECON
+    * core: the reference's chained-job path join].
+    */
+  def r3(s: SparkSession, d: String): DataFrame = {
+    val cnk = custTriples(s, d).filter(col("p") === "nationkey")
+      .select(col("s").as("custkey"), col("o").cast("bigint").as("nat_s"))
+    val nrk = nationTriples(s, d).filter(col("p") === "regionkey")
+      .select(col("s").as("n_s"), col("o").cast("bigint").as("reg_s"))
+    val rnm = regionTriples(s, d).filter(col("p") === "name")
+      .select(col("s").as("r_s"), col("o").as("region_name"))
+    cnk
+      .join(broadcast(nrk), col("nat_s") === col("n_s"))
+      .join(broadcast(rnm), col("reg_s") === col("r_s"))
+      .select(col("custkey"), col("nat_s").as("nationkey"), col("region_name"))
+      .orderBy("custkey")
+  }
+}

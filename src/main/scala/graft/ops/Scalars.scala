@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** Scalar-function coverage (SURVEY.md §2.5): string / date / math / array /
+  * JSON / conditional. The reference parses literals ad hoc inside mapper
+  * filter code [RECON]; this is the full function-library surface. Every
+  * expression here is a codegen'd Catalyst built-in — no UDFs in this file.
+  */
+object Scalars {
+
+  /** f1 — string functions over customer (D7: POSIX-safe regex only). */
+  def f1(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("name8"),
+        length(col("c_name")).as("name_len"),
+        concat(col("c_name"), lit("@"), col("c_mktsegment")).as("tagged"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("shortname"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("idpad"),
+        trim(lit("  pad  ")).as("trimmed"),
+        size(split(col("c_name"), "#")).as("split_n"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+      .orderBy("c_custkey")
+
+  /** f2 — date functions over orders. dayofweek numbering divergence is
+    * normalized oracle-side (DuckDB dow 0=Sun, Spark 1=Sun — SURVEY §2.5 f2).
+    */
+  def f2(s: SparkSession, d: String): DataFrame = {
+    val od = asDate(col("o_orderdate"))
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(od).as("yr"), month(od).as("mo"), quarter(od).as("qtr"),
+        trunc(od, "month").as("month_start"),
+        date_add(od, 30).as("plus30"),
+        datediff(od, lit("1995-01-01").cast("date")).as("days_since"),
+        last_day(od).as("month_end"),
+        dayofweek(od).as("dow"))
+      .orderBy("o_orderkey")
+  }
+
+  /** f3 — math functions (all float outputs rounded to 4 dp, D4). */
+  def f3(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        // *0.01 keeps the true value at exactly 4 dp → round(,4) is tie-free
+        // (with *0.001, 2-dp prices put half the rows ON the boundary).
+        round(col("l_extendedprice") * 0.01, 4).as("price_k"),
+        floor(col("l_quantity")).as("qty_floor"),
+        ceil(col("l_quantity")).as("qty_ceil"),
+        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
+        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
+        round(log(col("l_extendedprice")), 4).as("price_ln"),
+        round(exp(col("l_discount")), 4).as("disc_exp"),
+        round(pow(col("l_tax") + 1.0, 2.0), 4).as("tax_sq"),
+        (col("l_orderkey") % 7).as("okey_mod"))
+      // (okey, lnum) not unique: extend the sort with columns that pin down
+      // the base (price, qty, discount, tax) so the order is total.
+      .orderBy("l_orderkey", "l_linenumber", "price_k", "qty_sqrt", "disc_dev", "tax_sq")
+
+  /** f4 — array + higher-order functions over the embedding column. Arrays
+    * are cast float→double first so both engines do identical double math.
+    */
+  def f4(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .select(col("vec_id"),
+        size(col("emb")).as("dim"),
+        round(element_at(col("emb"), 1), 4).as("first_val"),
+        size(filter(col("emb"), x => x > 0.0)).as("pos_cnt"),
+        round(aggregate(col("emb"), lit(0.0), (acc, x) => acc + abs(x)), 4).as("l1"),
+        round(aggregate(slice(col("emb"), 1, 8), lit(0.0), (acc, x) => acc + x), 4)
+          .as("head8_sum"))
+      .orderBy("vec_id")
+
+  /** f5 — JSON extraction from events.props + bucketed aggregation. */
+  def f5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_bucket", expr("k div 10"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        out2(sum(dec2(col("value")))).as("sum_value"))
+      .orderBy("k_bucket")
+
+  /** f6 — conditional expressions (CASE/COALESCE/NULLIF/LEAST/GREATEST). */
+  def f6(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("tier"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(none)"))
+          .as("seg_or_none"),
+        least(col("c_acctbal"), lit(1000.0)).as("bal_min1k"),
+        greatest(col("c_acctbal"), lit(0.0)).as("bal_nonneg"))
+      .orderBy("c_custkey")
+}

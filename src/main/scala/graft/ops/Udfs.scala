@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** User-defined function surface (SURVEY.md §2.7): scalar UDF, typed
+  * Aggregator UDAF, and a generator (UDTF-shaped) query. The UDAF keeps its
+  * buffer in BigDecimal so partial aggregation stays exact under any
+  * partitioning (the same reason a1 casts to decimal before summing).
+  */
+object Udfs {
+
+  /** u1 — registered scalar UDF: net price score. The UDF computes the raw
+    * double (same IEEE ops in the same order as the oracle); the output is
+    * quantized to DECIMAL(18,6) — the true product of 2-dp inputs is exactly
+    * 6-dp, so the cast is tie-free in both engines (a round(,2) would sit on
+    * the half-up boundary for a structured subset of rows).
+    */
+  def u1(s: SparkSession, d: String): DataFrame = {
+    val score = udf((px: Double, disc: Double, tax: Double) =>
+      (px * (1.0 - disc)) * (1.0 + tax))
+    s.udf.register("price_score", score)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        score(col("l_extendedprice"), col("l_discount"), col("l_tax"))
+          .cast("decimal(18,6)").as("score"))
+      .orderBy("l_orderkey", "l_linenumber", "score")
+  }
+
+  case class WIn(px: Double, w: Double)
+
+  /** Discount-weighted average price. Buffer = (Σ px·w, Σ w) in exact
+    * decimals quantized to 4 dp on entry — mirrors the oracle's
+    * CAST(x AS DECIMAL(18,4)) so partials merge associatively.
+    */
+  object WAvg extends Aggregator[WIn, (BigDecimal, BigDecimal), Double] {
+    private def d4(x: Double): BigDecimal =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    def reduce(b: (BigDecimal, BigDecimal), a: WIn): (BigDecimal, BigDecimal) =
+      (b._1 + d4(a.px) * d4(a.w), b._2 + d4(a.w))
+    def merge(b1: (BigDecimal, BigDecimal), b2: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    def finish(b: (BigDecimal, BigDecimal)): Double =
+      BigDecimal(b._1.toDouble / b._2.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
+      Encoders.product[(BigDecimal, BigDecimal)]
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** u2 — custom Aggregator[IN,BUF,OUT] used as an untyped UDAF. */
+  def u2(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(WAvg, Encoders.product[WIn])
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(wavg(col("l_extendedprice"), col("l_discount")).as("wavg_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** u3 — generator (Catalyst Generate): per-order installment rows via
+    * explode(sequence(...)) on a bounded integer.
+    */
+  def u3(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        explode(sequence(lit(1L), (col("o_orderkey") % 3) + 1)).as("installment"))
+      .orderBy("o_orderkey", "installment")
+}

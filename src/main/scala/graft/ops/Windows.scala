@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Det._
+
+/** Window-function queries (SURVEY.md §2.4). The reference has no window
+  * surface [RECON]; these are north-star analytics. Scale note: every window
+  * below is partitioned by a real key except w5, whose input is one row per
+  * calendar day (bounded) — a global window over a bounded set is safe.
+  */
+object Windows {
+
+  /** w1 — row_number / rank / dense_rank within brand. row_number's window
+    * carries a unique tie-break; rank/dense_rank intentionally order by the
+    * value alone (ties collapse identically in both engines).
+    */
+  def w1(s: SparkSession, d: String): DataFrame = {
+    val wRn = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val wRk = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc)
+    Tables.part(s, d)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(wRn).as("rn"),
+        rank().over(wRk).as("rk"),
+        dense_rank().over(wRk).as("drk"))
+      .orderBy("p_brand", "p_partkey")
+  }
+
+  /** w2 — distributed top-k per group: window + filter(rn<=3). At scale this
+    * is the partial-top-k-then-merge pattern; Spark's WindowExec after a
+    * hash-partitioned shuffle on p_brand does exactly that.
+    */
+  def w2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
+      .orderBy("p_brand", "rn")
+  }
+
+  /** w3 — running count + running decimal total per customer (rows frame). */
+  def w3(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDate(col("o_orderdate")).as("order_date"),
+        count(lit(1)).over(w).as("running_cnt"),
+        out2(sum(dec2(col("o_totalprice"))).over(w)).as("running_total"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
+  /** w4 — lag/lead + event-time gap in whole seconds (integer ns math, D3). */
+  def w4(s: SparkSession, d: String): DataFrame = {
+    // µs protocol (DuckDB ≤1.0 truncates ns-parquet to µs on read).
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("ts", expr("ts div 1000"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        lag("event_type", 1).over(w).as("prev_type"),
+        lead("event_type", 1).over(w).as("next_type"),
+        lag("ts", 1).over(w).as("prev_ts"))
+      .withColumn("gap_sec", expr("(ts - prev_ts) div 1000000"))
+      .drop("prev_ts")
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  /** w5 — 7-row moving total over daily order revenue (ROWS frame) plus the
+    * RANGE-frame variant over a day index (covers calendar gaps differently).
+    */
+  def w5(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(asDate(col("o_orderdate")).as("day"))
+      .agg(out2(sum(dec2(col("o_totalprice")))).as("day_total"))
+      .withColumn("day_idx", datediff(col("day"), lit("1995-01-01").cast("date")))
+    val wRows = Window.orderBy("day_idx").rowsBetween(-6, 0)
+    val wRange = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    daily
+      .select(col("day"), col("day_total"),
+        out2(sum(col("day_total")).over(wRows)).as("mov7_rows"),
+        out2(sum(col("day_total")).over(wRange)).as("mov7_range"))
+      .orderBy("day")
+  }
+}

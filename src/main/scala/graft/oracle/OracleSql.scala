@@ -1,0 +1,409 @@
+package graft.oracle
+
+/** DuckDB oracle SQL, one entry per declared query (SURVEY.md §2.9).
+  *
+  * Every string mirrors its Spark twin under the determinism rules D1–D8:
+  * identical column names/order, decimal casts before aggregation, dates as
+  * DATE, event-time math on `epoch_ns(ts)` int64 (the Spark side reads ns
+  * parquet as LongType), floats rounded to 4 dp and ranked by the rounded
+  * value, explicit NULLS FIRST on nullable sort keys.
+  */
+object OracleSql {
+
+  val sql: Map[String, String] = Map(
+
+    "c1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, ship_date""".stripMargin,
+
+    "c2_filter_pred" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_extendedprice,
+        | CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+        |  AND (l_quantity IN (1.0, 2.0, 3.0, 4.0, 5.0) OR l_extendedprice > 50000.0)
+        |  AND l_returnflag LIKE 'N%'
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice, ship_date""".stripMargin,
+
+    "j1_inner_equi" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "j2_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, s_name
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber, p_name, s_name""".stripMargin,
+
+    "j3_star_5way" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | COUNT(*) AS line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND EXTRACT(year FROM o_orderdate) = 1996
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j4_left_outer" ->
+      """SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+
+    "j5_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND EXTRACT(year FROM o_orderdate) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j7_full_outer" ->
+      """SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey,
+        | cn.cust_cnt, sn.supp_cnt
+        |FROM (SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer GROUP BY c_nationkey) cn
+        |FULL JOIN (SELECT s_nationkey, COUNT(*) AS supp_cnt FROM supplier GROUP BY s_nationkey) sn
+        | ON cn.c_nationkey = sn.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "j8_theta_range" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region JOIN nation ON r_regionkey < n_regionkey
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "j9_asof" ->
+      """SELECT event_id, user_id, purchase_ts, signup_event_id, signup_ts FROM (
+        | SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+        |  s.event_id AS signup_event_id, epoch_us(s.ts) AS signup_ts,
+        |  row_number() OVER (PARTITION BY p.event_id
+        |    ORDER BY epoch_us(s.ts) DESC, s.event_id DESC) AS rn
+        | FROM events p JOIN events s
+        |  ON p.user_id = s.user_id AND epoch_us(s.ts) <= epoch_us(p.ts)
+        |   AND s.event_type = 'signup'
+        | WHERE p.event_type = 'purchase') t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j10_cross" ->
+      """SELECT r_regionkey, n_nationkey, r_name, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+
+    "a1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
+        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a2_distinct_agg" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+        | COUNT(DISTINCT l_suppkey) AS supp_cnt, COUNT(*) AS line_cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY order_year ORDER BY order_year""".stripMargin,
+
+    "a3_rollup" ->
+      """SELECT n_name, c_mktsegment,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | COUNT(*) AS order_cnt,
+        | CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, gid""".stripMargin,
+
+    "a4_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid""".stripMargin,
+
+    "a5_grouping_sets" ->
+      """SELECT lang, source, COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+        |FROM documents GROUP BY GROUPING SETS ((lang, source), (lang), ())
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST, gid""".stripMargin,
+
+    "a6_sort_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 10""".stripMargin,
+
+    "a7_union" ->
+      """SELECT u.nationkey, ua.cnt
+        |FROM (SELECT c_nationkey AS nationkey FROM customer
+        |      UNION SELECT s_nationkey AS nationkey FROM supplier) u
+        |JOIN (SELECT nationkey, COUNT(*) AS cnt
+        |      FROM (SELECT c_nationkey AS nationkey FROM customer
+        |            UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t
+        |      GROUP BY nationkey) ua USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
+
+    "a8_intersect" ->
+      """SELECT p_brand FROM (
+        | SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(year FROM l_shipdate) = 1995
+        | INTERSECT
+        | SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE EXTRACT(year FROM l_shipdate) = 1996) t
+        |ORDER BY p_brand""".stripMargin,
+
+    "a9_except" ->
+      """SELECT l_partkey FROM (
+        | SELECT l_partkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1995
+        | EXCEPT
+        | SELECT l_partkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996) t
+        |ORDER BY l_partkey""".stripMargin,
+
+    "a10_median_pct" ->
+      """SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
+        | ROUND(quantile_cont(n_chars, 0.9), 2) AS p90, COUNT(*) AS doc_cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "w1_rank_trio" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        | CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn,
+        | CAST(rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS rk,
+        | CAST(dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS INTEGER) AS drk
+        |FROM part ORDER BY p_brand, p_partkey""".stripMargin,
+
+    "w2_topk_per_group" ->
+      """SELECT p_brand, rn, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rn
+        | FROM part) t
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+
+    "w3_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | COUNT(*) OVER w AS running_cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
+    "w4_lag_lead" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts, event_type,
+        | lag(event_type, 1) OVER w AS prev_type,
+        | lead(event_type, 1) OVER w AS next_type,
+        | (epoch_us(ts) - lag(epoch_us(ts), 1) OVER w) // 1000000 AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "w5_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_total
+        |  FROM orders GROUP BY 1),
+        | d2 AS (SELECT day, day_total,
+        |   CAST(date_diff('day', DATE '1995-01-01', day) AS INTEGER) AS day_idx FROM daily)
+        |SELECT day, day_total,
+        | CAST(SUM(day_total) OVER (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov7_rows,
+        | CAST(SUM(day_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov7_range
+        |FROM d2 ORDER BY day""".stripMargin,
+
+    "r1_triples_view" ->
+      """WITH t AS (
+        | SELECT c_custkey AS s, 'name' AS p, c_name AS o FROM customer
+        | UNION ALL SELECT c_custkey, 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        | UNION ALL SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer)
+        |SELECT p, COUNT(*) AS cnt, COUNT(DISTINCT o) AS distinct_o
+        |FROM t GROUP BY p ORDER BY p""".stripMargin,
+
+    "r2_star_bgp" ->
+      """WITH t AS (
+        | SELECT c_custkey AS s, 'name' AS p, c_name AS o FROM customer
+        | UNION ALL SELECT c_custkey, 'nationkey', CAST(c_nationkey AS VARCHAR) FROM customer
+        | UNION ALL SELECT c_custkey, 'mktsegment', c_mktsegment FROM customer)
+        |SELECT n1.s AS custkey, n1.o AS c_name, seg.o AS mktsegment, n_name
+        |FROM t n1
+        | JOIN t seg ON n1.s = seg.s AND n1.p = 'name' AND seg.p = 'mktsegment'
+        | JOIN t nk ON n1.s = nk.s AND nk.p = 'nationkey'
+        | JOIN nation ON CAST(nk.o AS INTEGER) = n_nationkey
+        |ORDER BY custkey""".stripMargin,
+
+    "r3_path_join" ->
+      """WITH ct AS (SELECT c_custkey AS s, CAST(c_nationkey AS VARCHAR) AS o FROM customer),
+        | nt AS (SELECT CAST(n_nationkey AS BIGINT) AS s, CAST(n_regionkey AS VARCHAR) AS o FROM nation),
+        | rt AS (SELECT CAST(r_regionkey AS BIGINT) AS s, r_name AS o FROM region)
+        |SELECT ct.s AS custkey, CAST(ct.o AS BIGINT) AS nationkey, rt.o AS region_name
+        |FROM ct JOIN nt ON CAST(ct.o AS BIGINT) = nt.s
+        | JOIN rt ON CAST(nt.o AS BIGINT) = rt.s
+        |ORDER BY custkey""".stripMargin,
+
+    "f1_string" ->
+      """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+        | substr(c_name, 1, 8) AS name8, CAST(length(c_name) AS INTEGER) AS name_len,
+        | c_name || '@' || c_mktsegment AS tagged,
+        | replace(c_name, 'Customer', 'Cust') AS shortname,
+        | lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS idpad,
+        | trim('  pad  ') AS trimmed,
+        | CAST(len(string_split(c_name, '#')) AS INTEGER) AS split_n,
+        | regexp_extract(c_name, '([0-9]+)', 1) AS digits
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "f2_date" ->
+      """SELECT o_orderkey,
+        | CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+        | CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+        | CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+        | CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f3_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice * 0.01, 4) AS price_k,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+        | ROUND(abs(l_discount - 0.05), 4) AS disc_dev,
+        | ROUND(sqrt(l_quantity), 4) AS qty_sqrt,
+        | ROUND(ln(l_extendedprice), 4) AS price_ln,
+        | ROUND(exp(l_discount), 4) AS disc_exp,
+        | ROUND(pow(l_tax + 1.0, 2.0), 4) AS tax_sq,
+        | l_orderkey % 7 AS okey_mod
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, price_k, qty_sqrt, disc_dev, tax_sq""".stripMargin,
+
+    "f4_array" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT vec_id, CAST(len(emb) AS INTEGER) AS dim,
+        | ROUND(emb[1], 4) AS first_val,
+        | CAST(len(list_filter(emb, x -> x > 0.0)) AS INTEGER) AS pos_cnt,
+        | ROUND(list_sum(list_transform(emb, x -> abs(x))), 4) AS l1,
+        | ROUND(list_sum(emb[1:8]), 4) AS head8_sum
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "f5_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
+        | COUNT(*) AS cnt,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
+
+    "f6_conditional" ->
+      """SELECT c_custkey, c_acctbal,
+        | CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS tier,
+        | COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(none)') AS seg_or_none,
+        | LEAST(c_acctbal, 1000.0) AS bal_min1k,
+        | GREATEST(c_acctbal, 0.0) AS bal_nonneg
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "s1_tumbling" ->
+      """SELECT CAST(to_timestamp(hour_idx * 3600) AS TIMESTAMP) AS window_start,
+        | event_type, cnt, sum_value FROM (
+        | SELECT epoch_ns(ts) // (3600 * 1000000000::BIGINT) AS hour_idx, event_type,
+        |  COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | FROM events GROUP BY 1, 2) t
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "s2_sliding" ->
+      """SELECT CAST(to_timestamp(slot * 900) AS TIMESTAMP) AS window_start, cnt FROM (
+        | SELECT epoch_ns(ts) // (900 * 1000000000::BIGINT) - k AS slot, COUNT(*) AS cnt
+        | FROM events, (SELECT unnest(range(4)) AS k) ks GROUP BY 1) t
+        |ORDER BY window_start""".stripMargin,
+
+    "s3_session" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us FROM events),
+        | flagged AS (SELECT user_id, event_id, us,
+        |   CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |        THEN 1 ELSE 0 END AS new_s
+        |  FROM ev),
+        | isl AS (SELECT user_id, us,
+        |   SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM flagged)
+        |SELECT user_id, make_timestamp(MIN(us)) AS session_start,
+        | make_timestamp(MAX(us) + 1800000000) AS session_end, COUNT(*) AS cnt
+        |FROM isl GROUP BY user_id, island
+        |ORDER BY user_id, session_start""".stripMargin,
+
+    "s4_dedup_first" ->
+      """SELECT user_id, event_type,
+        | CAST(to_timestamp(minute_idx * 60) AS TIMESTAMP) AS minute_start, event_id, ts
+        |FROM (
+        | SELECT user_id, event_type,
+        |  epoch_us(ts) // (60 * 1000000::BIGINT) AS minute_idx,
+        |  event_id, epoch_us(ts) AS ts,
+        |  row_number() OVER (PARTITION BY user_id, event_type, epoch_us(ts) // (60 * 1000000::BIGINT)
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type, minute_start""".stripMargin,
+
+    "u1_scalar_udf" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6)) AS score
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, score""".stripMargin,
+
+    "u2_udaf_wavg" ->
+      """SELECT c_mktsegment,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS wavg_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "u3_generator" ->
+      """SELECT o_orderkey, UNNEST(generate_series(1, o_orderkey % 3 + 1)) AS installment
+        |FROM orders ORDER BY o_orderkey, installment""".stripMargin,
+
+    "l1_dedup_exact" ->
+      """SELECT MIN(doc_id) AS survivor_id, md5(lower(trim(text))) AS text_hash,
+        | COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY text_hash ORDER BY survivor_id""".stripMargin,
+
+    "l2_neardup_jaccard" ->
+      """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t
+        |  FROM documents)
+        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        | ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |   / len(list_distinct(a.t || b.t)), 4) AS jaccard
+        |FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE 10 * len(list_intersect(a.t, b.t)) >= 9 * len(list_distinct(a.t || b.t))
+        |ORDER BY a.lang, a_id, b_id""".stripMargin,
+
+    "l3_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        | SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
+        | FROM scored) t
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "l4_tokenize" ->
+      """SELECT token, cnt FROM (
+        | SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents) t1
+        | GROUP BY token) t2
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "l5_text_stats" ->
+      """WITH per AS (SELECT lang,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS wc,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS dc,
+        |  n_chars FROM documents)
+        |SELECT lang, COUNT(*) AS doc_cnt, CAST(SUM(wc) AS BIGINT) AS sum_wc,
+        | CAST(SUM(dc) AS BIGINT) AS sum_dc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | ROUND(CAST(SUM(dc) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS ttr,
+        | ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS chars_per_word
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+  )
+}
