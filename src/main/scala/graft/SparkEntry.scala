@@ -73,7 +73,17 @@ object SparkEntry {
     "l2_neardup_jaccard" -> (Llm.l2 _),
     "l3_cosine_topk" -> (Llm.l3 _),
     "l4_tokenize" -> (Llm.l4 _),
-    "l5_text_stats" -> (Llm.l5 _)
+    "l5_text_stats" -> (Llm.l5 _),
+    // training-data-pipeline extensions (builder brief)
+    "x1_minhash_lsh" -> (Pipeline.x1 _),
+    "x2_simhash" -> (Pipeline.x2 _),
+    "x3_ngram_jaccard" -> (Pipeline.x3 _),
+    "x4_embed_neardup" -> (Pipeline.x4 _),
+    "x5_langid" -> (Pipeline.x5 _),
+    "x6_quality_score" -> (Pipeline.x6 _),
+    "x7_token_count" -> (Pipeline.x7 _),
+    "x8_fingerprint" -> (Pipeline.x8 _),
+    "x9_ann_lsh" -> (Pipeline.x9 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,221 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline operators beyond the reference surface (builder
+  * brief: dedup family, similarity search, text analysis at 100 TB scale).
+  *
+  * All hashing is md5-based so the DuckDB oracle can mirror it exactly
+  * (Spark's `hash`/`xxhash64` are engine-specific). Scale posture:
+  *  - x1 MinHash+LSH is the 100 TB near-dup path: candidate generation is an
+  *    equi-join on (band_id, band_hash) — a keyed shuffle, never all-pairs.
+  *  - x9 LSH-bucketed ANN is the scale path for l3's brute force: candidates
+  *    shuffle on the sign-bit bucket only.
+  *  - Everything else is per-row (narrow) + one keyed aggregation.
+  */
+object Pipeline {
+
+  private def toks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("toks"))
+
+  /** x1 — MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate generation,
+    * then exact Jaccard >= 0.7 verification on candidates only. MinHash is
+    * the lexicographic min of md5("seed:token") hex strings — portable
+    * across engines. Candidate recall < 1 by construction (LSH); the oracle
+    * mirrors the same banding so outputs match exactly.
+    */
+  def x1(s: SparkSession, d: String): DataFrame = {
+    val t = toks(s, d)
+    val sig = t.select(
+      Seq(col("doc_id"), col("lang")) ++ (0 until 8).map(i =>
+        expr(s"array_min(transform(toks, x -> md5(cast(concat('$i:', x) as binary))))")
+          .as(s"mh$i")): _*)
+    val bands = sig.select(col("doc_id"), col("lang"),
+      posexplode(array(
+        md5(concat(col("mh0"), col("mh1")).cast("binary")),
+        md5(concat(col("mh2"), col("mh3")).cast("binary")),
+        md5(concat(col("mh4"), col("mh5")).cast("binary")),
+        md5(concat(col("mh6"), col("mh7")).cast("binary")))))
+    val a = bands.select(col("doc_id").as("a_id"), col("lang"), col("pos"),
+      col("col").as("bh"))
+    val b = bands.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("pos").as("pos_b"), col("col").as("bh_b"))
+    val cand = a.join(b, col("lang") === col("lang_b") && col("pos") === col("pos_b")
+        && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
+      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+    val ta = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+    val tb = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
+    cand.join(ta, "a_id").join(tb, "b_id")
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
+      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  /** x2 — 16-bit SimHash document signature from token md5s: per bit
+    * position, majority vote of the low bit of the corresponding hex digit
+    * (+1/−1), assembled LSB-first. Pure integer math → exact parity.
+    */
+  def x2(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("t"))
+      .withColumn("h", md5(col("t").cast("binary")))
+      .withColumn("pos", explode(sequence(lit(0), lit(15))))
+      .withColumn("c",
+        expr("2 * ((instr('0123456789abcdef', substring(h, pos + 1, 1)) - 1) % 2) - 1"))
+      .groupBy(col("doc_id"), col("lang"), col("pos"))
+      .agg(sum(col("c")).as("sc"))
+      .withColumn("bit", when(col("sc") > 0, 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(expr("bit * cast(pow(2, pos) as bigint)")).as("simhash"))
+      .orderBy("doc_id")
+
+  /** x3 — word-trigram (3-shingle) Jaccard near-dup pairs within language
+    * buckets, threshold 0.2 decided in exact integer math.
+    */
+  def x3(s: SparkSession, d: String): DataFrame = {
+    val tg = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+      .withColumn("tg", expr(
+        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
+      .select(col("doc_id"), col("lang"), col("tg"))
+    val a = tg.select(col("doc_id").as("a_id"), col("lang"), col("tg").as("a_tg"))
+    val b = tg.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+      col("tg").as("b_tg"))
+    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_tg"), col("b_tg"))))
+      .withColumn("uni", size(array_union(col("a_tg"), col("b_tg"))))
+      .filter(col("inter") * 5 >= col("uni"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  /** x4 — embedding-cosine near-duplicate pairs within label buckets:
+    * rounded cosine >= 0.4 (D4: both engines filter on the rounded double).
+    */
+  def x4(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    val a = e.select(col("vec_id").as("a_id"), col("label"), col("emb").as("a_emb"),
+      col("nrm").as("a_nrm"))
+    val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
+      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+    a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("a_emb"), col("b_emb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) / (col("a_nrm") * col("b_nrm")), 4))
+      .filter(col("sim") >= 0.4)
+      .select(col("label"), col("a_id"), col("b_id"), col("sim"))
+      .orderBy("label", "a_id", "b_id")
+  }
+
+  private val LangWords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "big", "small"),
+    "de" -> Seq("der", "die", "das", "und", "schnell"),
+    "es" -> Seq("el", "la", "los", "rapido", "lento"),
+    "fr" -> Seq("le", "les", "vite", "grand", "petit"),
+    "zh" -> Seq("de", "shi", "kuai", "man", "da"))
+
+  /** x5 — heuristic language ID: argmax over per-language stopword-overlap
+    * scores with a fixed priority order for ties. (The synthetic corpus
+    * shares one vocabulary, so predictions skew 'en' — the operator under
+    * test is the scoring/argmax plumbing, which is what runs at scale.)
+    */
+  def x5(s: SparkSession, d: String): DataFrame = {
+    val t = toks(s, d)
+    val scored = LangWords.foldLeft(t) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang",
+        size(array_intersect(col("toks"), array(words.map(lit): _*))))
+    }
+    val langs = LangWords.map(_._1)
+    val pred = langs.foldRight(lit(langs.last): Column) { case (lang, rest) =>
+      val others = langs.filterNot(_ == lang).map(o => col(s"s_$lang") >= col(s"s_$o"))
+      when(others.reduce(_ && _), lang).otherwise(rest)
+    }
+    scored
+      .withColumn("pred_lang", pred)
+      .withColumn("correct", when(col("pred_lang") === col("lang"), 1).otherwise(0))
+      .select(col("doc_id"), col("lang").as("actual_lang"), col("pred_lang"),
+        col("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** x6 — document quality scoring: stopword ratio + short-word ratio
+    * composed into a [0,1]-ish score (expression order mirrored exactly in
+    * the oracle so the double math is bit-identical).
+    */
+  def x6(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("wc", size(col("w")))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), t => t.isin("the", "a", "of", "and"))))
+      .withColumn("short_cnt", size(filter(col("w"), t => length(t) <= 2)))
+      .withColumn("quality", round(
+        lit(1.0) - lit(0.5) * (col("stop_cnt").cast("double") / col("wc"))
+          - lit(0.3) * (col("short_cnt").cast("double") / col("wc")), 4))
+      .select(col("doc_id"), col("wc"), col("stop_cnt"), col("short_cnt"),
+        col("quality"))
+      .orderBy("doc_id")
+
+  /** x7 — token counting three ways: whitespace split, alpha-word regex, and
+    * a BPE-ish bounded-piece regex ([a-z]{1,4} greedy chunks).
+    */
+  def x7(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("alpha_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))).as("bpe_pieces"),
+        length(col("text")).as("text_len"))
+      .orderBy("doc_id")
+
+  /** x8 — document fingerprinting: order-insensitive content fingerprint
+    * (md5 of sorted distinct tokens) + min-shingle fingerprint (min md5 over
+    * word trigrams — the 1-hash MinHash of the shingle set).
+    */
+  def x8(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("content_fp",
+        md5(array_join(array_sort(array_distinct(col("w"))), " ").cast("binary")))
+      .withColumn("min_shingle_fp", expr(
+        "array_min(transform(sequence(0, size(w) - 3), i -> md5(cast(concat(w[i], ' ', w[i+1], ' ', w[i+2]) as binary))))"))
+      .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"))
+      .orderBy("doc_id")
+
+  /** x9 — LSH-bucketed approximate nearest neighbours: 8-bit sign bucket on
+    * the first 8 dimensions, search only within the query's bucket, top-3 by
+    * rounded cosine. The scale path for l3's exact brute force.
+    */
+  def x9(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("bucket", expr(
+        "aggregate(sequence(0, 7), 0L, (a, j) -> a + CASE WHEN emb[j] > 0D THEN cast(pow(2, j) as bigint) ELSE 0L END)"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bucket"))
+    val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"), col("bucket").as("bucket_c"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    broadcast(q).join(c, col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
+      .withColumn("sim", round(
+        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+}

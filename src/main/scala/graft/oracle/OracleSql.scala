@@ -404,6 +404,129 @@ object OracleSql {
         | CAST(SUM(dc) AS BIGINT) AS sum_dc, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | ROUND(CAST(SUM(dc) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS ttr,
         | ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS chars_per_word
-        |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x1_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        | sig AS (SELECT doc_id, lang,
+        |  list_aggregate(list_transform(t, x -> md5('0:' || x)), 'min') AS mh0,
+        |  list_aggregate(list_transform(t, x -> md5('1:' || x)), 'min') AS mh1,
+        |  list_aggregate(list_transform(t, x -> md5('2:' || x)), 'min') AS mh2,
+        |  list_aggregate(list_transform(t, x -> md5('3:' || x)), 'min') AS mh3,
+        |  list_aggregate(list_transform(t, x -> md5('4:' || x)), 'min') AS mh4,
+        |  list_aggregate(list_transform(t, x -> md5('5:' || x)), 'min') AS mh5,
+        |  list_aggregate(list_transform(t, x -> md5('6:' || x)), 'min') AS mh6,
+        |  list_aggregate(list_transform(t, x -> md5('7:' || x)), 'min') AS mh7
+        |  FROM toks),
+        | bands AS (
+        |  SELECT doc_id, lang, 0 AS pos, md5(mh0 || mh1) AS bh FROM sig
+        |  UNION ALL SELECT doc_id, lang, 1, md5(mh2 || mh3) FROM sig
+        |  UNION ALL SELECT doc_id, lang, 2, md5(mh4 || mh5) FROM sig
+        |  UNION ALL SELECT doc_id, lang, 3, md5(mh6 || mh7) FROM sig),
+        | cand AS (SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.pos = b.pos
+        |   AND a.bh = b.bh AND a.doc_id < b.doc_id)
+        |SELECT c.lang, c.a_id, c.b_id,
+        | ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+        |   / len(list_distinct(ta.t || tb.t)), 4) AS jaccard
+        |FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+        |WHERE 10 * len(list_intersect(ta.t, tb.t)) >= 7 * len(list_distinct(ta.t || tb.t))
+        |ORDER BY c.lang, a_id, b_id""".stripMargin,
+
+    "x2_simhash" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        | bits AS (SELECT doc_id, lang, pos, md5(t) AS h
+        |  FROM tok, (SELECT unnest(range(16)) AS pos) p),
+        | contrib AS (SELECT doc_id, lang, pos,
+        |   2 * ((strpos('0123456789abcdef', substr(h, CAST(pos + 1 AS INTEGER), 1)) - 1) % 2) - 1 AS c
+        |  FROM bits),
+        | sc AS (SELECT doc_id, lang, pos, SUM(c) AS sc FROM contrib GROUP BY 1, 2, 3),
+        | b AS (SELECT doc_id, lang, pos, CASE WHEN sc > 0 THEN 1 ELSE 0 END AS bit FROM sc)
+        |SELECT doc_id, lang, CAST(SUM(bit * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM b GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "x3_ngram_jaccard" ->
+      """WITH tg AS (SELECT doc_id, lang,
+        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2])) AS t
+        | FROM documents)
+        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        | ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        |   / len(list_distinct(a.t || b.t)), 4) AS jaccard
+        |FROM tg a JOIN tg b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE 5 * len(list_intersect(a.t, b.t)) >= len(list_distinct(a.t || b.t))
+        |ORDER BY a.lang, a_id, b_id""".stripMargin,
+
+    "x4_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS sim
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
+        |ORDER BY a.label, a_id, b_id""".stripMargin,
+
+    "x5_langid" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  len(list_intersect(toks, ['the','a','fast','slow','big','small'])) AS s_en,
+        |  len(list_intersect(toks, ['der','die','das','und','schnell'])) AS s_de,
+        |  len(list_intersect(toks, ['el','la','los','rapido','lento'])) AS s_es,
+        |  len(list_intersect(toks, ['le','les','vite','grand','petit'])) AS s_fr,
+        |  len(list_intersect(toks, ['de','shi','kuai','man','da'])) AS s_zh
+        |  FROM t),
+        | pred AS (SELECT doc_id, lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM sc)
+        |SELECT doc_id, lang AS actual_lang, pred_lang,
+        | CASE WHEN pred_lang = lang THEN 1 ELSE 0 END AS correct
+        |FROM pred ORDER BY doc_id""".stripMargin,
+
+    "x6_quality_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS wc,
+        |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> length(t) <= 2)) AS INTEGER) AS short_cnt
+        |  FROM w)
+        |SELECT doc_id, wc, stop_cnt, short_cnt,
+        | ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |   - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) AS quality
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x7_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS alpha_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS INTEGER) AS bpe_pieces,
+        | CAST(length(text) AS INTEGER) AS text_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x8_fingerprint" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS content_fp,
+        | list_aggregate(list_transform(range(1, len(w) - 1),
+        |   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])), 'min') AS min_shingle_fp
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "x9_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | eb AS (SELECT vec_id, emb,
+        |   CAST(list_sum(list_transform(range(8),
+        |     j -> CASE WHEN emb[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM e),
+        | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        | SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
+        | FROM scored) t
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
   )
 }
