@@ -1,0 +1,97 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder brief): image/audio/video as opaque
+  * `binary` columns with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * The actual media DECODE is stubbed (this container has no image/audio
+  * libraries): `FakeDecoder` derives deterministic pseudo-features from the
+  * bytes. Everything around it — the schema, the typed Dataset pipeline, the
+  * per-partition batch iteration (`mapPartitions`), the partitioning-by-kind
+  * layout — is the real Spark-side plumbing a production decoder would plug
+  * into: swap `FakeDecoder.decode` for a native/library call and the plan is
+  * unchanged.
+  *
+  * Scale notes: media blobs stay in executor space end-to-end (no collect);
+  * `mapPartitions` amortizes per-batch decoder init (the expensive part with
+  * a real codec); repartitioning by `kind` groups same-codec items so a
+  * decoder instance is reused within a partition.
+  */
+object Multimodal {
+
+  case class MediaItem(doc_id: Long, kind: String, content: Array[Byte],
+    width: Int, height: Int)
+
+  case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
+    checksum: Long, brightness: Double)
+
+  case class Frame(doc_id: Long, frame_idx: Int, byte_len: Int, checksum: Long)
+
+  /** STUB decoder — deterministic pseudo-decode standing in for a real
+    * image/audio codec (not available in this container). Pure function of
+    * the bytes, so tests are reproducible.
+    */
+  object FakeDecoder {
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(1125899906842597L)((h, b) => h * 31 + (b & 0xff))
+    def decode(item: MediaItem): MediaFeatures = {
+      val bright =
+        if (item.content.isEmpty) 0.0
+        else item.content.map(b => (b & 0xff).toDouble).sum / (255.0 * item.content.length)
+      MediaFeatures(item.doc_id, item.kind, item.content.length,
+        checksum(item.content), bright)
+    }
+  }
+
+  /** Derive a media table from the documents fixture: the text bytes stand in
+    * for an opaque blob; kind cycles over image/audio/video.
+    */
+  def mediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaItem] = {
+    import spark.implicits._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"))
+      .as[MediaItem]
+  }
+
+  /** Feature extraction over per-partition batches. Partitioning by kind
+    * co-locates same-codec items (decoder reuse); the iterator never
+    * materializes a partition in memory.
+    */
+  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media
+      .repartition(col("kind"))
+      .mapPartitions { items =>
+        // Real pipeline: initialize the decoder once per partition here.
+        items.map(FakeDecoder.decode)
+      }
+  }
+
+  /** Frame sampling for "video" items: every item yields ceil(n/step) frame
+    * records; the stub slices the blob where a real impl would seek+decode.
+    */
+  def sampleFrames(media: Dataset[MediaItem], frameBytes: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { item =>
+      item.content.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
+        Frame(item.doc_id, i, chunk.length, FakeDecoder.checksum(chunk))
+      }
+    }
+  }
+
+  /** Aggregate features per kind — the shape of a post-decode quality sweep. */
+  def featureStats(features: Dataset[MediaFeatures]): DataFrame =
+    features.groupBy(col("kind"))
+      .agg(count(lit(1)).as("items"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(avg(col("brightness")), 4).as("avg_brightness"))
+      .orderBy("kind")
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import graft.Det._
+
+/** Structured Streaming twins of the batch event queries (SURVEY.md §2.6,
+  * §2.9 capabilities).
+  *
+  * Design: each transformation takes a DataFrame of events with the loader's
+  * schema (`ts` = int64 epoch-nanoseconds) and works identically whether the
+  * input is a batch read or a `readStream`/MemoryStream source — the same
+  * expression tree runs incrementally under the streaming runner. The batch
+  * queries in `graft.ops.Events` are the deterministic, oracle-checked twins;
+  * equivalence is asserted in `StreamTwinsSpec` by feeding the fixture rows
+  * through a MemoryStream and comparing final state to the batch result.
+  *
+  * Scale notes: streaming state is keyed by (window × type) / (user) — the
+  * same shuffle keys as batch, so state stores shard across executors; the
+  * watermark bounds state size (windows older than watermark are evicted).
+  */
+object StreamTwins {
+
+  /** Event row as fed by sources (matches events.parquet under nanosAsLong). */
+  case class Event(event_id: Long, ts: Long, user_id: Long,
+    event_type: String, value: Double)
+
+  /** Per-user aggregate emitted by the custom-state twin. */
+  case class UserAgg(user_id: Long, cnt: Long, sum_value: Double)
+
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("tstamp", timestamp_micros(expr("ts div 1000")))
+
+  /** s1 twin — real `window()` tumbling aggregation; in streaming mode the
+    * 1-hour watermark makes the aggregation finalizable (append mode).
+    */
+  def tumbling(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        out2(sum(dec2(col("value")))).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** s2 twin — sliding windows via the native `window(col, "1 hour", "15 minutes")`. */
+  def sliding(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(window(col("tstamp"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("cnt"))
+
+  /** s3 twin — native session windows (30-minute gap), streaming-capable. */
+  def sessions(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("tstamp", "1 hour")
+      .groupBy(col("user_id"), session_window(col("tstamp"), "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("cnt"))
+
+  /** s4 twin — streaming stateful dedup. `dropDuplicates` keeps the first
+    * ARRIVAL per key (processing order); the batch query s4 is its
+    * deterministic analog (first by event time). The watermark bounds the
+    * dedup state to ~1 hour of keys.
+    */
+  def dedup(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withColumn("minute_idx", expr("ts div 60000000000"))
+      .withWatermark("tstamp", "1 hour")
+      .dropDuplicates("user_id", "event_type", "minute_idx")
+      .select(col("user_id"), col("event_type"), col("minute_idx"),
+        col("event_id"), col("ts"))
+
+  /** Custom arbitrary state (mapGroupsWithState): per-user running count and
+    * value sum, updated incrementally — the streaming form of a reducer that
+    * folds a per-key accumulator [RECON: the reference's reducer-side
+    * counting, made incremental].
+    */
+  def userTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(user, 0L, 0.0))
+          var cnt = prev.cnt
+          var sum = prev.sum_value
+          rows.foreach { e => cnt += 1; sum += e.value }
+          val next = UserAgg(user, cnt, sum)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Per-operator semantics on tiny literal data + invariants on the fixture
+  * (SURVEY.md §5.2-2/5): NULL/boundary edges, partitioning invariance,
+  * determinism double-runs for the riskiest queries.
+  */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("session_window boundary: event at exactly prev+gap merges (strict >)") {
+    val base = 1700000000000000L // µs
+    val gap = 30L * 60 * 1000000
+    val df = Seq(
+      (1L, base), (1L, base + gap), // exactly at gap → same session
+      (1L, base + gap + gap + 1)    // 1µs past → new session
+    ).toDF("user_id", "us")
+      .withColumn("tstamp", timestamp_micros($"us"))
+    val sessions = df.groupBy($"user_id", session_window($"tstamp", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"))
+      .select($"cnt").as[Long].collect().sorted
+    assert(sessions.toSeq == Seq(1L, 2L))
+  }
+
+  test("semi and anti joins partition the left side") {
+    val semi = Joins.j5(spark, sf001).count()
+    val antiOpen = Tables.customer(spark, sf001)
+      .join(Tables.orders(spark, sf001).filter($"o_orderstatus" === "O"),
+        $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(semi + antiOpen === Tables.customer(spark, sf001).count())
+  }
+
+  test("full outer row accounting (j7)") {
+    val j7 = Joins.j7(spark, sf001)
+    val nations = j7.count()
+    val withBoth = j7.filter($"cust_cnt".isNotNull && $"supp_cnt".isNotNull).count()
+    val custOnly = j7.filter($"supp_cnt".isNull).count()
+    val suppOnly = j7.filter($"cust_cnt".isNull).count()
+    assert(withBoth + custOnly + suppOnly === nations)
+    assert(custOnly > 0) // sf0.001 has 10 suppliers over 25 nations
+  }
+
+  test("decimal aggregation is partitioning-invariant (rule D2)") {
+    val base = Tables.lineitem(spark, sf001)
+    val results = Seq(1, 2, 4).map { n =>
+      base.repartition(n)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(Det.dec4($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("s"))
+        .orderBy("l_returnflag", "l_linestatus")
+        .collect().toSeq
+    }
+    assert(results(0) == results(1) && results(1) == results(2))
+  }
+
+  test("w2 top-k: at most 3 per brand, ranks contiguous from 1") {
+    val rows = Windows.w2(spark, sf001).collect()
+    val byBrand = rows.groupBy(_.getString(0))
+    byBrand.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("running window final value equals group total (w3)") {
+    val w3 = Windows.w3(spark, sf001)
+    val finals = w3.groupBy("o_custkey").agg(
+      max("running_cnt").as("final_cnt"), count(lit(1)).as("n"))
+    assert(finals.filter($"final_cnt" =!= $"n").count() === 0)
+  }
+
+  test("exact dedup is idempotent (l1)") {
+    val l1 = Llm.l1(spark, sf001)
+    assert(l1.select("text_hash").distinct().count() === l1.count())
+    assert(l1.select("survivor_id").distinct().count() === l1.count())
+  }
+
+  test("generator row count: sum of per-order sequence lengths (u3)") {
+    val expected = Tables.orders(spark, sf001)
+      .select(sum(($"o_orderkey" % 3) + 1)).as[Long].head()
+    assert(Udfs.u3(spark, sf001).count() === expected)
+  }
+
+  test("determinism double-run: riskiest queries byte-equal across runs") {
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "l3" -> Llm.l3, "w1" -> Windows.w1, "s3" -> ops.Events.s3, "x1" -> Pipeline.x1
+    ).foreach { case (name, q) =>
+      val a = q(spark, sf001).collect().toSeq
+      val b = q(spark, sf001).collect().toSeq
+      assert(a == b, s"query $name differed between runs")
+    }
+  }
+
+  test("LSH candidates are a superset of high-jaccard pairs it reports (x1 ⊆ l2 family)") {
+    // every x1 pair has jaccard >= 0.7 by construction
+    val bad = Pipeline.x1(spark, sf001).filter($"jaccard" < 0.7).count()
+    assert(bad === 0)
+  }
+
+  test("anti-join result disjoint from semi-join result (j6 vs 1995 buyers)") {
+    val anti = Joins.j6(spark, sf001).select($"c_custkey")
+    val buyers95 = Tables.customer(spark, sf001)
+      .join(Tables.orders(spark, sf001).filter(year($"o_orderdate") === 1995),
+        $"c_custkey" === $"o_custkey", "left_semi").select($"c_custkey")
+    assert(anti.intersect(buyers95).count() === 0)
+    assert(anti.count() + buyers95.count() === Tables.customer(spark, sf001).count())
+  }
+
+  test("cosine top-k self-consistency: sims within [-1,1], ranks 1..5 (l3)") {
+    val rows = Llm.l3(spark, sf001).collect()
+    assert(rows.length === 50)
+    rows.foreach { r: Row =>
+      assert(math.abs(r.getDouble(3)) <= 1.0001)
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamTwins
+import graft.streaming.StreamTwins.Event
+
+/** Streaming ≡ batch equivalence (SURVEY.md §5.2-4): the fixture's events fed
+  * incrementally through a MemoryStream must converge to the batch twin's
+  * result; plus watermark late-data semantics on hand-built rows.
+  */
+class StreamTwinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixtureEvents: Seq[Event] =
+    Tables.events(spark, sf001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect().toSeq
+
+  test("tumbling window: streamed result equals batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode("complete").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("tumb")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = StreamTwins.tumbling(
+        events.toDF())
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("mapGroupsWithState per-user totals equal batch groupBy") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.userTotals(stream.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode("update").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // update mode emits one row per key per batch: keep the last per key
+      val streamed = spark.table("totals")
+        .groupBy("user_id").agg(max("cnt").as("cnt"))
+        .orderBy("user_id").as[(Long, Long)].collect().toSeq
+      val batch = events.toDF().groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id").as[(Long, Long)].collect().toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000000L // ns per hour
+    val base = 1704067200000000000L // 2024-01-01T00:00:00Z in ns
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // two events in hour 0
+      stream.addData(Event(1, base + 1, 1, "click", 1.0),
+        Event(2, base + 2, 1, "click", 1.0))
+      query.processAllAvailable()
+      // advance event time to hour 5 → watermark moves past hour 0+1h
+      stream.addData(Event(3, base + 5 * h, 1, "click", 1.0))
+      query.processAllAvailable()
+      // late event for hour 0, beyond watermark → must be dropped
+      stream.addData(Event(4, base + 3, 1, "click", 1.0))
+      query.processAllAvailable()
+      // one more to flush
+      stream.addData(Event(5, base + 6 * h, 1, "click", 1.0))
+      query.processAllAvailable()
+      val hour0 = spark.table("late")
+        .filter(col("window_start") === timestamp_seconds(lit(base / 1000000000L)))
+        .select("cnt").as[Long].collect().toSeq
+      assert(hour0 == Seq(2L), "late event must not change the finalized window")
+    } finally query.stop()
+  }
+
+  test("streaming dedup state: distinct keys equal batch distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.dedup(stream.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamedKeys = spark.table("dedup")
+        .select("user_id", "event_type", "minute_idx").distinct().count()
+      val batchKeys = events.toDF()
+        .withColumn("minute_idx", expr("ts div 60000000000"))
+        .select("user_id", "event_type", "minute_idx").distinct().count()
+      assert(spark.table("dedup").count() === streamedKeys)
+      assert(streamedKeys === batchKeys)
+    } finally query.stop()
+  }
+}
