@@ -67,8 +67,9 @@ object Core {
   def a8(s: SparkSession, d: String): DataFrame = {
     def brands(y: Int): DataFrame =
       Tables.lineitem(s, d)
+        // pushdown-friendly range predicate (year() would not reach the scan)
+        .filter(col("l_shipdate") >= s"$y-01-01" && col("l_shipdate") < s"${y + 1}-01-01")
         .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .filter(year(col("l_shipdate")) === y)
         .select(col("p_brand"))
     brands(1995).intersect(brands(1996)).orderBy("p_brand")
   }
@@ -79,7 +80,7 @@ object Core {
   def a9(s: SparkSession, d: String): DataFrame = {
     def shipped(y: Int): DataFrame =
       Tables.lineitem(s, d)
-        .filter(year(col("l_shipdate")) === y)
+        .filter(col("l_shipdate") >= s"$y-01-01" && col("l_shipdate") < s"${y + 1}-01-01")
         .select(col("l_partkey"))
     shipped(1995).except(shipped(1996)).orderBy("l_partkey")
   }

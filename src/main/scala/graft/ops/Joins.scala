@@ -45,7 +45,9 @@ object Joins {
       .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .filter(col("r_name") === "ASIA" && year(col("o_orderdate")) === 1996)
+      // range form (not year()=) so the predicate pushes into the parquet scan
+      .filter(col("r_name") === "ASIA"
+        && col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
       .groupBy(col("n_name"))
       .agg(out4(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))).as("revenue"),
         count(lit(1)).as("line_cnt"))
@@ -72,7 +74,8 @@ object Joins {
     */
   def j6(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).filter(year(col("o_orderdate")) === 1995),
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderdate") >= "1995-01-01" && col("o_orderdate") < "1996-01-01"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy("c_custkey")

@@ -30,17 +30,18 @@ object Llm {
   /** l2 — near-duplicate pairs within language buckets: token-set Jaccard
     * >= 0.9, decided in exact integer math (10*|∩| >= 9*|∪|); the reported
     * jaccard is the rounded double (D4).
+    *
+    * Scale: a plain self-join on `lang` has only 5 distinct keys → 5 tasks do
+    * all the pairwise work. The join is block-decomposed instead (one side
+    * tagged id%B, the other replicated over all B blocks) so the shuffle key
+    * is (lang, block) → lang×B parallel tasks, identical output.
     */
   def l2(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    val a = toks.select(col("doc_id").as("a_id"), col("lang"), col("toks").as("a_toks"))
-    val b = toks.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-      col("toks").as("b_toks"))
-    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))))
+    val (enc, useMask) = SetSim.tokenSets(toks)
+    SetSim.pairs(enc, useMask, blocks = 16)
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("lang"), col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))

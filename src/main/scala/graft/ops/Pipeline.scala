@@ -30,10 +30,19 @@ object Pipeline {
     */
   def x1(s: SparkSession, d: String): DataFrame = {
     val t = toks(s, d)
-    val sig = t.select(
-      Seq(col("doc_id"), col("lang")) ++ (0 until 8).map(i =>
-        expr(s"array_min(transform(toks, x -> md5(cast(concat('$i:', x) as binary))))")
-          .as(s"mh$i")): _*)
+    // MinHash per DISTINCT token (vocabulary × 8 md5s), broadcast back and
+    // min-aggregated per doc — identical minima to hashing inside each doc's
+    // array, at a fraction of the hashing work.
+    val exploded = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    val hashed = exploded.select(col("tok")).distinct()
+      .select(Seq(col("tok")) ++ (0 until 8).map(i =>
+        md5(concat(lit(s"$i:"), col("tok")).cast("binary")).as(s"h$i")): _*)
+    val sig = exploded.join(broadcast(hashed), "tok")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(col("h0")).as("mh0"), min(col("h1")).as("mh1"),
+        min(col("h2")).as("mh2"), min(col("h3")).as("mh3"),
+        min(col("h4")).as("mh4"), min(col("h5")).as("mh5"),
+        min(col("h6")).as("mh6"), min(col("h7")).as("mh7"))
     val bands = sig.select(col("doc_id"), col("lang"),
       posexplode(array(
         md5(concat(col("mh0"), col("mh1")).cast("binary")),
@@ -47,11 +56,14 @@ object Pipeline {
     val cand = a.join(b, col("lang") === col("lang_b") && col("pos") === col("pos_b")
         && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
-    val ta = t.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
-    val tb = t.select(col("doc_id").as("b_id"), col("toks").as("b_toks"))
-    cand.join(ta, "a_id").join(tb, "b_id")
-      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))))
-      .withColumn("uni", size(array_union(col("a_toks"), col("b_toks"))))
+    val (enc, useMask) = SetSim.tokenSets(t)
+    val sa = enc.select(col("doc_id").as("a_id"), col("set").as("a_set"),
+      col("sz").as("a_sz"))
+    val sb = enc.select(col("doc_id").as("b_id"), col("set").as("b_set"),
+      col("sz").as("b_sz"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", SetSim.interCol(useMask))
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .select(col("lang"), col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
@@ -79,19 +91,34 @@ object Pipeline {
 
   /** x3 — word-trigram (3-shingle) Jaccard near-dup pairs within language
     * buckets, threshold 0.2 decided in exact integer math.
+    *
+    * Implemented as an inverted-index similarity join: explode shingles,
+    * self-join postings on (lang, shingle) — so pair rows exist only where a
+    * shingle is SHARED — and count the join multiplicity per (a,b) to get
+    * |∩| directly; |∪| = |A|+|B|−|∩|. No quadratic all-pairs scan, no
+    * per-pair array ops; every shuffle is keyed (shingle, then pair). At
+    * 100 TB add prefix filtering / hot-shingle capping to bound the skewed
+    * posting lists [classic PPJoin-family design].
     */
   def x3(s: SparkSession, d: String): DataFrame = {
     val tg = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      .withColumn("tg", expr(
+      .withColumn("toks", expr(
         "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
-      .select(col("doc_id"), col("lang"), col("tg"))
-    val a = tg.select(col("doc_id").as("a_id"), col("lang"), col("tg").as("a_tg"))
-    val b = tg.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-      col("tg").as("b_tg"))
-    a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
-      .withColumn("inter", size(array_intersect(col("a_tg"), col("b_tg"))))
-      .withColumn("uni", size(array_union(col("a_tg"), col("b_tg"))))
+      .select(col("doc_id"), col("lang"), col("toks"))
+    val posts = tg.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    val sz = tg.select(col("doc_id"), size(col("toks")).as("sz"))
+    val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
+    val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+      col("doc_id").as("b_id"))
+    val inter = pa.join(pb, col("lang") === col("lang_b")
+        && col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+    val sa = sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val sb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    inter.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("lang"), col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
@@ -105,11 +132,15 @@ object Pipeline {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+    val B = 8
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("emb").as("a_emb"),
-      col("nrm").as("a_nrm"))
+        col("nrm").as("a_nrm"))
+      .withColumn("blk", (col("a_id") % B).cast("int"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"),
-      col("emb").as("b_emb"), col("nrm").as("b_nrm"))
-    a.join(b, col("label") === col("label_b") && col("a_id") < col("b_id"))
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+      .withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+    a.join(b, col("label") === col("label_b") && col("blk") === col("blk_b")
+        && col("a_id") < col("b_id"))
       .withColumn("sim", round(
         aggregate(zip_with(col("a_emb"), col("b_emb"), (x, y) => x * y),
           lit(0.0), (acc, v) => acc + v) / (col("a_nrm") * col("b_nrm")), 4))

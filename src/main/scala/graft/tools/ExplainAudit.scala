@@ -1,0 +1,25 @@
+// Plan audit (run via: sbt 'runMain graft.tools.ExplainAudit') — dumps
+// formatted physical plans for representative queries so pushdown/broadcast/
+// shuffle structure can be reviewed (builder brief: iterate on .explain).
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val interesting = Seq("c1_scan_project", "c2_filter_pred", "j2_broadcast",
+      "j3_star_5way", "a1_pricing_summary", "l3_cosine_topk", "x3_ngram_jaccard")
+    interesting.foreach { name =>
+      println(s"\n===== $name =====")
+      println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
