@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.DotProduct.dot
 
 /** LLM-data-pipeline operators (SURVEY.md §2.8, north-star extension):
   * dedup, near-dup, similarity search, text analysis over the documents and
@@ -55,17 +56,15 @@ object Llm {
   def l3(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
-      .withColumn("norm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("norm", sqrt(dot(col("emb"), col("emb"))))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("emb").as("q_emb"), col("norm").as("q_norm"))
     val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
       col("norm").as("c_norm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
-      .withColumn("dot",
-        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
-          lit(0.0), (a, v) => a + v))
-      .withColumn("sim", round(col("dot") / (col("q_norm") * col("c_norm")), 4))
+      .withColumn("sim",
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.DotProduct.{dot => vdot}
 
 /** Training-data-pipeline operators beyond the reference surface (builder
   * brief: dedup family, similarity search, text analysis at 100 TB scale).
@@ -131,7 +132,7 @@ object Pipeline {
   def x4(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
     val B = 8
     val a = e.select(col("vec_id").as("a_id"), col("label"), col("emb").as("a_emb"),
         col("nrm").as("a_nrm"))
@@ -141,9 +142,8 @@ object Pipeline {
       .withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
     a.join(b, col("label") === col("label_b") && col("blk") === col("blk_b")
         && col("a_id") < col("b_id"))
-      .withColumn("sim", round(
-        aggregate(zip_with(col("a_emb"), col("b_emb"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) / (col("a_nrm") * col("b_nrm")), 4))
+      .withColumn("sim",
+        round(vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
       .filter(col("sim") >= 0.4)
       .select(col("label"), col("a_id"), col("b_id"), col("sim"))
       .orderBy("label", "a_id", "b_id")
@@ -231,7 +231,7 @@ object Pipeline {
   def x9(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(aggregate(col("emb"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
       .withColumn("bucket", expr(
         "aggregate(sequence(0, 7), 0L, (a, j) -> a + CASE WHEN emb[j] > 0D THEN cast(pow(2, j) as bigint) ELSE 0L END)"))
     val q = e.filter(col("vec_id") < 10)
@@ -241,9 +241,8 @@ object Pipeline {
       col("nrm").as("c_nrm"), col("bucket").as("bucket_c"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     broadcast(q).join(c, col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
-      .withColumn("sim", round(
-        aggregate(zip_with(col("q_emb"), col("c_emb"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v) / (col("q_nrm") * col("c_nrm")), 4))
+      .withColumn("sim",
+        round(vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))

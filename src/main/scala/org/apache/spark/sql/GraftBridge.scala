@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's package-private Column↔Expression converters so graft
+  * can expose native Catalyst expressions through the public Column API
+  * (standard technique for Spark extension libraries; Spark 4 moved these
+  * helpers behind `private[sql]`).
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
