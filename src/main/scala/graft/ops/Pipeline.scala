@@ -102,13 +102,20 @@ object Pipeline {
     * posting lists [classic PPJoin-family design].
     */
   def x3(s: SparkSession, d: String): DataFrame = {
-    val tg = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
-      .withColumn("toks", expr(
-        "array_distinct(transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"))
-      .select(col("doc_id"), col("lang"), col("toks"))
-    val posts = tg.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-    val sz = tg.select(col("doc_id"), size(col("toks")).as("sz"))
+    // Trigrams via window leads over exploded tokens — fully codegen'd
+    // (the transform/array_distinct HOF formulation interprets its lambdas
+    // and cost ~0.8ms/doc, dominating the whole query).
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val posts = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .withColumn("w1", lead("w", 1).over(wPos))
+      .withColumn("w2", lead("w", 2).over(wPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("w"), col("w1"), col("w2")).as("tok"))
+      .distinct() // the doc's trigram SET (≡ array_distinct of the shingles)
+    val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
       col("doc_id").as("b_id"))

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual declared queries (warm, repeated): sbt 'runMain
+  * graft.tools.Profile <sfDir> <n> <query...>'.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sf = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.entry(spark).count() // warm
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sf).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-22s ${times.min}%6.2f min  ${times.map(x => x).sum / reps}%6.2f avg")
+    }
+    spark.stop()
+  }
+}
