@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Sources
+
+/** §2.9 capabilities kept out of the oracle inventory: CSV/JSON round-trips,
+  * approximate distinct-count bounds, typed Dataset API parity.
+  */
+case class Li(l_orderkey: Long, l_quantity: Double, l_extendedprice: Double)
+
+class CapabilitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("CSV round-trip preserves lineitem rows exactly") {
+    val li = Tables.lineitem(spark, sf001)
+    val path = tmp("graft-csv")
+    Sources.writeCsv(li, path)
+    val back = Sources.readCsv(spark, path, li.schema)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).count() === 0)
+    assert(li.exceptAll(back).count() === 0)
+  }
+
+  test("JSON round-trip preserves events rows exactly (ns longs intact)") {
+    val e = Tables.events(spark, sf001)
+    val path = tmp("graft-json")
+    Sources.writeJson(e, path)
+    val back = Sources.readJson(spark, path, e.schema)
+    assert(back.count() === e.count())
+    assert(back.exceptAll(e).count() === 0)
+  }
+
+  test("approx_count_distinct within 15% of exact (HLL capability vs a2 shape)") {
+    val li = Tables.lineitem(spark, sf001)
+    val Array(exact, approx) = li
+      .agg(countDistinct($"l_suppkey").cast("double"),
+        approx_count_distinct($"l_suppkey").cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    assert(math.abs(approx - exact) / exact < 0.15)
+  }
+
+  test("typed Dataset API parity with untyped DataFrame ops") {
+    val ds = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_quantity", "l_extendedprice").as[Li]
+    val typedCnt = ds.filter(_.l_quantity > 45.0).count()
+    val untypedCnt = Tables.lineitem(spark, sf001)
+      .filter($"l_quantity" > 45.0).count()
+    assert(typedCnt === untypedCnt)
+    val typedSum = ds.map(r => BigDecimal(r.l_extendedprice).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP))
+      .reduce(_ + _)
+    val untypedSum = Tables.lineitem(spark, sf001)
+      .agg(sum(Det.dec2($"l_extendedprice"))).head().getDecimal(0)
+    assert(typedSum === BigDecimal(untypedSum))
+  }
+}
