@@ -83,7 +83,8 @@ object SparkEntry {
     "x6_quality_score" -> (Pipeline.x6 _),
     "x7_token_count" -> (Pipeline.x7 _),
     "x8_fingerprint" -> (Pipeline.x8 _),
-    "x9_ann_lsh" -> (Pipeline.x9 _)
+    "x9_ann_lsh" -> (Pipeline.x9 _),
+    "x10_simhash_pairs" -> (Pipeline.x10 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

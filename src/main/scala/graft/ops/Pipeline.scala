@@ -71,11 +71,11 @@ object Pipeline {
       .orderBy("lang", "a_id", "b_id")
   }
 
-  /** x2 — 16-bit SimHash document signature from token md5s: per bit
-    * position, majority vote of the low bit of the corresponding hex digit
-    * (+1/−1), assembled LSB-first. Pure integer math → exact parity.
+  /** 16-bit SimHash signatures: per bit position, majority vote of the low
+    * bit of the corresponding md5 hex digit (+1/−1), assembled LSB-first.
+    * Pure integer math → exact parity.
     */
-  def x2(s: SparkSession, d: String): DataFrame =
+  private def simhashSigs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
@@ -88,7 +88,33 @@ object Pipeline {
       .withColumn("bit", when(col("sc") > 0, 1L).otherwise(0L))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(expr("bit * cast(pow(2, pos) as bigint)")).as("simhash"))
-      .orderBy("doc_id")
+
+  /** x2 — per-document SimHash signature. */
+  def x2(s: SparkSession, d: String): DataFrame =
+    simhashSigs(s, d).orderBy("doc_id")
+
+  /** x10 — SimHash near-dup pairs: hamming distance ≤ 1 between signatures
+    * within a language bucket (bit_count(a ^ b) — three ALU ops per pair via
+    * the block-decomposed self-join). At 100 TB the pairing would go through
+    * bucketed bit-permutation tables instead of all-pairs; the signature side
+    * is unchanged.
+    */
+  def x10(s: SparkSession, d: String): DataFrame = {
+    val B = 16
+    val sig = simhashSigs(s, d)
+    val a = sig.select(col("doc_id").as("a_id"), col("lang"),
+        col("simhash").as("a_sh"))
+      .withColumn("blk", (col("a_id") % B).cast("int"))
+    val b = sig.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("simhash").as("b_sh"))
+      .withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+    a.join(b, col("lang") === col("lang_b") && col("blk") === col("blk_b")
+        && col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("cast(bit_count(a_sh ^ b_sh) as int)"))
+      .filter(col("hamming") <= 1)
+      .select(col("lang"), col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("lang", "a_id", "b_id")
+  }
 
   /** x3 — word-trigram (3-shingle) Jaccard near-dup pairs within language
     * buckets, threshold 0.2 decided in exact integer math.

@@ -514,6 +514,24 @@ object OracleSql {
         |   i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2])), 'min') AS min_shingle_fp
         |FROM w ORDER BY doc_id""".stripMargin,
 
+    "x10_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        | bits AS (SELECT doc_id, lang, pos, md5(t) AS h
+        |  FROM tok, (SELECT unnest(range(16)) AS pos) p),
+        | contrib AS (SELECT doc_id, lang, pos,
+        |   2 * ((strpos('0123456789abcdef', substr(h, CAST(pos + 1 AS INTEGER), 1)) - 1) % 2) - 1 AS c
+        |  FROM bits),
+        | sc AS (SELECT doc_id, lang, pos, SUM(c) AS sc FROM contrib GROUP BY 1, 2, 3),
+        | bt AS (SELECT doc_id, lang, pos, CASE WHEN sc > 0 THEN 1 ELSE 0 END AS bv FROM sc),
+        | sh AS (SELECT doc_id, lang, CAST(SUM(bv * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS s
+        |  FROM bt GROUP BY doc_id, lang)
+        |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        | CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+        |FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.s, b.s)) <= 1
+        |ORDER BY a.lang, a_id, b_id""".stripMargin,
+
     "x9_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | eb AS (SELECT vec_id, emb,

@@ -99,6 +99,19 @@ class OperatorSpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("salted join is result-identical to the plain join (skew helper)") {
+    val plain = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), $"o_custkey" === $"c_custkey")
+      .select("o_orderkey", "c_custkey", "c_name")
+    val salted = ops.Skew.saltedJoin(
+      Tables.orders(spark, sf001), Tables.customer(spark, sf001),
+      "o_custkey", "c_custkey", $"o_orderkey", 8)
+      .select("o_orderkey", "c_custkey", "c_name")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("anti-join result disjoint from semi-join result (j6 vs 1995 buyers)") {
     val anti = Joins.j6(spark, sf001).select($"c_custkey")
     val buyers95 = Tables.customer(spark, sf001)
