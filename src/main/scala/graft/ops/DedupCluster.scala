@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate CLUSTERING: turn a pair list (a_id, b_id) into connected
+  * components so each duplicate group keeps one canonical survivor — the
+  * step after l2/x1/x3/x10 in a real dedup pipeline.
+  *
+  * Algorithm: iterative min-label propagation (each node adopts the smallest
+  * id reachable so far; fixpoint when no label changes). Every iteration is
+  * two keyed shuffles (join + groupBy-min) over the edge list — the
+  * alternating-algorithm shape used for connected components on massive
+  * graphs; rounds needed = graph diameter, which for near-dup clusters is
+  * tiny. The driver only ever sees the per-round change COUNT (one long),
+  * never the data.
+  */
+object DedupCluster {
+
+  /** pairs: (a_id, b_id) edges. Returns (doc_id, cluster_id) where
+    * cluster_id = min doc id of the component; singletons excluded (they are
+    * their own survivor).
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a_id").cast("long").as("src"),
+        col("b_id").cast("long").as("dst"))
+      .union(pairs.select(col("b_id").cast("long").as("src"),
+        col("a_id").cast("long").as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      // each node proposes its label to its neighbours; adopt the minimum
+      val proposals = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      // localCheckpoint truncates the growing iteration lineage (otherwise
+      // round N's plan contains all prior rounds and optimization blows up
+      // exponentially); on a cluster use a reliable checkpoint dir instead.
+      val next = labels.select(col("id"), col("label"))
+        .union(proposals)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Survivors after clustering: one row per cluster (its min id) plus every
+    * document that was in no near-dup pair at all.
+    */
+  def survivors(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    val dropped = comp.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+}

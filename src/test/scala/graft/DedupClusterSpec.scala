@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupCluster
+
+/** Connected-component clustering over near-dup pairs. */
+class DedupClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components on a known graph") {
+    // {1-2, 2-3} + {10-11} + isolated via pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val comp = DedupCluster.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("chain graph needs multiple propagation rounds") {
+    val chain = (1L until 20L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = DedupCluster.components(chain).collect()
+    assert(comp.forall(_.getLong(1) == 1L))
+    assert(comp.length === 20)
+  }
+
+  test("fixture near-dup pairs cluster consistently (l2 at sf0.001)") {
+    val pairs = ops.Llm.l2(spark, sf001).select("a_id", "b_id")
+    val comp = DedupCluster.components(pairs)
+    // every paired doc got a label; cluster id is a member of the cluster
+    val byCluster = comp.groupBy("cluster_id").agg(min("doc_id").as("m"))
+    assert(byCluster.filter($"cluster_id" =!= $"m").count() === 0)
+    // both endpoints of every pair share a cluster
+    val ca = comp.select($"doc_id".as("a_id"), $"cluster_id".as("c_a"))
+    val cb = comp.select($"doc_id".as("b_id"), $"cluster_id".as("c_b"))
+    val broken = pairs.join(ca, "a_id").join(cb, "b_id")
+      .filter($"c_a" =!= $"c_b").count()
+    assert(broken === 0)
+  }
+
+  test("survivors = all docs minus non-canonical members") {
+    val pairs = ops.Llm.l2(spark, sf001).select("a_id", "b_id")
+    val surv = DedupCluster.survivors(spark, sf001, pairs)
+    val total = Tables.documents(spark, sf001).count()
+    val comp = DedupCluster.components(pairs)
+    val nonCanonical = comp.filter($"doc_id" =!= $"cluster_id").count()
+    assert(surv.count() === total - nonCanonical)
+  }
+}
