@@ -34,6 +34,27 @@ class CapabilitySpec extends SparkSpec {
     assert(back.exceptAll(e).count() === 0)
   }
 
+  test("file-source streaming: readStream over the events parquet equals batch") {
+    val batch = Tables.events(spark, sf001) // also sets nanosAsLong
+    // the file stream source wants a directory; stage the single fixture file
+    val dir = tmp("graft-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val q = graft.streaming.StreamTwins.tumbling(stream)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("filestream")
+        .orderBy("window_start", "event_type").collect().toSeq
+      val expected = graft.streaming.StreamTwins.tumbling(batch)
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(streamed == expected)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("approx_count_distinct within 15% of exact (HLL capability vs a2 shape)") {
     val li = Tables.lineitem(spark, sf001)
     val Array(exact, approx) = li
