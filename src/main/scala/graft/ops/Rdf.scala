@@ -59,6 +59,24 @@ object Rdf {
       .orderBy("custkey")
   }
 
+  /** r4 — OPTIONAL BGP (SPARQL's left-join idiom, the reference's hallmark
+    * pattern [RECON]): every customer subject with its name, optionally
+    * matched against order subjects pointing at it (`?o <custkey> ?c`);
+    * unmatched customers keep a zero count (!bound → 0).
+    */
+  def r4(s: SparkSession, d: String): DataFrame = {
+    val names = custTriples(s, d).filter(col("p") === "name")
+      .select(col("s").as("custkey"), col("o").as("c_name"))
+    val orderTriples = Tables.orders(s, d).selectExpr(
+      "o_orderkey AS s", "'custkey' AS p", "CAST(o_custkey AS STRING) AS o")
+    val links = orderTriples
+      .select(col("s").as("order_s"), col("o").cast("bigint").as("cust_o"))
+    names.join(links, col("custkey") === col("cust_o"), "left_outer")
+      .groupBy(col("custkey"), col("c_name"))
+      .agg(count(col("order_s")).as("order_cnt"))
+      .orderBy("custkey")
+  }
+
   /** r3 — subject-object path BGP: customer → nation → region chained through
     * the triples views (object of one pattern = subject of the next) [RECON
     * core: the reference's chained-job path join].

@@ -243,6 +243,15 @@ object OracleSql {
         | JOIN rt ON CAST(nt.o AS BIGINT) = rt.s
         |ORDER BY custkey""".stripMargin,
 
+    "r4_optional_bgp" ->
+      """WITH names AS (SELECT c_custkey AS custkey, c_name FROM customer),
+        | links AS (SELECT o_orderkey AS order_s, CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS cust_o
+        |  FROM orders)
+        |SELECT n.custkey, n.c_name, COUNT(l.order_s) AS order_cnt
+        |FROM names n LEFT JOIN links l ON n.custkey = l.cust_o
+        |GROUP BY n.custkey, n.c_name
+        |ORDER BY custkey""".stripMargin,
+
     "f1_string" ->
       """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
         | substr(c_name, 1, 8) AS name8, CAST(length(c_name) AS INTEGER) AS name_len,
