@@ -29,16 +29,20 @@ object Windows {
       .orderBy("p_brand", "p_partkey")
   }
 
-  /** w2 — distributed top-k per group: window + filter(rn<=3). At scale this
-    * is the partial-top-k-then-merge pattern; Spark's WindowExec after a
-    * hash-partitioned shuffle on p_brand does exactly that.
+  /** w2 — distributed top-k per group via the custom TopKPerGroup operator
+    * (graft.plans): per-partition bounded heaps, shuffle carries at most
+    * k·groups·partitions rows, no group ever fully sorted. The rank column
+    * is re-derived by a window over the ALREADY-REDUCED ≤k-rows-per-group
+    * result (trivial), keeping the output identical to the plain
+    * window+filter formulation the oracle mirrors.
     */
   def w2(s: SparkSession, d: String): DataFrame = {
+    val topk = graft.plans.TopKPerGroup(Tables.part(s, d), Seq("p_brand"),
+      Seq(("p_retailprice", true), ("p_partkey", false)), 3)
     val w = Window.partitionBy("p_brand")
       .orderBy(col("p_retailprice").desc, col("p_partkey"))
-    Tables.part(s, d)
+    topk
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 3)
       .select(col("p_brand"), col("rn"), col("p_partkey"), col("p_retailprice"))
       .orderBy("p_brand", "rn")
   }
