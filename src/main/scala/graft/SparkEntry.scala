@@ -49,6 +49,7 @@ object SparkEntry {
     "w3_running" -> (Windows.w3 _),
     "w4_lag_lead" -> (Windows.w4 _),
     "w5_moving_avg" -> (Windows.w5 _),
+    "w6_rank_stats" -> (Windows.w6 _),
     "r1_triples_view" -> (Rdf.r1 _),
     "r2_star_bgp" -> (Rdf.r2 _),
     "r3_path_join" -> (Rdf.r3 _),
@@ -60,6 +61,8 @@ object SparkEntry {
     "f4_array" -> (Scalars.f4 _),
     "f5_json" -> (Scalars.f5 _),
     "f6_conditional" -> (Scalars.f6 _),
+    "f7_string2" -> (Scalars.f7 _),
+    "f8_json_keys" -> (Scalars.f8 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),

@@ -78,6 +78,32 @@ object Scalars {
           .as("head8_sum"))
       .orderBy("vec_id")
 
+  /** f7 — second string batch: reverse/translate/repeat/contains/position
+    * (initcap intentionally absent — DuckDB 1.0 lacks it).
+    */
+  def f7(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        reverse(col("p_name")).as("rev_name"),
+        translate(col("p_type"), "EOC", "eoc").as("xlated"),
+        repeat(col("p_brand"), 2).as("brand2"),
+        col("p_name").contains("ring").as("has_ring"),
+        instr(col("p_name"), "o").cast("int").as("o_pos"))
+      .orderBy("p_partkey")
+
+  /** f8 — generic JSON object traversal: parse props into a map, explode
+    * (key, value) pairs, aggregate per key.
+    */
+  def f8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, d)
+      .select(explode(from_json(col("props"), MapType(StringType, LongType)))
+        .as(Seq("key", "val")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum(col("val")).as("sum_val"))
+      .orderBy("key")
+  }
+
   /** f5 — JSON extraction from events.props + bucketed aggregation. */
   def f5(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)

@@ -75,6 +75,22 @@ object Windows {
       .orderBy("user_id", "ts", "event_id")
   }
 
+  /** w6 — distribution-rank functions: ntile quartiles, percent_rank,
+    * cume_dist over a total order (custkey tie-break makes ntile
+    * deterministic; the rank ratios are exact small rationals, rounded 4 dp
+    * on both engines per D4).
+    */
+  def w6(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cdist"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
   /** w5 — 7-row moving total over daily order revenue (ROWS frame) plus the
     * RANGE-frame variant over a day index (covers calendar gaps differently).
     */

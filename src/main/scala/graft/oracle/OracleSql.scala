@@ -214,6 +214,29 @@ object OracleSql {
         | CAST(SUM(day_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov7_range
         |FROM d2 ORDER BY day""".stripMargin,
 
+    "w6_rank_stats" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        | ROUND(percent_rank() OVER w, 4) AS pct_rank,
+        | ROUND(cume_dist() OVER w, 4) AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "f7_string2" ->
+      """SELECT p_partkey, reverse(p_name) AS rev_name,
+        | translate(p_type, 'EOC', 'eoc') AS xlated,
+        | repeat(p_brand, 2) AS brand2,
+        | contains(p_name, 'ring') AS has_ring,
+        | CAST(strpos(p_name, 'o') AS INTEGER) AS o_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f8_json_keys" ->
+      """SELECT key, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_val
+        |FROM (SELECT unnest(json_keys(props)) AS key, props FROM events) t
+        |GROUP BY key ORDER BY key""".stripMargin,
+
     "r1_triples_view" ->
       """WITH t AS (
         | SELECT c_custkey AS s, 'name' AS p, c_name AS o FROM customer
