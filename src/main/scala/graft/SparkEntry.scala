@@ -43,6 +43,7 @@ object SparkEntry {
     "a8_intersect" -> (Core.a8 _),
     "a9_except" -> (Core.a9 _),
     "a10_median_pct" -> (Aggs.a10 _),
+    "a11_cond_agg" -> (Aggs.a11 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),

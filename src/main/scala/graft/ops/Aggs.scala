@@ -68,6 +68,23 @@ object Aggs {
              ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, gid""")
   }
 
+  /** a11 — conditional (pivot-style) aggregation: per-nation order counts by
+    * status and high-value revenue share, via sum(CASE WHEN) so empty cells
+    * are exact zeros in both engines (Spark's pivot emits NULL there).
+    */
+  def a11(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("cnt_f"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("cnt_o"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("cnt_p"),
+        out2(sum(when(col("o_totalprice") > 200000.0, dec2(col("o_totalprice")))
+          .otherwise(dec2(lit(0.0))))).as("hi_value_revenue"))
+      .orderBy("n_name")
+
   /** a10 — exact continuous percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, same linear interpolation — verified SURVEY §2.0).
     */

@@ -165,6 +165,17 @@ object OracleSql {
         | SELECT l_partkey FROM lineitem WHERE EXTRACT(year FROM l_shipdate) = 1996) t
         |ORDER BY l_partkey""".stripMargin,
 
+    "a11_cond_agg" ->
+      """SELECT n_name,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
+        | CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |          ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS hi_value_revenue
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | JOIN orders ON o_custkey = c_custkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
     "a10_median_pct" ->
       """SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
         | ROUND(quantile_cont(n_chars, 0.9), 2) AS p90, COUNT(*) AS doc_cnt
