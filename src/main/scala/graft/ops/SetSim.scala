@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * replicated over B blocks) so the shuffle key is (bucket, block) and
   * parallelism is buckets×B instead of |buckets|.
   */
-private[ops] object SetSim {
+private[graft] object SetSim {
 
   /** Encode (doc_id, lang, toks:array<string>) → (doc_id, lang, set, sz).
     * Returns the encoded frame and whether `set` is a bitmask (vs int array).

@@ -63,6 +63,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("TopKPerGroup equals sort-and-take on random data (custom exec property)") {
+    val gen = Gen.listOfN(60, Gen.zip(Gen.choose(0, 4), Gen.choose(0, 20)))
+    cases(gen).foreach { rows =>
+      val df = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .toDF("g", "v", "id").repartition(3)
+      val custom = graft.plans.TopKPerGroup(df, Seq("g"),
+        Seq(("v", true), ("id", false)), 2)
+        .select("g", "v", "id").collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      val expected = rows.zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+        .groupBy(_._1).values.flatMap(group =>
+          group.sortBy(t => (-t._2, t._3)).take(2)).toSet
+      assert(custom === expected)
+    }
+  }
+
+  test("SetSim bitmask path equals array path on generated token sets") {
+    val word = Gen.oneOf((0 until 40).map(i => s"w$i")) // >63 when big, <63 when small
+    val doc = Gen.listOfN(8, word)
+    cases(Gen.listOfN(20, doc)).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, "xx", ws.distinct.toArray)
+      }.toDF("doc_id", "lang", "toks")
+      val (enc, useMask) = graft.ops.SetSim.tokenSets(df)
+      val viaSetSim = graft.ops.SetSim.pairs(enc, useMask, blocks = 4)
+        .select("a_id", "b_id", "inter", "uni")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+      val sets = docs.map(_.distinct.toSet).zipWithIndex
+      val expected = (for {
+        (sa, ia) <- sets; (sb, ib) <- sets if ia < ib
+      } yield (ia.toLong, ib.toLong, (sa & sb).size, (sa | sb).size)).toSet
+      assert(viaSetSim === expected)
+    }
+  }
+
   test("session-window invariant on fixture: events conserved, gaps ≥ 30 min") {
     val s3 = ops.Events.s3(spark, sf001)
     val total = s3.agg(sum("cnt")).head().getLong(0)
