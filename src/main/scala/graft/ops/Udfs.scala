@@ -26,7 +26,7 @@ object Udfs {
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"),
         score(col("l_extendedprice"), col("l_discount"), col("l_tax"))
-          .cast("decimal(18,6)").as("score"))
+          .cast("decimal(18,6)").cast("double").as("score"))
       .orderBy("l_orderkey", "l_linenumber", "score")
   }
 

@@ -95,16 +95,18 @@ object Windows {
     * RANGE-frame variant over a day index (covers calendar gaps differently).
     */
   def w5(s: SparkSession, d: String): DataFrame = {
+    // day_total_dec stays DECIMAL through the window sums (exact under any
+    // evaluation order); only the three emitted columns out-cast to double.
     val daily = Tables.orders(s, d)
       .groupBy(asDate(col("o_orderdate")).as("day"))
-      .agg(out2(sum(dec2(col("o_totalprice")))).as("day_total"))
+      .agg(sum(dec2(col("o_totalprice"))).as("day_total_dec"))
       .withColumn("day_idx", datediff(col("day"), lit("1995-01-01").cast("date")))
     val wRows = Window.orderBy("day_idx").rowsBetween(-6, 0)
     val wRange = Window.orderBy("day_idx").rangeBetween(-6, 0)
     daily
-      .select(col("day"), col("day_total"),
-        out2(sum(col("day_total")).over(wRows)).as("mov7_rows"),
-        out2(sum(col("day_total")).over(wRange)).as("mov7_range"))
+      .select(col("day"), out2(col("day_total_dec")).as("day_total"),
+        out2(sum(col("day_total_dec")).over(wRows)).as("mov7_rows"),
+        out2(sum(col("day_total_dec")).over(wRange)).as("mov7_range"))
       .orderBy("day")
   }
 }

@@ -40,7 +40,7 @@ object OracleSql {
 
     "j3_star_5way" ->
       """SELECT n_name,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
         | COUNT(*) AS line_cnt
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         | JOIN customer ON o_custkey = c_custkey
@@ -98,9 +98,9 @@ object OracleSql {
 
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
         | COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -113,7 +113,7 @@ object OracleSql {
 
     "a3_rollup" ->
       """SELECT n_name, c_mktsegment,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
         | COUNT(*) AS order_cnt,
         | CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -123,7 +123,7 @@ object OracleSql {
 
     "a4_cube" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS order_cnt,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS revenue,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
         | CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, gid""".stripMargin,
@@ -170,8 +170,8 @@ object OracleSql {
         | CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f,
         | CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o,
         | CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p,
-        | CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
-        |          ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS hi_value_revenue
+        | CAST(CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |          ELSE CAST(0.0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS DOUBLE) AS hi_value_revenue
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         | JOIN orders ON o_custkey = c_custkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
@@ -198,7 +198,7 @@ object OracleSql {
     "w3_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
         | COUNT(*) OVER w AS running_cnt,
-        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS running_total
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS running_total
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -220,9 +220,9 @@ object OracleSql {
         |  FROM orders GROUP BY 1),
         | d2 AS (SELECT day, day_total,
         |   CAST(date_diff('day', DATE '1995-01-01', day) AS INTEGER) AS day_idx FROM daily)
-        |SELECT day, day_total,
-        | CAST(SUM(day_total) OVER (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov7_rows,
-        | CAST(SUM(day_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS mov7_range
+        |SELECT day, CAST(day_total AS DOUBLE) AS day_total,
+        | CAST(CAST(SUM(day_total) OVER (ORDER BY day_idx ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov7_rows,
+        | CAST(CAST(SUM(day_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov7_range
         |FROM d2 ORDER BY day""".stripMargin,
 
     "w6_rank_stats" ->
@@ -335,7 +335,7 @@ object OracleSql {
     "f5_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS k_bucket,
         | COUNT(*) AS cnt,
-        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        | CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         |FROM events GROUP BY k_bucket ORDER BY k_bucket""".stripMargin,
 
     "f6_conditional" ->
@@ -351,7 +351,7 @@ object OracleSql {
         | event_type, cnt, sum_value FROM (
         | SELECT epoch_ns(ts) // (3600 * 1000000000::BIGINT) AS hour_idx, event_type,
         |  COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value
         | FROM events GROUP BY 1, 2) t
         |ORDER BY window_start, event_type""".stripMargin,
 
@@ -390,7 +390,7 @@ object OracleSql {
 
     "u1_scalar_udf" ->
       """SELECT l_orderkey, l_linenumber,
-        | CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6)) AS score
+        | CAST(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS score
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, score""".stripMargin,
 
     "u2_udaf_wavg" ->

@@ -17,8 +17,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(v):
     if isinstance(v, datetime.datetime) and v.tzinfo is not None:
-        return v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-    return v
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    # Compare canonical string forms, not Python equality: the driver hashes
+    # value reprs, and Decimal('1.50') == Decimal('1.5') is True in Python
+    # while '1.50' != '1.5' under any repr-based hash (round-1 shipped 9 such
+    # failures). Type name included so int-vs-float etc. also fail loudly.
+    return (type(v).__name__, str(v))
 
 
 def main():
