@@ -49,6 +49,13 @@ object DedupCluster {
       converged = changed == 0
       i += 1
     }
+    if (!converged) {
+      // An unconverged result has nodes still carrying non-minimal labels —
+      // clusters silently split and survivors() would keep extra duplicates.
+      throw new IllegalStateException(
+        s"DedupCluster.components did not converge after $maxIters iterations; " +
+          "raise maxIters (rounds needed = component diameter)")
+    }
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("doc_id")

@@ -16,7 +16,11 @@ object Skew {
 
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, saltSrc: Column, s: Int): DataFrame = {
-    val saltedFact = fact.withColumn("__salt", pmod(saltSrc, lit(s)).cast("int"))
+    // hash() maps NULL to its seed (non-null), so NULL saltSrc rows still get
+    // a valid salt instead of silently dropping out of the equi-join; the
+    // coalesce keeps that guarantee explicit rather than implementation-luck.
+    val saltedFact = fact.withColumn("__salt",
+      pmod(coalesce(hash(saltSrc), lit(0)), lit(s)).cast("int"))
     val saltedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(s - 1))))
     saltedFact

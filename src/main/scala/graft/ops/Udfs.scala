@@ -45,7 +45,9 @@ object Udfs {
     def merge(b1: (BigDecimal, BigDecimal), b2: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
       (b1._1 + b2._1, b1._2 + b2._2)
     def finish(b: (BigDecimal, BigDecimal)): Double =
-      BigDecimal(b._1.toDouble / b._2.toDouble)
+      // zero total weight → NaN (BigDecimal(NaN) would throw and kill the job)
+      if (b._2.signum == 0) Double.NaN
+      else BigDecimal(b._1.toDouble / b._2.toDouble)
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
       Encoders.product[(BigDecimal, BigDecimal)]

@@ -500,6 +500,7 @@ object OracleSql {
         |   / len(list_distinct(a.t || b.t)), 4) AS jaccard
         |FROM tg a JOIN tg b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |WHERE 5 * len(list_intersect(a.t, b.t)) >= len(list_distinct(a.t || b.t))
+        |  AND len(list_distinct(a.t || b.t)) > 0
         |ORDER BY a.lang, a_id, b_id""".stripMargin,
 
     "x4_embed_neardup" ->

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator top-k-per-group as a custom Catalyst plan (builder brief
@@ -41,8 +41,12 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
 
   override def output: Seq[Attribute] = child.output
 
+  // Global top-k (no group keys) must merge ALL partial heaps in one place;
+  // UnspecifiedDistribution here would leave the final merge per-partition
+  // and emit up to k rows per partition instead of k total.
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial || groupExprs.isEmpty) Seq(UnspecifiedDistribution)
+    if (partial) Seq(UnspecifiedDistribution)
+    else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -112,6 +112,17 @@ class OperatorSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("salted join keeps rows whose salt-source column is NULL") {
+    // Regression: pmod(null, s) is null and null === null never matches, so a
+    // nullable salt source silently dropped fact rows before the hash/coalesce
+    // derivation.
+    val fact = Seq((1L, Option(10L)), (2L, Option.empty[Long]), (3L, Option(30L)))
+      .toDF("fk", "src")
+    val dim = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("dk", "name")
+    val out = ops.Skew.saltedJoin(fact, dim, "fk", "dk", $"src", 4)
+    assert(out.count() === 3, "NULL-salt row must survive the salted join")
+  }
+
   test("anti-join result disjoint from semi-join result (j6 vs 1995 buyers)") {
     val anti = Joins.j6(spark, sf001).select($"c_custkey")
     val buyers95 = Tables.customer(spark, sf001)

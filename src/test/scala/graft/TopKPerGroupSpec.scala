@@ -54,4 +54,19 @@ class TopKPerGroupSpec extends SparkSpec {
       .select("p_partkey").collect().map(_.getLong(0)).toSet
     assert(top == expected)
   }
+
+  test("global top-k over a multi-partition input emits exactly k rows") {
+    // Regression: the final phase must require AllTuples when there are no
+    // group keys; with UnspecifiedDistribution each partition emitted its own
+    // k rows (k=3 over 4 partitions returned 12 rows).
+    val multi = Tables.part(spark, sf001).repartition(4)
+    val got = TopKPerGroup(multi, Seq(),
+      Seq(("p_retailprice", true), ("p_partkey", false)), 3)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val expected = Tables.part(spark, sf001)
+      .orderBy($"p_retailprice".desc, $"p_partkey").limit(3)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(got.size == 3, s"expected exactly 3 rows, got ${got.size}")
+    assert(got == expected)
+  }
 }
