@@ -41,8 +41,8 @@ object Llm {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    val (enc, useMask) = SetSim.tokenSets(toks)
-    SetSim.pairs(enc, useMask, blocks = 16)
+    val enc = SetSim.tokenSets(toks)
+    SetSim.pairs(enc, blocks = 16)
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("lang"), col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))

@@ -57,13 +57,13 @@ object Pipeline {
     val cand = a.join(b, col("lang") === col("lang_b") && col("pos") === col("pos_b")
         && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
-    val (enc, useMask) = SetSim.tokenSets(t)
-    val sa = enc.select(col("doc_id").as("a_id"), col("set").as("a_set"),
-      col("sz").as("a_sz"))
+    val enc = SetSim.tokenSets(t)
+    val sa = enc.select(col("doc_id").as("a_id"), col("small"),
+      col("set").as("a_set"), col("sz").as("a_sz"))
     val sb = enc.select(col("doc_id").as("b_id"), col("set").as("b_set"),
       col("sz").as("b_sz"))
     cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("inter", SetSim.interCol(useMask))
+      .withColumn("inter", SetSim.interCol)
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .select(col("lang"), col("a_id"), col("b_id"),

@@ -112,6 +112,52 @@ class OperatorSpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() === 0)
   }
 
+  test("SetSim plan construction triggers zero Spark jobs") {
+    // Round 1 ran dict.count() inside tokenSets — an eager job on every
+    // query construction. Representation choice now lives inside the plan.
+    // (Table loading itself may run a parquet schema-inference job, which is
+    // Spark's own read path — measured over in-memory frames to isolate
+    // SetSim.)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val toks = Seq((1L, "en", Array("a", "b")), (2L, "en", Array("a", "c")))
+      .toDF("doc_id", "lang", "toks")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      jobs.set(0)
+      SetSim.pairs(SetSim.tokenSets(toks), blocks = 8)
+      org.apache.spark.sql.GraftBridge.drainListenerBus(spark)
+      assert(jobs.get() === 0, "SetSim construction must not launch Spark jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("SetSim encodes identically through mask and hashed-id paths") {
+    // Same tiny corpus, two vocab sizes: ≤63 (bitmask) and >63 (xxhash64
+    // arrays) must produce identical (inter, uni) pairs.
+    def corpus(extra: Int) = {
+      val docs = Seq(
+        (1L, "en", "a b c d"), (2L, "en", "a b c e"), (3L, "en", "x y z w")
+      ) ++ (0 until extra).map(i => (100L + i, "en", s"pad$i filler$i"))
+      docs.toDF("doc_id", "lang", "text")
+        .select($"doc_id", $"lang", array_distinct(split($"text", " ")).as("toks"))
+    }
+    def pairsOf(extra: Int) =
+      SetSim.pairs(SetSim.tokenSets(corpus(extra)), blocks = 4)
+        .filter($"a_id" < 100 && $"b_id" < 100)
+        .select("a_id", "b_id", "inter", "uni")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+    val small = pairsOf(0)   // vocab = 10 → bitmask path
+    val large = pairsOf(40)  // vocab = 90 → hashed-id path
+    assert(small.nonEmpty)
+    assert(small == large)
+  }
+
   test("salted join keeps rows whose salt-source column is NULL") {
     // Regression: pmod(null, s) is null and null === null never matches, so a
     // nullable salt source silently dropped fact rows before the hash/coalesce

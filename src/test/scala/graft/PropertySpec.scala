@@ -85,8 +85,8 @@ class PropertySpec extends SparkSpec {
       val df = docs.zipWithIndex.map { case (ws, i) =>
         (i.toLong, "xx", ws.distinct.toArray)
       }.toDF("doc_id", "lang", "toks")
-      val (enc, useMask) = graft.ops.SetSim.tokenSets(df)
-      val viaSetSim = graft.ops.SetSim.pairs(enc, useMask, blocks = 4)
+      val enc = graft.ops.SetSim.tokenSets(df)
+      val viaSetSim = graft.ops.SetSim.pairs(enc, blocks = 4)
         .select("a_id", "b_id", "inter", "uni")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
       val sets = docs.map(_.distinct.toSet).zipWithIndex
