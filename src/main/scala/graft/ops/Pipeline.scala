@@ -44,25 +44,63 @@ object Pipeline {
         min(col("h2")).as("mh2"), min(col("h3")).as("mh3"),
         min(col("h4")).as("mh4"), min(col("h5")).as("mh5"),
         min(col("h6")).as("mh6"), min(col("h7")).as("mh7"))
-    val bands = sig.select(col("doc_id"), col("lang"),
-      posexplode(array(
-        md5(concat(col("mh0"), col("mh1")).cast("binary")),
-        md5(concat(col("mh2"), col("mh3")).cast("binary")),
-        md5(concat(col("mh4"), col("mh5")).cast("binary")),
-        md5(concat(col("mh6"), col("mh7")).cast("binary")))))
-    val a = bands.select(col("doc_id").as("a_id"), col("lang"), col("pos"),
-      col("col").as("bh"))
-    val b = bands.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
-      col("pos").as("pos_b"), col("col").as("bh_b"))
+    // Candidate generation, in 100 TB order of importance:
+    //  1. Each doc pair is emitted by its FIRST colliding band only (the
+    //     firstCollision filter checks all earlier band hashes differ), so
+    //     every candidate is unique BY CONSTRUCTION — no 2.7M-row DISTINCT
+    //     shuffle after the join.
+    //  2. A hot band bucket (this corpus: ~1.6k docs share one band hash →
+    //     ~1.2M pairs on ONE task) is block-decomposed: left side tagged
+    //     blk = a_id % B, right side replicated ×B, join key
+    //     (lang, band, hash, blk) → B× the parallelism, identical pairs.
+    //     (The pair COUNT within a dense near-dup community is inherently
+    //     quadratic — it IS the declared output — so the scale lever is
+    //     parallelism + the exact-verify filter, not banding.)
+    val B = 16
+    val sigB = sig.select(col("doc_id"), col("lang"), array(
+      md5(concat(col("mh0"), col("mh1")).cast("binary")),
+      md5(concat(col("mh2"), col("mh3")).cast("binary")),
+      md5(concat(col("mh4"), col("mh5")).cast("binary")),
+      md5(concat(col("mh6"), col("mh7")).cast("binary"))).as("bhs"))
+    // Round-robin repartition of the probe side: the band rows are only
+    // 4/doc (KBs at this SF), so AQE coalesces them to ONE partition — and
+    // then the join's multi-million-row OUTPUT is produced by one task. Join
+    // output parallelism = probe-side partitioning; spread it evenly with an
+    // EXPLICIT partition count (REPARTITION_BY_NUM is exempt from AQE
+    // coalescing; round-robin also spreads a hot bucket's rows, which hash
+    // partitioning on the join key cannot).
+    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val a = sigB.select(col("doc_id").as("a_id"), col("lang"), col("bhs").as("a_bhs"))
+      .withColumn("pos", explode(sequence(lit(0), lit(3))))
+      .withColumn("bh", col("a_bhs")(col("pos")))
+      .withColumn("blk", (col("a_id") % B).cast("int"))
+      .repartition(shufP)
+    val b = sigB.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+        col("bhs").as("b_bhs"))
+      .withColumn("pos_b", explode(sequence(lit(0), lit(3))))
+      .withColumn("bh_b", col("b_bhs")(col("pos_b")))
+      .withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+    val firstCollision =
+      col("pos") === 0 ||
+        (col("pos") === 1 && col("a_bhs")(0) =!= col("b_bhs")(0)) ||
+        (col("pos") === 2 && col("a_bhs")(0) =!= col("b_bhs")(0)
+          && col("a_bhs")(1) =!= col("b_bhs")(1)) ||
+        (col("pos") === 3 && col("a_bhs")(0) =!= col("b_bhs")(0)
+          && col("a_bhs")(1) =!= col("b_bhs")(1)
+          && col("a_bhs")(2) =!= col("b_bhs")(2))
     val cand = a.join(b, col("lang") === col("lang_b") && col("pos") === col("pos_b")
-        && col("bh") === col("bh_b") && col("a_id") < col("b_id"))
-      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+        && col("bh") === col("bh_b") && col("blk") === col("blk_b")
+        && col("a_id") < col("b_id"))
+      .filter(firstCollision)
+      .select(col("lang"), col("a_id"), col("b_id"))
+    // enc is vocabulary-bounded per doc and tiny next to the pair stream:
+    // broadcast both sides so the candidates never shuffle again.
     val enc = SetSim.tokenSets(t)
     val sa = enc.select(col("doc_id").as("a_id"), col("small"),
       col("set").as("a_set"), col("sz").as("a_sz"))
     val sb = enc.select(col("doc_id").as("b_id"), col("set").as("b_set"),
       col("sz").as("b_sz"))
-    cand.join(sa, "a_id").join(sb, "b_id")
+    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
       .withColumn("inter", SetSim.interCol)
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
