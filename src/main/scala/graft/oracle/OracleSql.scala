@@ -490,11 +490,16 @@ object OracleSql {
         |FROM b GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
 
     "x3_ngram_jaccard" ->
-      """WITH tg AS (SELECT doc_id, lang,
-        |  list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+      """WITH ex AS (SELECT doc_id, lang,
+        |  unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
         |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
-        |        || ' ' || string_split(text, ' ')[i+2])) AS t
-        | FROM documents)
+        |        || ' ' || string_split(text, ' ')[i+2]))) AS tok
+        | FROM documents),
+        | kept AS (SELECT lang, tok FROM (SELECT lang, tok, COUNT(*) AS df
+        |   FROM ex GROUP BY lang, tok) x WHERE df <= 1000),
+        | tg AS (SELECT doc_id, ex.lang, list(ex.tok) AS t
+        |  FROM ex JOIN kept ON ex.lang = kept.lang AND ex.tok = kept.tok
+        |  GROUP BY doc_id, ex.lang)
         |SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
         | ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
         |   / len(list_distinct(a.t || b.t)), 4) AS jaccard
@@ -504,12 +509,19 @@ object OracleSql {
         |ORDER BY a.lang, a_id, b_id""".stripMargin,
 
     "x4_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-        |SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-        | ROUND(list_cosine_similarity(a.emb, b.emb), 4) AS sim
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE ROUND(list_cosine_similarity(a.emb, b.emb), 4) >= 0.4
-        |ORDER BY a.label, a_id, b_id""".stripMargin,
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | eb AS (SELECT vec_id, label, k AS band,
+        |   CAST(list_sum(list_transform(range(4),
+        |     j -> CASE WHEN emb[4*k + j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bval
+        |  FROM e, (SELECT unnest(range(16)) AS k) ks),
+        | cand AS (SELECT DISTINCT a.label, a.vec_id AS a_id, b.vec_id AS b_id
+        |  FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
+        |   AND a.bval = b.bval AND a.vec_id < b.vec_id)
+        |SELECT c.label, c.a_id, c.b_id,
+        | ROUND(list_cosine_similarity(ea.emb, eb2.emb), 4) AS sim
+        |FROM cand c JOIN e ea ON c.a_id = ea.vec_id JOIN e eb2 ON c.b_id = eb2.vec_id
+        |WHERE ROUND(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.4
+        |ORDER BY c.label, a_id, b_id""".stripMargin,
 
     "x5_langid" ->
       """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
