@@ -104,26 +104,32 @@ object Joins {
       .orderBy("r_regionkey", "n_nationkey")
 
   /** j9 — as-of join: latest signup at-or-before each purchase of the same
-    * user. No native as-of in Spark: equi-join on user + ns-long inequality,
-    * then `row_number()=1` (SURVEY §2.2). At scale the window replaces a
-    * per-key sort the reference would do in the reducer [RECON].
+    * user. No native as-of in Spark; formulated as union+window: signup and
+    * purchase rows interleave in one per-user event stream ordered by
+    * (ts, kind, event_id) — signups sort before an equal-ts purchase so
+    * `<=` semantics hold, and equal-ts signups resolve to the max event_id —
+    * and `last(signup, ignoreNulls)` over the running frame carries the
+    * as-of signup to each purchase row. ONE keyed shuffle (the window
+    * partition), no join: a user with thousands of signups costs rows, not
+    * rows × matches, unlike the join+row_number formulation.
     */
   def j9(s: SparkSession, d: String): DataFrame = {
     // µs protocol: DuckDB ≤1.0 truncates ns-parquet to µs on read, so all
     // event-time comparison/output here is µs (ts div 1000 ≡ epoch_us(ts)).
-    val e = Tables.events(s, d).withColumn("ts_us", expr("ts div 1000"))
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts_us"))
-    val sg = e.filter(col("event_type") === "signup")
-      .select(col("event_id").as("signup_event_id"), col("user_id").as("s_user"),
-        col("ts_us").as("signup_ts"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("signup_ts").desc, col("signup_event_id").desc)
-    p.join(sg, col("user_id") === col("s_user") && col("signup_ts") <= col("ts_us"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "signup", 0).otherwise(1).as("kind"))
+      .withColumn("sg", when(col("kind") === 0,
+        struct(col("ts_us").as("signup_ts"), col("event_id").as("signup_event_id"))))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_sg", last(col("sg"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_sg").isNotNull)
       .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_ts"),
-        col("signup_event_id"), col("signup_ts"))
+        col("last_sg.signup_event_id").as("signup_event_id"),
+        col("last_sg.signup_ts").as("signup_ts"))
       .orderBy("event_id")
   }
 
