@@ -69,7 +69,11 @@ object Core {
       Tables.lineitem(s, d)
         // pushdown-friendly range predicate (year() would not reach the scan)
         .filter(col("l_shipdate") >= s"$y-01-01" && col("l_shipdate") < s"${y + 1}-01-01")
-        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        // distinct partkeys BEFORE the dim join: the join then processes
+        // |parts| rows, not |lineitems| (intersect dedups anyway, so the
+        // early distinct is result-neutral)
+        .select(col("l_partkey")).distinct()
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
         .select(col("p_brand"))
     brands(1995).intersect(brands(1996)).orderBy("p_brand")
   }

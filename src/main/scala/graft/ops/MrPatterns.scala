@@ -35,6 +35,12 @@ object MrPatterns {
   /** Map-side join: the small relation rides a broadcast variable (the
     * distributed-cache analog [RECON]) and each partition hash-probes it —
     * no shuffle at all.
+    *
+    * SMALL-DIM ONLY: `collectAsMap` materializes the dimension on the
+    * driver, exactly like the reference's distributed cache — a pedagogical
+    * mirror, not a declared query path. The production-declared equivalent is
+    * j2's `broadcast()` join, where the build side never touches driver heap
+    * as a Scala map.
     */
   def mapSideJoin(spark: SparkSession, d: String): RDD[(Long, (Long, String))] = {
     val customers = spark.sparkContext.broadcast(

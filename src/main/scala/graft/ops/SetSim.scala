@@ -59,6 +59,49 @@ private[graft] object SetSim {
       expr("cast(bit_count(a_set[0] & b_set[0]) as int)"))
       .otherwise(size(array_intersect(col("a_set"), col("b_set"))))
 
+  /** Prefix-filtered candidate pairs for a Jaccard threshold num/den
+    * (PPJoin-family, EXACT recall — no pair at or above the threshold is
+    * missed): under a global token order by (document frequency asc, token),
+    * any pair with j >= t shares its minimal common token within both
+    * docs' first sz − ⌈t·sz⌉ + 1 tokens, so joining only those prefix
+    * postings on (lang, token) yields a candidate superset of the answer.
+    * Rare tokens form the prefixes, so posting lists — and the join work —
+    * are the SMALLEST lists, the opposite of the hot-key failure mode.
+    * All shuffles keyed (df agg, prefix join, distinct); never all-pairs.
+    */
+  def prefixCandidates(t: DataFrame, num: Int, den: Int): DataFrame = {
+    val ex = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+    val dfc = ex.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("lang"))
+    val ranked = ex.join(dfc, Seq("lang", "tok"))
+      .withColumn("rk", row_number().over(
+        wDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+    // prefix length = sz − ⌈(num/den)·sz⌉ + 1   (integer ceil)
+    val prefix = ranked
+      .filter(col("rk") <= col("sz") - ((col("sz") * num + den - 1)
+        .divide(den).cast("long")) + 1)
+      .select(col("doc_id"), col("lang"), col("tok"), col("rk"), col("sz"))
+    val pa = prefix.select(col("lang"), col("tok"), col("doc_id").as("a_id"),
+      col("rk").as("a_rk"), col("sz").as("a_sz"))
+    val pb = prefix.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+      col("doc_id").as("b_id"), col("rk").as("b_rk"), col("sz").as("b_sz"))
+    // PPJoin positional filter: a qualifying pair needs overlap
+    // α = ⌈num/(num+den)·(szA+szB)⌉, and a match at prefix positions
+    // (a_rk, b_rk) caps the achievable overlap at
+    // min(szA − a_rk, szB − b_rk) + 1 — prune during the probe, before the
+    // candidate ever reaches the DISTINCT.
+    val alpha = ((col("a_sz") + col("b_sz")) * num + (num + den) - 1)
+      .divide(num + den).cast("long")
+    val posOk =
+      least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk")) + 1 >= alpha
+    pa.join(pb, col("lang") === col("lang_b") && col("tok") === col("tok_b")
+        && col("a_id") < col("b_id") && posOk)
+      .select(col("lang"), col("a_id"), col("b_id")).distinct()
+  }
+
   /** Block-decomposed all-pairs self-join within `lang` buckets over an
     * encoded set frame; emits (lang, a_id, b_id, inter, uni).
     */

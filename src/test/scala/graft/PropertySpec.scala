@@ -97,6 +97,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefixCandidates has exact recall at t=9/10 on generated token sets") {
+    val word = Gen.oneOf((0 until 12).map(i => s"w$i"))
+    val doc = Gen.listOfN(8, word)
+    cases(Gen.listOfN(15, doc)).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, "xx", ws.distinct.toArray)
+      }.toDF("doc_id", "lang", "toks")
+      val cand = graft.ops.SetSim.prefixCandidates(df, 9, 10)
+        .select("a_id", "b_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sets = docs.map(_.distinct.toSet).zipWithIndex
+      val mustFind = for {
+        (sa, ia) <- sets; (sb, ib) <- sets
+        if ia < ib && 10 * (sa & sb).size >= 9 * (sa | sb).size
+      } yield (ia.toLong, ib.toLong)
+      mustFind.foreach { p =>
+        assert(cand.contains(p), s"pair $p with j >= 0.9 missed by prefix filter")
+      }
+    }
+  }
+
   test("session-window invariant on fixture: events conserved, gaps ≥ 30 min") {
     val s3 = ops.Events.s3(spark, sf001)
     val total = s3.agg(sum("cnt")).head().getLong(0)
