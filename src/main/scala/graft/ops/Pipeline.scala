@@ -112,20 +112,30 @@ object Pipeline {
   /** 16-bit SimHash signatures: per bit position, majority vote of the low
     * bit of the corresponding md5 hex digit (+1/−1), assembled LSB-first.
     * Pure integer math → exact parity.
+    *
+    * One fixed-width HashAggregate: each token row carries all 16 ±1
+    * contributions as separate int columns, summed per doc in a single
+    * keyed shuffle (the posexplode formulation pushed 16× the rows through
+    * TWO aggregations for identical output).
     */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame =
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val contribs = (0 until 16).map { p =>
+      expr(s"2 * ((instr('0123456789abcdef', substring(h, ${p + 1}, 1)) - 1) % 2) - 1")
+        .as(s"c$p")
+    }
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("t"))
       .withColumn("h", md5(col("t").cast("binary")))
-      .withColumn("pos", explode(sequence(lit(0), lit(15))))
-      .withColumn("c",
-        expr("2 * ((instr('0123456789abcdef', substring(h, pos + 1, 1)) - 1) % 2) - 1"))
-      .groupBy(col("doc_id"), col("lang"), col("pos"))
-      .agg(sum(col("c")).as("sc"))
-      .withColumn("bit", when(col("sc") > 0, 1L).otherwise(0L))
+      .select(Seq(col("doc_id"), col("lang")) ++ contribs: _*)
       .groupBy(col("doc_id"), col("lang"))
-      .agg(sum(expr("bit * cast(pow(2, pos) as bigint)")).as("simhash"))
+      .agg(sum(col("c0")).as("s0"),
+        (1 until 16).map(p => sum(col(s"c$p")).as(s"s$p")): _*)
+      .select(col("doc_id"), col("lang"),
+        (0 until 16).map(p =>
+          when(col(s"s$p") > 0, lit(1L << p)).otherwise(0L)).reduce(_ + _)
+          .as("simhash"))
+  }
 
   /** x2 — per-document SimHash signature. */
   def x2(s: SparkSession, d: String): DataFrame =
