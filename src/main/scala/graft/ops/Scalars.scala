@@ -94,9 +94,17 @@ object Scalars {
   /** f8 — generic JSON object traversal: parse props into a map, explode
     * (key, value) pairs, aggregate per key.
     */
+  /** The events fixture is one parquet row group → one scan task; fan the
+    * raw props strings out BEFORE the (CPU-bound) JSON parse so the parse
+    * runs at full parallelism instead of on the scan's single task.
+    */
+  private def eventsFanned(s: SparkSession, d: String, cols: String*): DataFrame =
+    Tables.events(s, d).select(cols.map(col): _*)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+
   def f8(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
-    Tables.events(s, d)
+    eventsFanned(s, d, "props")
       .select(explode(from_json(col("props"), MapType(StringType, LongType)))
         .as(Seq("key", "val")))
       .groupBy("key")
@@ -106,7 +114,7 @@ object Scalars {
 
   /** f5 — JSON extraction from events.props + bucketed aggregation. */
   def f5(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+    eventsFanned(s, d, "props", "value")
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .withColumn("k_bucket", expr("k div 10"))
       .groupBy("k_bucket")
