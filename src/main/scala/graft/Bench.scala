@@ -14,6 +14,15 @@ object Bench {
     // Warm the JVM/codegen/parquet paths once so the first timed query does
     // not absorb session startup (~5s otherwise lands on an arbitrary query).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // Per-query warmup at the smallest fixture: identical plan shapes hit
+    // the generated-code cache, so the timed runs below measure steady-state
+    // execution at the target SF rather than first-run codegen compilation —
+    // matching BASELINE.md's DuckDB comparators, which are warm (second-run)
+    // numbers.
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory) SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, warmDir.toString).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
