@@ -30,4 +30,12 @@ object Det {
 
   /** Timestamp-to-date emission (rule D3). */
   def asDate(c: Column): Column = c.cast("date")
+
+  /** Round to 4 dp and normalize negative zero (D4): DuckDB's ROUND keeps
+    * the sign of -0.0, Spark's does not, and '-0.0' != '0.0' under any
+    * repr-based compare. IEEE -0.0 + 0.0 = 0.0 on both engines, so every
+    * rounded output whose domain crosses zero adds + 0.0 on BOTH sides.
+    */
+  def round4nz(c: Column): Column =
+    org.apache.spark.sql.functions.round(c, 4) + org.apache.spark.sql.functions.lit(0.0)
 }

@@ -71,7 +71,7 @@ object Llm {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     broadcast(q).join(c, col("q_id") =!= col("c_id"))
       .withColumn("sim",
-        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 4))
+        graft.Det.round4nz(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))

@@ -272,7 +272,7 @@ object Pipeline {
       col("nrm").as("b_nrm"))
     cand.join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
       .withColumn("sim",
-        round(vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm")), 4))
+        graft.Det.round4nz(vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
       .filter(col("sim") >= 0.4)
       .select(col("label"), col("a_id"), col("b_id"), col("sim"))
       .orderBy("label", "a_id", "b_id")
@@ -320,9 +320,9 @@ object Pipeline {
       .withColumn("stop_cnt",
         size(filter(col("w"), t => t.isin("the", "a", "of", "and"))))
       .withColumn("short_cnt", size(filter(col("w"), t => length(t) <= 2)))
-      .withColumn("quality", round(
+      .withColumn("quality", graft.Det.round4nz(
         lit(1.0) - lit(0.5) * (col("stop_cnt").cast("double") / col("wc"))
-          - lit(0.3) * (col("short_cnt").cast("double") / col("wc")), 4))
+          - lit(0.3) * (col("short_cnt").cast("double") / col("wc"))))
       .select(col("doc_id"), col("wc"), col("stop_cnt"), col("short_cnt"),
         col("quality"))
       .orderBy("doc_id")
@@ -370,7 +370,7 @@ object Pipeline {
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
     broadcast(q).join(c, col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
       .withColumn("sim",
-        round(vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm")), 4))
+        graft.Det.round4nz(vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))

@@ -71,10 +71,10 @@ object Scalars {
       .withColumn("emb", col("embedding").cast("array<double>"))
       .select(col("vec_id"),
         size(col("emb")).as("dim"),
-        round(element_at(col("emb"), 1), 4).as("first_val"),
+        round4nz(element_at(col("emb"), 1)).as("first_val"),
         size(filter(col("emb"), x => x > 0.0)).as("pos_cnt"),
         round(aggregate(col("emb"), lit(0.0), (acc, x) => acc + abs(x)), 4).as("l1"),
-        round(aggregate(slice(col("emb"), 1, 8), lit(0.0), (acc, x) => acc + x), 4)
+        round4nz(aggregate(slice(col("emb"), 1, 8), lit(0.0), (acc, x) => acc + x))
           .as("head8_sum"))
       .orderBy("vec_id")
 

@@ -326,10 +326,10 @@ object OracleSql {
     "f4_array" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT vec_id, CAST(len(emb) AS INTEGER) AS dim,
-        | ROUND(emb[1], 4) AS first_val,
+        | ROUND(emb[1], 4) + 0.0 AS first_val,
         | CAST(len(list_filter(emb, x -> x > 0.0)) AS INTEGER) AS pos_cnt,
         | ROUND(list_sum(list_transform(emb, x -> abs(x))), 4) AS l1,
-        | ROUND(list_sum(emb[1:8]), 4) AS head8_sum
+        | ROUND(list_sum(emb[1:8]), 4) + 0.0 AS head8_sum
         |FROM e ORDER BY vec_id""".stripMargin,
 
     "f5_json" ->
@@ -423,7 +423,7 @@ object OracleSql {
     "l3_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) + 0.0 AS sim
         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT q_id, rnk, c_id, sim FROM (
         | SELECT q_id, c_id, sim,
@@ -518,7 +518,7 @@ object OracleSql {
         |  FROM eb a JOIN eb b ON a.label = b.label AND a.band = b.band
         |   AND a.bval = b.bval AND a.vec_id < b.vec_id)
         |SELECT c.label, c.a_id, c.b_id,
-        | ROUND(list_cosine_similarity(ea.emb, eb2.emb), 4) AS sim
+        | ROUND(list_cosine_similarity(ea.emb, eb2.emb), 4) + 0.0 AS sim
         |FROM cand c JOIN e ea ON c.a_id = ea.vec_id JOIN e eb2 ON c.b_id = eb2.vec_id
         |WHERE ROUND(list_cosine_similarity(ea.emb, eb2.emb), 4) >= 0.4
         |ORDER BY c.label, a_id, b_id""".stripMargin,
@@ -551,7 +551,7 @@ object OracleSql {
         |  FROM w)
         |SELECT doc_id, wc, stop_cnt, short_cnt,
         | ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
-        |   - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) AS quality
+        |   - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "x7_token_count" ->
@@ -595,7 +595,7 @@ object OracleSql {
         |     j -> CASE WHEN emb[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
         |  FROM e),
         | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) + 0.0 AS sim
         |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
         |SELECT q_id, rnk, c_id, sim FROM (
         | SELECT q_id, c_id, sim,
