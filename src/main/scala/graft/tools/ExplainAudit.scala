@@ -14,7 +14,9 @@ object ExplainAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val interesting = Seq("c1_scan_project", "c2_filter_pred", "j2_broadcast",
-      "j3_star_5way", "a1_pricing_summary", "l3_cosine_topk", "x3_ngram_jaccard")
+      "j3_star_5way", "j9_asof", "a1_pricing_summary", "l3_cosine_topk",
+      "x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
+      "x10_simhash_pairs")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
