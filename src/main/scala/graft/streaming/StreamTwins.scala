@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.Det._
 
 /** Structured Streaming twins of the batch event queries (SURVEY.md §2.6,
@@ -74,6 +74,43 @@ object StreamTwins {
       .dropDuplicates("user_id", "event_type", "minute_idx")
       .select(col("user_id"), col("event_type"), col("minute_idx"),
         col("event_id"), col("ts"))
+
+  /** j9 twin — streaming as-of join via flatMapGroupsWithState: per-user
+    * state carries the latest signup (ts, event_id); each purchase emits the
+    * as-of match. Within a micro-batch rows are ordered by
+    * (ts, signup-before-purchase, event_id) — the same tie rules as batch
+    * j9 — so feeding batches split on event time reproduces the batch result
+    * exactly (asserted in StreamTwinsSpec); under out-of-order arrival the
+    * watermarkless state keeps max-(ts,id) signup semantics per user.
+    * State is one small tuple per user — bounded, shard-by-key.
+    */
+  case class AsOfRow(event_id: Long, user_id: Long, purchase_ts: Long,
+    signup_event_id: Long, signup_ts: Long)
+
+  def asOf(events: Dataset[Event]): Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "signup" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), AsOfRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[(Long, Long)]) =>
+          val ordered = rows.toSeq.sortBy(e =>
+            (e.ts, if (e.event_type == "signup") 0 else 1, e.event_id))
+          var sg = state.getOption
+          val out = Seq.newBuilder[AsOfRow]
+          ordered.foreach { e =>
+            if (e.event_type == "signup") {
+              if (sg.forall(p => e.ts > p._1 || (e.ts == p._1 && e.event_id > p._2)))
+                sg = Some((e.ts, e.event_id))
+            } else sg.foreach { case (sts, sid) =>
+              out += AsOfRow(e.event_id, user, e.ts / 1000, sid, sts / 1000)
+            }
+          }
+          sg.foreach(state.update)
+          out.result().iterator
+      }
+  }
 
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that

@@ -61,6 +61,31 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of join equals batch j9 across event-time-split batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // split on event time so cross-batch per-user order is preserved — the
+    // state must carry the latest signup over the batch boundary
+    val events = fixtureEvents.sortBy(_.ts)
+    val (first, second) = events.splitAt(events.length / 2)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.asOf(stream.toDS())
+      .writeStream.format("memory").queryName("asof")
+      .outputMode("append").start()
+    try {
+      Seq(first, second).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("asof")
+        .orderBy("event_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      val batch = ops.Joins.j9(spark, sf001)
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600L * 1000000000L // ns per hour
