@@ -27,4 +27,17 @@ object Sources {
 
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
+
+  /** Hive-style partitioned parquet layout: one directory per partition
+    * value, so a filter on the partition column prunes whole directories at
+    * planning time — the coarsest and cheapest pushdown there is at 100 TB
+    * (the scan never even lists the excluded data). Partition columns should
+    * be low-cardinality (lang, date, label); high-cardinality keys belong in
+    * bucketing instead (see Bucketing).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

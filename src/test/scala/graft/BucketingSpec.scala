@@ -1,9 +1,25 @@
 package graft
 
-import graft.sources.Bucketing
+import graft.sources.{Bucketing, Sources}
 
-/** Bucketed co-located joins: correct results AND a shuffle-free plan. */
+/** Bucketed co-located joins and partitioned layouts: correct results AND
+  * the plan property each layout exists to buy (no shuffle / pruned scan).
+  */
 class BucketingSpec extends SparkSpec {
+
+  test("partitioned parquet layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val docs = Tables.documents(spark, sf001)
+    Sources.writePartitioned(docs, dir, "lang")
+    val read = Sources.readPartitioned(spark, dir).filter(col("lang") === "en")
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), scan)
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(scan).isDefined,
+      s"lang filter must prune partitions, not scan them:\n$scan")
+    val expected = docs.filter(col("lang") === "en").count()
+    assert(read.count() === expected)
+  }
 
   test("join of same-bucketed tables plans without a shuffle exchange") {
     val orders = Tables.orders(spark, sf001)

@@ -85,7 +85,11 @@ class OperatorSpec extends SparkSpec {
 
   test("determinism double-run: riskiest queries byte-equal across runs") {
     Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
-      "l3" -> Llm.l3, "w1" -> Windows.w1, "s3" -> ops.Events.s3, "x1" -> Pipeline.x1
+      "l3" -> Llm.l3, "w1" -> Windows.w1, "s3" -> ops.Events.s3,
+      // the round-robin-repartitioned pair ops: intra-partition order is
+      // nondeterministic, so these prove the final total order masks it
+      "x1" -> Pipeline.x1, "x4" -> Pipeline.x4, "x10" -> Pipeline.x10,
+      "l2" -> Llm.l2, "j9" -> Joins.j9
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
