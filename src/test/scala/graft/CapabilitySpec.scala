@@ -64,6 +64,39 @@ class CapabilitySpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15)
   }
 
+  test("runtime bloom-filter join pruning engages on a selective star join") {
+    // Spark's InjectRuntimeFilter plants a bloom filter built from the
+    // selective dimension side onto the fact scan — at 100 TB this prunes
+    // fact rows BEFORE the shuffle, the runtime analog of static pushdown.
+    // Thresholds are sized for the tiny fixture; the assertion is on the
+    // optimized plan, not timing.
+    val conf = spark.conf
+    val saved = (conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
+      conf.get("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10MB"),
+      conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join so the runtime filter has a shuffle to prune
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val fact = Tables.lineitem(spark, sf001)
+      val dim = Tables.orders(spark, sf001)
+        .filter($"o_orderpriority" === "1-URGENT")
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"expected a runtime bloom filter in the optimized plan:\n$optimized")
+      assert(joined.collect().nonEmpty)
+    } finally {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", saved._1)
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", saved._2)
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", saved._3)
+    }
+  }
+
   test("typed Dataset API parity with untyped DataFrame ops") {
     val ds = Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_quantity", "l_extendedprice").as[Li]
