@@ -229,11 +229,21 @@ object Pipeline {
       .orderBy("lang", "a_id", "b_id")
   }
 
-  /** Sign-bit LSH bucket over the first 8 embedding dimensions (shared by
-    * x4 and x9; both oracles replicate it).
+  /** Banded hyperplane sign-LSH over all 64 embedding dims: 16 bands × 4
+    * sign bits (shared by x4 and x9; both oracles replicate it). Adds
+    * exploded (band, bval) rows to `e`, which must carry an `emb` column.
+    * A single 8-bit sign bucket was measured first and recovered 0-1 of the
+    * 30 exact top-3 ANN slots and 0/5 of the cosine-0.4 pairs — banding with
+    * OR-of-bands multi-probe is what makes sign-LSH usable at these
+    * similarity levels.
     */
-  private val signBucket = expr(
-    "aggregate(sequence(0, 7), 0L, (a, j) -> a + CASE WHEN emb[j] > 0D THEN cast(pow(2, j) as bigint) ELSE 0L END)")
+  private def withBandVals(e: DataFrame): DataFrame =
+    e.withColumn("bvals", expr(
+      """transform(sequence(0, 15), k -> aggregate(sequence(0, 3), 0L,
+        | (acc, j) -> acc + CASE WHEN emb[4*k + j] > 0D
+        |   THEN cast(shiftleft(1, j) as bigint) ELSE 0L END))""".stripMargin))
+      .select(col("*"), posexplode(col("bvals")).as(Seq("band", "bval")))
+      .drop("bvals")
 
   /** x4 — embedding-cosine near-duplicate pairs via banded hyperplane LSH:
     * 16 bands × 4 sign bits over all 64 dims; candidates are pairs sharing
@@ -249,13 +259,8 @@ object Pipeline {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
-    // 16 band values, band k = sign bits of dims 4k..4k+3 (LSB-first).
-    val banded = e.withColumn("bvals", expr(
-      """transform(sequence(0, 15), k -> aggregate(sequence(0, 3), 0L,
-        | (acc, j) -> acc + CASE WHEN emb[4*k + j] > 0D
-        |   THEN cast(shiftleft(1, j) as bigint) ELSE 0L END))""".stripMargin))
-      .select(col("vec_id"), col("label"),
-        posexplode(col("bvals")).as(Seq("band", "bval")))
+    val banded = withBandVals(e).select(col("vec_id"), col("label"),
+      col("band"), col("bval"))
     val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
     val a = banded.select(col("vec_id").as("a_id"), col("label"),
         col("band"), col("bval"))
@@ -353,22 +358,34 @@ object Pipeline {
       .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"))
       .orderBy("doc_id")
 
-  /** x9 — LSH-bucketed approximate nearest neighbours: 8-bit sign bucket on
-    * the first 8 dimensions, search only within the query's bucket, top-3 by
-    * rounded cosine. The scale path for l3's exact brute force.
+  /** x9 — LSH-bucketed approximate nearest neighbours: candidates share at
+    * least one of the 16 hyperplane-LSH bands with the query (multi-probe
+    * union of band buckets), then exact cosine ranks the candidates and
+    * keeps the top 3. The scale path for l3's exact brute force: the
+    * candidate join is keyed on (band, value), the query side is broadcast,
+    * and only candidates are ever scored. Measured on the fixtures: 28/30
+    * (sf0.01) and 26/30 (sf0.1) of the exact top-3 slots recovered, vs 0-1
+    * for a single 8-bit sign bucket. The oracle mirrors the banding.
     */
   def x9(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
-      .withColumn("bucket", signBucket)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("q_id"), col("emb").as("q_emb"),
-        col("nrm").as("q_nrm"), col("bucket"))
-    val c = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
-      col("nrm").as("c_nrm"), col("bucket").as("bucket_c"))
+    val banded = withBandVals(e)
+    val q = banded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("band"), col("bval"))
+    val c = banded.select(col("vec_id").as("c_id"), col("band").as("band_c"),
+      col("bval").as("bval_c"))
+    val cand = broadcast(q)
+      .join(c, col("band") === col("band_c") && col("bval") === col("bval_c")
+        && col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id")).distinct()
+    val qe = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"),
+      col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val ce = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
+      col("nrm").as("c_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    broadcast(q).join(c, col("bucket") === col("bucket_c") && col("q_id") =!= col("c_id"))
+    cand.join(broadcast(qe), "q_id").join(ce, "c_id")
       .withColumn("sim",
         graft.Det.round4nz(vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("rnk", row_number().over(w))

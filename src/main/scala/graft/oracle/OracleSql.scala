@@ -590,13 +590,16 @@ object OracleSql {
 
     "x9_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-        | eb AS (SELECT vec_id, emb,
-        |   CAST(list_sum(list_transform(range(8),
-        |     j -> CASE WHEN emb[j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM e),
-        | scored AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id,
-        |   ROUND(list_cosine_similarity(q.emb, c.emb), 4) + 0.0 AS sim
-        |  FROM eb q JOIN eb c ON q.bucket = c.bucket AND q.vec_id < 10 AND q.vec_id <> c.vec_id)
+        | eb AS (SELECT vec_id, k AS band,
+        |   CAST(list_sum(list_transform(range(4),
+        |     j -> CASE WHEN emb[4*k + j + 1] > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS bval
+        |  FROM e, (SELECT unnest(range(16)) AS k) ks),
+        | cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS c_id
+        |  FROM eb a JOIN eb b ON a.band = b.band AND a.bval = b.bval
+        |   AND a.vec_id < 10 AND a.vec_id <> b.vec_id),
+        | scored AS (SELECT c.q_id, c.c_id,
+        |   ROUND(list_cosine_similarity(eq.emb, ec.emb), 4) + 0.0 AS sim
+        |  FROM cand c JOIN e eq ON c.q_id = eq.vec_id JOIN e ec ON c.c_id = ec.vec_id)
         |SELECT q_id, rnk, c_id, sim FROM (
         | SELECT q_id, c_id, sim,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
