@@ -206,11 +206,14 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         concat_ws(" ", col("w"), col("w1"), col("w2")).as("tok"))
       .distinct() // the doc's trigram SET (≡ array_distinct of the shingles)
-    val dfc = allPosts.groupBy(col("lang"), col("tok"))
-      .agg(count(lit(1)).as("df"))
+    // df via a window over the posting key: one shuffle on (lang, tok) —
+    // the same key the pair join below needs — instead of a separate
+    // aggregate + join back.
+    val posts = allPosts
+      .withColumn("df", count(lit(1)).over(
+        Window.partitionBy(col("lang"), col("tok"))))
       .filter(col("df") <= ShingleDfCap)
-      .select(col("lang"), col("tok"))
-    val posts = allPosts.join(dfc, Seq("lang", "tok"))
+      .drop("df")
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
