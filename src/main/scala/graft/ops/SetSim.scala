@@ -106,9 +106,15 @@ private[graft] object SetSim {
     * encoded set frame; emits (lang, a_id, b_id, inter, uni).
     */
   def pairs(enc: DataFrame, blocks: Int): DataFrame = {
+    // Explicit round-robin fan-out of the probe side: the encoded frame is
+    // tiny (one row per doc), so AQE coalesces it to ~1 partition — and the
+    // join's quadratic pair OUTPUT would then be enumerated by one task.
+    // REPARTITION_BY_NUM is exempt from AQE coalescing.
+    val shufP = enc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val a = enc.select(col("doc_id").as("a_id"), col("lang"), col("small"),
         col("set").as("a_set"), col("sz").as("a_sz"))
       .withColumn("blk", (col("a_id") % blocks).cast("int"))
+      .repartition(shufP)
     val b = enc.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
         col("set").as("b_set"), col("sz").as("b_sz"))
       .withColumn("blk_b", explode(sequence(lit(0), lit(blocks - 1))))
