@@ -241,10 +241,8 @@ object Pipeline {
     * similarity levels.
     */
   private def withBandVals(e: DataFrame): DataFrame =
-    e.withColumn("bvals", expr(
-      """transform(sequence(0, 15), k -> aggregate(sequence(0, 3), 0L,
-        | (acc, j) -> acc + CASE WHEN emb[4*k + j] > 0D
-        |   THEN cast(shiftleft(1, j) as bigint) ELSE 0L END))""".stripMargin))
+    e.withColumn("bvals",
+      graft.functions.SignBands.signBands(col("emb"), bands = 16, bits = 4))
       .select(col("*"), posexplode(col("bvals")).as(Seq("band", "bval")))
       .drop("bvals")
 

@@ -118,6 +118,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SignBands codegen expression equals the HOF formulation on random vectors") {
+    import org.apache.spark.sql.functions.expr
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1.0, 1.0))
+    cases(Gen.listOfN(12, vec)).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toArray) }
+        .toDF("id", "emb")
+      val got = df.select($"id",
+          graft.functions.SignBands.signBands($"emb", 16, 4).as("b"))
+        .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+      val want = df.select($"id", expr(
+          """transform(sequence(0, 15), k -> aggregate(sequence(0, 3), 0L,
+            | (acc, j) -> acc + CASE WHEN emb[4*k + j] > 0D
+            |   THEN cast(shiftleft(1, j) as bigint) ELSE 0L END))""".stripMargin).as("b"))
+        .orderBy("id").as[(Long, Seq[Long])].collect().toSeq
+      assert(got == want)
+    }
+  }
+
   test("session-window invariant on fixture: events conserved, gaps ≥ 30 min") {
     val s3 = ops.Events.s3(spark, sf001)
     val total = s3.agg(sum("cnt")).head().getLong(0)
