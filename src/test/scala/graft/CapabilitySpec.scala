@@ -97,6 +97,29 @@ class CapabilitySpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registers native expressions as SQL functions") {
+    GraftExtensions.install(spark)
+    GraftExtensions.install(spark) // idempotent
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head().getDouble(0)
+    assert(d === 11.0)
+    Tables.embeddings(spark, sf001).createOrReplaceTempView("emb_ext")
+    val viaSql = spark.sql(
+      """SELECT vec_id, graft_sign_bands(CAST(embedding AS ARRAY<DOUBLE>), 16, 4) AS b
+        |FROM emb_ext ORDER BY vec_id LIMIT 5""".stripMargin)
+      .as[(Long, Seq[Long])].collect().toSeq
+    val viaCol = Tables.embeddings(spark, sf001)
+      .select($"vec_id", graft.functions.SignBands.signBands(
+        $"embedding".cast("array<double>"), 16, 4).as("b"))
+      .orderBy("vec_id").limit(5)
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(viaSql == viaCol)
+    assert(viaSql.forall(_._2.length == 16))
+    // the config-time form constructs cleanly too
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("typed Dataset API parity with untyped DataFrame ops") {
     val ds = Tables.lineitem(spark, sf001)
       .select("l_orderkey", "l_quantity", "l_extendedprice").as[Li]
