@@ -10,7 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.YearEqualsToRange.install(spark)
+    GraftExtensions.install(spark)
     // Warm the JVM/codegen/parquet paths once so the first timed query does
     // not absorb session startup (~5s otherwise lands on an arbitrary query).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
