@@ -291,6 +291,15 @@ object Pipeline {
     "fr" -> Seq("le", "les", "vite", "grand", "petit"),
     "zh" -> Seq("de", "shi", "kuai", "man", "da"))
 
+  /** End-to-end near-dup DEDUP PIPELINE — the composition the individual
+    * operators exist for: x1's MinHash-LSH pairs → connected components
+    * (min-label propagation) → survivor set (one doc per duplicate cluster
+    * plus all unpaired docs). Every stage is keyed/bucketed; the driver only
+    * ever sees per-round convergence counts. Returns (doc_id) survivors.
+    */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame =
+    DedupCluster.survivors(s, d, x1(s, d))
+
   /** x5 — heuristic language ID: argmax over per-language stopword-overlap
     * scores with a fixed priority order for ties. (The synthetic corpus
     * shares one vocabulary, so predictions skew 'en' — the operator under

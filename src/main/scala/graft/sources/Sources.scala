@@ -28,6 +28,16 @@ object Sources {
   def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC source/sink (Spark-native reader/writer): the columnar alternative
+    * when the lake standardizes on ORC — same pushdown/pruning behavior as
+    * parquet through the same FileFormat machinery.
+    */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Hive-style partitioned parquet layout: one directory per partition
     * value, so a filter on the partition column prunes whole directories at
     * planning time — the coarsest and cheapest pushdown there is at 100 TB

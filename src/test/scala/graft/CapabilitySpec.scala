@@ -25,6 +25,18 @@ class CapabilitySpec extends SparkSpec {
     assert(li.exceptAll(back).count() === 0)
   }
 
+  test("ORC round-trip preserves lineitem rows exactly") {
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    val path = tmp("graft-orc")
+    Sources.writeOrc(li, path)
+    val back = Sources.readOrc(spark, path)
+    assert(back.schema === li.schema)
+    assert(back.count() === li.count())
+    assert(li.exceptAll(back).count() === 0)
+    assert(back.exceptAll(li).count() === 0)
+  }
+
   test("JSON round-trip preserves events rows exactly (ns longs intact)") {
     val e = Tables.events(spark, sf001)
     val path = tmp("graft-json")

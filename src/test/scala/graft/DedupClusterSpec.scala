@@ -44,4 +44,21 @@ class DedupClusterSpec extends SparkSpec {
     val nonCanonical = comp.filter($"doc_id" =!= $"cluster_id").count()
     assert(surv.count() === total - nonCanonical)
   }
+
+  test("end-to-end dedup pipeline: LSH pairs -> components -> survivors") {
+    val surv = ops.Pipeline.dedupPipeline(spark, sf001)
+      .as[Long].collect().toSet
+    val total = Tables.documents(spark, sf001).count()
+    assert(surv.nonEmpty && surv.size < total,
+      "the fixture contains near-dups, so some docs must be deduplicated")
+    // every removed doc has a surviving representative it was paired with,
+    // transitively: its cluster id survives
+    val comp = DedupCluster.components(
+      ops.Pipeline.x1(spark, sf001).select("a_id", "b_id"))
+    comp.collect().foreach { r =>
+      val (doc, cluster) = (r.getLong(0), r.getLong(1))
+      if (!surv.contains(doc)) assert(surv.contains(cluster),
+        s"removed doc $doc must be represented by surviving cluster head $cluster")
+    }
+  }
 }
