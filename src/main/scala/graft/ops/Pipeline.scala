@@ -94,13 +94,19 @@ object Pipeline {
       .filter(firstCollision)
       .select(col("lang"), col("a_id"), col("b_id"))
     // enc is vocabulary-bounded per doc and tiny next to the pair stream:
-    // broadcast both sides so the candidates never shuffle again.
+    // broadcast both verify sides so candidates never shuffle again. Both
+    // joins broadcast the SAME projection keyed on doc_id (renames happen
+    // AFTER each join), so the two BroadcastExchanges are canonically
+    // identical and ReuseExchange builds the encoded frame once, not twice.
     val enc = SetSim.tokenSets(t)
-    val sa = enc.select(col("doc_id").as("a_id"), col("small"),
-      col("set").as("a_set"), col("sz").as("a_sz"))
-    val sb = enc.select(col("doc_id").as("b_id"), col("set").as("b_set"),
-      col("sz").as("b_sz"))
-    cand.join(broadcast(sa), "a_id").join(broadcast(sb), "b_id")
+      .select(col("doc_id"), col("small"), col("set"), col("sz"))
+    cand
+      .join(broadcast(enc.as("ea")), col("a_id") === col("ea.doc_id"))
+      .join(broadcast(enc.as("eb")), col("b_id") === col("eb.doc_id"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        col("ea.small").as("small"),
+        col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
+        col("eb.set").as("b_set"), col("eb.sz").as("b_sz"))
       .withColumn("inter", SetSim.interCol)
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
