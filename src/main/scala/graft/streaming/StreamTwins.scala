@@ -75,6 +75,32 @@ object StreamTwins {
       .select(col("user_id"), col("event_type"), col("minute_idx"),
         col("event_id"), col("ts"))
 
+  /** Streaming training-data ingest: the document path (quality-score
+    * filter → stateful exact-dedup on the normalized content hash → token
+    * accounting) as one incremental pipeline. Works identically over a
+    * batch frame or a readStream source with (doc_id, text, lang) rows.
+    * `dropDuplicates` keeps the first ARRIVAL per content hash; the batch
+    * analog (min doc_id per hash, i.e. l1's survivor) matches when arrival
+    * order follows doc_id — asserted in StreamTwinsSpec. Dedup state is one
+    * hash per distinct document; on an unbounded feed, add a watermark over
+    * an ingest-time column to bound it (fixture docs carry no event time).
+    */
+  def ingestDocs(docs: DataFrame, minQuality: Double): DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("wc", size(col("w")))
+      .withColumn("quality",
+        lit(1.0)
+          - lit(0.5) * (size(filter(col("w"),
+            t => t.isin("the", "a", "of", "and"))).cast("double") / col("wc"))
+          - lit(0.3) * (size(filter(col("w"),
+            t => length(t) <= 2)).cast("double") / col("wc")))
+      .filter(col("quality") >= minQuality)
+      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+      .dropDuplicates("text_hash")
+      .select(col("doc_id"), col("lang"), col("text_hash"),
+        col("wc").as("token_count"), col("quality"))
+
   /** j9 twin — streaming as-of join via flatMapGroupsWithState: per-user
     * state carries the latest signup (ts, event_id); each purchase emits the
     * as-of match. Within a micro-batch rows are ordered by

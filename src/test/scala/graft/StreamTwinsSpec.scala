@@ -86,6 +86,51 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming document ingest equals batch (quality filter + first-arrival dedup)") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String, lang: String)
+    val fixture = Tables.documents(spark, sf001)
+      .select("doc_id", "text", "lang")
+      .orderBy("doc_id") // arrival order = doc_id order → dedup keeps min id
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    // the fixture has no exact dups and no low-quality docs at this SF —
+    // append one of each so both drop paths demonstrably fire
+    val docs = fixture ++ Seq(
+      (900001L, fixture.head._2, fixture.head._3), // exact dup of doc 0
+      (900002L, "the a of and the a of and", "en")) // pure stopwords
+    val stream = MemoryStream[(Long, String, String)]
+    val query = StreamTwins.ingestDocs(
+        stream.toDF().toDF("doc_id", "text", "lang"), minQuality = 0.5)
+      .writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    try {
+      docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("ingest")
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      // deterministic batch expectation: same quality formula, min doc_id
+      // per content hash (arrival order above = doc_id order)
+      val expected = docs.toDF("doc_id", "text", "lang")
+        .withColumn("w", split($"text", " "))
+        .withColumn("wc", size($"w"))
+        .withColumn("quality", lit(1.0)
+          - lit(0.5) * (size(filter($"w",
+            t => t.isin("the", "a", "of", "and"))).cast("double") / $"wc")
+          - lit(0.3) * (size(filter($"w",
+            t => length(t) <= 2)).cast("double") / $"wc"))
+        .filter($"quality" >= 0.5)
+        .withColumn("text_hash", md5(lower(trim($"text")).cast("binary")))
+        .groupBy("text_hash").agg(min($"doc_id").as("doc_id"))
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(streamed.nonEmpty && streamed.length < docs.length)
+      assert(!streamed.contains(900001L), "exact duplicate must be dropped")
+      assert(!streamed.contains(900002L), "low-quality doc must be dropped")
+      assert(streamed == expected)
+    } finally query.stop()
+  }
+
   test("watermark drops late data in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val h = 3600L * 1000000000L // ns per hour
