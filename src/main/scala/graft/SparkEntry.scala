@@ -44,6 +44,8 @@ object SparkEntry {
     "a9_except" -> (Core.a9 _),
     "a10_median_pct" -> (Aggs.a10 _),
     "a11_cond_agg" -> (Aggs.a11 _),
+    "a12_stat_moments" -> (Aggs.a12 _),
+    "a13_unpivot" -> (Aggs.a13 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),
@@ -79,6 +81,7 @@ object SparkEntry {
     "l3_cosine_topk" -> (Llm.l3 _),
     "l4_tokenize" -> (Llm.l4 _),
     "l5_text_stats" -> (Llm.l5 _),
+    "l6_bm25" -> (Llm.l6 _),
     // training-data-pipeline extensions (builder brief)
     "x1_minhash_lsh" -> (Pipeline.x1 _),
     "x2_simhash" -> (Pipeline.x2 _),
@@ -89,7 +92,8 @@ object SparkEntry {
     "x7_token_count" -> (Pipeline.x7 _),
     "x8_fingerprint" -> (Pipeline.x8 _),
     "x9_ann_lsh" -> (Pipeline.x9 _),
-    "x10_simhash_pairs" -> (Pipeline.x10 _)
+    "x10_simhash_pairs" -> (Pipeline.x10 _),
+    "x11_ann_ivf" -> (Pipeline.x11 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

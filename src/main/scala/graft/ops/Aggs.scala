@@ -85,6 +85,53 @@ object Aggs {
           .otherwise(dec2(lit(0.0))))).as("hi_value_revenue"))
       .orderBy("n_name")
 
+  /** a12 — statistical moments done scale-safe: Pearson correlation, sample
+    * covariance and sample stddevs of (l_quantity, l_extendedprice) per
+    * return flag. Spark's native `corr`/`stddev` aggregate DOUBLES, whose
+    * sum order differs between partitions and engines — so the moments
+    * (n, Σx, Σy, Σx², Σy², Σxy) are aggregated as fixed-scale DECIMALS
+    * (exact, order-independent, one keyed shuffle with partial aggregation)
+    * and the closed-form statistics are computed from the six exact moments
+    * in one fixed double-expression order mirrored by the oracle.
+    */
+  def a12(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2(x)).as("sx"), sum(dec2(y)).as("sy"),
+        sum(dec4(x * x)).as("sxx"), sum(dec4(y * y)).as("syy"),
+        sum(dec4(x * y)).as("sxy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    g.select(col("l_returnflag"), col("n"),
+        round4nz((n * sxy - sx * sy)
+          / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
+        round4nz((sxy - sx * sy / n) / (n - lit(1.0))).as("covar_samp"),
+        round4nz(sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))).as("stddev_qty"),
+        round4nz(sqrt((n * syy - sy * sy) / (n * (n - lit(1.0))))).as("stddev_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** a13 — UNPIVOT (wide→long melt): per-priority order counts by status,
+    * melted with `Dataset.unpivot` so each (priority, status) is one row.
+    * The wide frame renames the measures to the wanted variable values
+    * ('F','O','P') because unpivot emits source column NAMES as the
+    * variable column; the oracle mirrors with a UNION ALL melt.
+    */
+  def a13(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("F"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("O"),
+        sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("P"))
+      .unpivot(Array(col("o_orderpriority")), Array(col("F"), col("O"), col("P")),
+        "status", "cnt")
+      .orderBy("o_orderpriority", "status")
+
   /** a10 — exact continuous percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`, same linear interpolation — verified SURVEY §2.0).
     */

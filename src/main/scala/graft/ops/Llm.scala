@@ -87,6 +87,45 @@ object Llm {
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
 
+  /** l6 — BM25 keyword retrieval: top-10 documents for the fixed query
+    * {dup, vector, spark} (one rare + two mid-frequency terms of the corpus
+    * vocabulary), k1 = 1.2, b = 0.75.
+    *
+    * Scale shape: per-doc term frequencies and doc length are NARROW column
+    * ops (no explode/shuffle); the corpus statistics (N, Σdl, per-term df)
+    * are ONE global aggregate broadcast back as a single row; the final
+    * top-10 is `orderBy().limit()` → TakeOrderedAndProject, a distributed
+    * bounded top-k with no single-partition window. All inputs to the score
+    * are exact integers; the double formula is evaluated in one fixed
+    * expression order (term order dup→vector→spark) mirrored by the oracle.
+    */
+  def l6(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "vector", "spark")
+    val docs = terms.foldLeft(
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .withColumn("dl", size(col("w")))) { (df, t) =>
+        df.withColumn(s"tf_$t", size(filter(col("w"), x => x === t)))
+      }.drop("w")
+    val statCols = Seq(sum(col("dl")).as("sum_dl")) ++ terms.map(t =>
+      sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    def idf(t: String) =
+      log((col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) + lit(1.0))
+    def termScore(t: String) =
+      idf(t) * (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl"))))
+    docs.crossJoin(broadcast(stats))
+      .withColumn("avgdl", avgdl)
+      .withColumn("score",
+        graft.Det.round4nz(terms.map(termScore).reduce(_ + _)))
+      .select(Seq(col("doc_id"), col("dl")) ++ terms.map(t => col(s"tf_$t"))
+        :+ col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** l5 — per-language text statistics: doc count, word/distinct-word sums,
     * type-token ratio and chars-per-word as exact-integer ratios (D4).
     */

@@ -383,6 +383,55 @@ object Pipeline {
     * (sf0.01) and 26/30 (sf0.1) of the exact top-3 slots recovered, vs 0-1
     * for a single 8-bit sign bucket. The oracle mirrors the banding.
     */
+  /** x11 — IVF (inverted-file) approximate nearest neighbours, the classic
+    * coarse-quantizer alternative to x9's hyperplane LSH: the corpus is
+    * partitioned into cells around 16 deterministic centroids (the vectors
+    * with vec_id < 16 — a data-derived, cross-engine-reproducible codebook;
+    * a learned k-means codebook changes only how `cent` is produced), every
+    * vector is assigned to its nearest centroid by rounded cosine, and a
+    * query scans only its nprobe = 2 closest cells, exact-cosine-ranked
+    * top-3.
+    *
+    * Scale shape: the codebook is broadcast (16 rows); assignment is a
+    * broadcast nested-loop + per-vector argmax — one keyed shuffle on
+    * vec_id; the probe side (10 queries × 2 cells) is broadcast into a
+    * keyed equi-join on `cell`, so only the probed cells' vectors are ever
+    * scored: candidate count ≈ corpus/8 per query instead of corpus. The
+    * oracle mirrors the codebook, assignment and probing exactly, so IVF
+    * recall is part of the declared semantics.
+    */
+  def x11(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val csim = graft.Det.round4nz(
+      vdot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val ranked = e.crossJoin(broadcast(cent))
+      .withColumn("csim", csim)
+      .withColumn("crn", row_number().over(wAssign))
+    val assign = ranked.filter(col("crn") === 1)
+      .select(col("vec_id").as("c_id"), col("cent_id").as("cell"),
+        col("emb").as("c_emb"), col("nrm").as("c_nrm"))
+    val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cent_id").as("cell"),
+        col("emb").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
+    broadcast(probes).join(assign, "cell")
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("sim", graft.Det.round4nz(
+        vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+      .orderBy("q_id", "rnk")
+  }
+
   def x9(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))

@@ -176,6 +176,37 @@ object OracleSql {
         | JOIN orders ON o_custkey = c_custkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
+    "a12_stat_moments" ->
+      """WITH g AS (SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |  SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS sxx,
+        |  SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4))) AS syy,
+        |  SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4))) AS sxy
+        | FROM lineitem GROUP BY 1),
+        | m AS (SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+        |  CAST(sxy AS DOUBLE) AS sxy FROM g)
+        |SELECT l_returnflag, n,
+        | ROUND((nd * sxy - sx * sy) / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy)), 4) + 0.0 AS corr_qty_price,
+        | ROUND((sxy - sx * sy / nd) / (nd - 1.0), 4) + 0.0 AS covar_samp,
+        | ROUND(sqrt((nd * sxx - sx * sx) / (nd * (nd - 1.0))), 4) + 0.0 AS stddev_qty,
+        | ROUND(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))), 4) + 0.0 AS stddev_price
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+
+    "a13_unpivot" ->
+      """WITH wide AS (SELECT o_orderpriority,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+        |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        | FROM orders GROUP BY 1)
+        |SELECT o_orderpriority, status, cnt FROM (
+        | SELECT o_orderpriority, 'F' AS status, f AS cnt FROM wide
+        | UNION ALL SELECT o_orderpriority, 'O', o FROM wide
+        | UNION ALL SELECT o_orderpriority, 'P', p FROM wide) t
+        |ORDER BY o_orderpriority, status""".stripMargin,
+
     "a10_median_pct" ->
       """SELECT lang, ROUND(quantile_cont(n_chars, 0.5), 2) AS p50,
         | ROUND(quantile_cont(n_chars, 0.9), 2) AS p90, COUNT(*) AS doc_cnt
@@ -448,6 +479,52 @@ object OracleSql {
         | ROUND(CAST(SUM(dc) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS ttr,
         | ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(wc) AS DOUBLE), 4) AS chars_per_word
         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "l6_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | tf AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS dl,
+        |  CAST(len(list_filter(w, x -> x = 'dup')) AS INTEGER) AS tf_dup,
+        |  CAST(len(list_filter(w, x -> x = 'vector')) AS INTEGER) AS tf_vector,
+        |  CAST(len(list_filter(w, x -> x = 'spark')) AS INTEGER) AS tf_spark
+        |  FROM d),
+        | st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+        |  CAST(SUM(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+        |  CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+        |  CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_spark
+        |  FROM tf),
+        | sc AS (SELECT doc_id, dl, tf_dup, tf_vector, tf_spark,
+        |  CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl,
+        |  n_docs, df_dup, df_vector, df_spark
+        |  FROM tf, st)
+        |SELECT doc_id, dl, tf_dup, tf_vector, tf_spark,
+        | ROUND(
+        |  ln((n_docs - df_dup + 0.5) / (df_dup + 0.5) + 1.0) * (tf_dup * 2.2) / (tf_dup + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |  + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0) * (tf_vector * 2.2) / (tf_vector + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        |  + ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0) * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+        | , 4) + 0.0 AS score
+        |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "x11_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
+        | sims AS (SELECT vec_id, cent_id,
+        |   ROUND(list_cosine_similarity(emb, cent_emb), 4) + 0.0 AS csim
+        |  FROM e, cent),
+        | ranked AS (SELECT vec_id, cent_id, csim,
+        |   row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |  FROM sims),
+        | asgn AS (SELECT vec_id AS c_id, cent_id AS cell FROM ranked WHERE crn = 1),
+        | probes AS (SELECT vec_id AS q_id, cent_id AS cell FROM ranked
+        |  WHERE vec_id < 10 AND crn <= 2),
+        | scored AS (SELECT p.q_id, a.c_id,
+        |   ROUND(list_cosine_similarity(eq.emb, ec.emb), 4) + 0.0 AS sim
+        |  FROM probes p JOIN asgn a ON p.cell = a.cell AND p.q_id <> a.c_id
+        |   JOIN e eq ON p.q_id = eq.vec_id JOIN e ec ON a.c_id = ec.vec_id)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        | SELECT q_id, c_id, sim,
+        |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
+        | FROM scored) t
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
     "x1_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),

@@ -189,4 +189,59 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3)) <= 1.0001)
     }
   }
+
+  test("a12 moments match Spark's native corr/stddev to float tolerance") {
+    // The exact-decimal moment formulation must agree with the (order-
+    // dependent) native double aggregates within double noise.
+    val ours = ops.Aggs.a12(spark, sf001)
+      .select($"l_returnflag", $"corr_qty_price", $"stddev_qty", $"stddev_price")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val native = Tables.lineitem(spark, sf001)
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"),
+        stddev_samp($"l_quantity").as("sx"),
+        stddev_samp($"l_extendedprice").as("sy"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet === native.keySet)
+    ours.foreach { case (k, (c, sx, sy)) =>
+      assert(math.abs(c - native(k)._1) < 1e-3, s"corr($k)")
+      assert(math.abs(sx - native(k)._2) < 1e-2, s"stddev_qty($k)")
+      assert(math.abs(sy - native(k)._3) < 1.0, s"stddev_price($k)")
+    }
+  }
+
+  test("a13 unpivot: long form sums back to the wide counts") {
+    val long = ops.Aggs.a13(spark, sf001)
+    assert(long.select($"status").distinct().collect().map(_.getString(0)).sorted
+      === Array("F", "O", "P"))
+    val total = long.agg(sum($"cnt")).as[Long].head()
+    assert(total === Tables.orders(spark, sf001).count())
+  }
+
+  test("l6 BM25: rare term dominates, scores non-increasing, top-10 only") {
+    val rows = Llm.l6(spark, sf001).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // 'dup' is the only selective term (df≈5%): every top doc must contain it
+    assert(rows.forall(_.getAs[Int]("tf_dup") > 0))
+  }
+
+  test("x11 IVF ANN: <=3 ranked candidates per query from probed cells only") {
+    val rows = Pipeline.x11(spark, sf001).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length))
+    }
+    // IVF recall vs the exact scan: at sf0.001 (20 vecs, 16 cells) the probed
+    // cells must recover at least half of the true top-3 slots.
+    val exact = Llm.l3(spark, sf001).filter($"rnk" <= 3)
+      .select($"q_id", $"c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    assert(got.intersect(exact).size * 2 >= exact.size,
+      s"IVF recalled ${got.intersect(exact).size}/${exact.size} exact slots")
+  }
 }
