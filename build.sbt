@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNPREFIXED: sbt's default output
+// strategy wraps every child stdout line in "[info] ", which breaks any
+// consumer that json-parses Bench's single {"metric":...} result line
+// (the driver's BENCH artifact recorded parsed:null in rounds 1-2).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
