@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.DotProduct.{dot => vdot}
+
+/** Deterministic Lloyd's k-means over an embedding column — the LEARNED
+  * codebook for IVF-style ANN (`Pipeline.x11` uses the vec_id < k identity
+  * codebook so the oracle can mirror it; swap in `train`'s output when
+  * recall matters more than oracle checkability).
+  *
+  * Every step is expressed against Spark's distributed ops and stays
+  * deterministic:
+  *  - init: the k vectors with the smallest ids (no RNG — reproducible
+  *    across engines and runs; k-means|| would replace only this step);
+  *  - assignment: crossJoin against the BROADCAST codebook (k rows), then
+  *    argmin by `min(struct(dist, cent_id))` — lexicographic struct min
+  *    gives an exact deterministic tie-break, one keyed aggregation, no
+  *    window;
+  *  - update: per-dimension means via posexplode + groupBy(cell, pos) —
+  *    a keyed shuffle whose width is k×dims rows, then the new centroid
+  *    arrays are reassembled in pos order (sort_array on (pos, mean)
+  *    structs, unique pos ⇒ total order ⇒ deterministic);
+  *  - the per-iteration centroid frame is `localCheckpoint`ed to truncate
+  *    the growing lineage (same idiom as [[DedupCluster]]).
+  *
+  * The driver never materializes vectors — only the k×dims codebook, which
+  * is by construction tiny (it is broadcast anyway).
+  */
+object KMeansCodebook {
+
+  /** e: (id, emb: array<double>). Returns the trained codebook
+    * (cent_id, cent_emb) after `iters` Lloyd rounds, k centroids.
+    */
+  def train(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val vecs = e.select(col("id"), col("emb"))
+    var codebook = vecs.orderBy("id").limit(k)
+      .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val assigned = assign(vecs, codebook)
+      codebook = assigned.join(vecs, "id")
+        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("cent_id"),
+          expr("transform(pm, x -> x.m)").as("cent_emb"))
+        .localCheckpoint()
+    }
+    codebook
+  }
+
+  /** Nearest-centroid assignment: (id, cell, dist2). Squared L2, broadcast
+    * codebook, deterministic argmin tie-broken by cent_id.
+    */
+  def assign(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+    val diff = expr("zip_with(emb, cent_emb, (a, b) -> a - b)")
+    vecs.crossJoin(broadcast(codebook))
+      .withColumn("d", diff)
+      .withColumn("dist2", vdot(col("d"), col("d")))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist2"), col("cent_id"))).as("best"))
+      .select(col("id"), col("best.cent_id").as("cell"),
+        col("best.dist2").as("dist2"))
+  }
+
+  /** Within-cluster sum of squared distances for a given codebook — the
+    * Lloyd objective; must be non-increasing over iterations.
+    */
+  def sse(vecs: DataFrame, codebook: DataFrame): Double =
+    assign(vecs, codebook).agg(sum(col("dist2"))).head().getDouble(0)
+}

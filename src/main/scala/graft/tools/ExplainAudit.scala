@@ -16,7 +16,8 @@ object ExplainAudit {
     val interesting = Seq("c1_scan_project", "c2_filter_pred", "j2_broadcast",
       "j3_star_5way", "j9_asof", "a1_pricing_summary", "l3_cosine_topk",
       "x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
-      "x10_simhash_pairs")
+      "x10_simhash_pairs",
+      "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
