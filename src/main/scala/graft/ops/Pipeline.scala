@@ -383,6 +383,26 @@ object Pipeline {
     * (sf0.01) and 26/30 (sf0.1) of the exact top-3 slots recovered, vs 0-1
     * for a single 8-bit sign bucket. The oracle mirrors the banding.
     */
+  /** x12 — deterministic train/val/test splitting, the seed-free assignment
+    * every training-data pipeline needs: split = first hex digit of
+    * md5(doc_id) → 75% train ('0'-'b'), 12.5% val ('c','d'), 12.5% test
+    * ('e','f'). Hash-based (not random) so the split is stable across runs,
+    * engines and re-partitions, and any doc's membership is decidable
+    * locally. Emitted as stratified per-(lang, split) counts. Narrow map +
+    * one keyed aggregation — nothing to tune at 100 TB.
+    */
+  def x12(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("doc_cnt"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang", "split")
+  }
+
   /** x11 — IVF (inverted-file) approximate nearest neighbours, the classic
     * coarse-quantizer alternative to x9's hyperplane LSH: the corpus is
     * partitioned into cells around 16 deterministic centroids (the vectors

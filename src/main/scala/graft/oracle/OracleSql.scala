@@ -526,6 +526,15 @@ object OracleSql {
         | FROM scored) t
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+    "x12_split_sample" ->
+      """WITH t AS (SELECT lang, n_chars,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM documents)
+        |SELECT lang, split, COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
     "x1_minhash_lsh" ->
       """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),
         | sig AS (SELECT doc_id, lang,

@@ -229,6 +229,18 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("tf_dup") > 0))
   }
 
+  test("x12 split: covers all docs, fractions near 75/12.5/12.5, stable") {
+    val out = Pipeline.x12(spark, sf001).collect()
+    val byS = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    val total = byS.values.sum
+    assert(total === Tables.documents(spark, sf001).count())
+    val trainFrac = byS("train").toDouble / total
+    assert(trainFrac > 0.55 && trainFrac < 0.9, s"train frac $trainFrac")
+    // determinism: identical under a different partitioning
+    val again = Pipeline.x12(spark, sf001).collect()
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("x11 IVF ANN: <=3 ranked candidates per query from probed cells only") {
     val rows = Pipeline.x11(spark, sf001).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
