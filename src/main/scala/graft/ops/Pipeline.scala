@@ -306,6 +306,37 @@ object Pipeline {
   def dedupPipeline(s: SparkSession, d: String): DataFrame =
     DedupCluster.survivors(s, d, x1(s, d))
 
+  /** The WHOLE training-set materialization, composed from the declared
+    * operators — what the individual pieces exist for at 100 TB:
+    *   1. quality gate (x6's score, narrow) at `minQuality`;
+    *   2. exact dedup: keep l1's survivor (min doc_id per content hash);
+    *   3. near-dup dedup: drop non-survivors of x1's MinHash-LSH pair graph
+    *      (connected components, min-id survivor per cluster);
+    *   4. deterministic split assignment (x12's hash rule).
+    * Returns (doc_id, lang, split, quality, token_count) — the manifest a
+    * downstream tokenizer would consume. Every stage is keyed/bucketed; the
+    * spec asserts the manifest is duplicate-free, quality-bounded, and
+    * split-complete.
+    */
+  def trainingSet(s: SparkSession, d: String, minQuality: Double = 0.5): DataFrame = {
+    val quality = x6(s, d).filter(col("quality") >= minQuality)
+      .select(col("doc_id"), col("quality"), col("wc").as("token_count"))
+    val exactSurvivors = Llm.l1(s, d).select(col("survivor_id").as("doc_id"))
+    val nearSurvivors = dedupPipeline(s, d).select(col("doc_id"))
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(quality, "doc_id")
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(nearSurvivors, Seq("doc_id"), "left_semi")
+      .withColumn("split",
+        when(h.isin("c", "d"), "val")
+          .when(h.isin("e", "f"), "test")
+          .otherwise("train"))
+      .select(col("doc_id"), col("lang"), col("split"), col("quality"),
+        col("token_count"))
+      .orderBy("doc_id")
+  }
+
   /** x5 — heuristic language ID: argmax over per-language stopword-overlap
     * scores with a fixed priority order for ties. (The synthetic corpus
     * shares one vocabulary, so predictions skew 'en' — the operator under

@@ -75,6 +75,23 @@ object StreamTwins {
       .select(col("user_id"), col("event_type"), col("minute_idx"),
         col("event_id"), col("ts"))
 
+  /** s4 twin with BOUNDED state — `dropDuplicatesWithinWatermark`: the
+    * production form of streaming dedup. Plain `dropDuplicates` keeps every
+    * key it has ever seen (state grows with distinct keys forever);
+    * WithinWatermark evicts a key's state once the watermark passes its
+    * event time, so state is bounded by ~1 watermark interval of keys while
+    * still deduplicating any duplicate that can legally arrive (later-than-
+    * watermark duplicates are dropped as late data before reaching the
+    * operator). This is the variant to run on an unbounded 100 TB/day feed.
+    */
+  def dedupBounded(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withColumn("minute_idx", expr("ts div 60000000000"))
+      .withWatermark("tstamp", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "minute_idx")
+      .select(col("user_id"), col("event_type"), col("minute_idx"),
+        col("event_id"), col("ts"))
+
   /** Streaming training-data ingest: the document path (quality-score
     * filter → stateful exact-dedup on the normalized content hash → token
     * accounting) as one incremental pipeline. Works identically over a

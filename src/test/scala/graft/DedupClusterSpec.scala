@@ -61,4 +61,25 @@ class DedupClusterSpec extends SparkSpec {
         s"removed doc $doc must be represented by surviving cluster head $cluster")
     }
   }
+
+  test("trainingSet manifest: dedup-free, quality-bounded, split-complete") {
+    val m = ops.Pipeline.trainingSet(spark, sf001, minQuality = 0.5)
+    val rows = m.collect()
+    assert(rows.nonEmpty)
+    // unique doc ids, quality gate respected, split values well-formed
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(_.getAs[Double]("quality") >= 0.5))
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    // no surviving near-dup pair: every x1 pair lost at least one side
+    // unless the pair straddles the quality gate
+    val kept = rows.map(_.getLong(0)).toSet
+    val pairs = ops.Pipeline.x1(spark, sf001).select("a_id", "b_id").collect()
+    pairs.foreach { p =>
+      assert(!(kept.contains(p.getLong(0)) && kept.contains(p.getLong(1))),
+        s"near-dup pair (${p.getLong(0)}, ${p.getLong(1)}) both survived")
+    }
+    // deterministic across runs
+    val again = ops.Pipeline.trainingSet(spark, sf001, minQuality = 0.5).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
 }

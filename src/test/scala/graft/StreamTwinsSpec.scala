@@ -181,4 +181,30 @@ class StreamTwinsSpec extends SparkSpec {
       assert(streamedKeys === batchKeys)
     } finally query.stop()
   }
+
+  test("bounded dedup (dropDuplicatesWithinWatermark) drops in-watermark dups") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.dedupBounded(stream.toDF())
+      .writeStream.format("memory").queryName("dedup_bounded")
+      .outputMode("append").start()
+    try {
+      val (first, rest) = events.splitAt(events.length / 2)
+      stream.addData(first)
+      query.processAllAvailable()
+      // re-send a batch-1 row (same user/type/minute, new event_id): a
+      // duplicate arriving within the watermark must be suppressed
+      val dup = first.last.copy(event_id = -1L)
+      stream.addData(rest :+ dup)
+      query.processAllAvailable()
+      val out = spark.table("dedup_bounded")
+      assert(out.filter(col("event_id") === -1L).count() === 0)
+      // exactly one row per key, matching the batch distinct-key count
+      val batchKeys = events.toDF()
+        .withColumn("minute_idx", expr("ts div 60000000000"))
+        .select("user_id", "event_type", "minute_idx").distinct().count()
+      assert(out.count() === batchKeys)
+    } finally query.stop()
+  }
 }
