@@ -57,6 +57,7 @@ object SparkEntry {
     "r2_star_bgp" -> (Rdf.r2 _),
     "r3_path_join" -> (Rdf.r3 _),
     "r4_optional_bgp" -> (Rdf.r4 _),
+    "r5_property_path" -> (Rdf.r5 _),
     // §2.5 scalar functions
     "f1_string" -> (Scalars.f1 _),
     "f2_date" -> (Scalars.f2 _),

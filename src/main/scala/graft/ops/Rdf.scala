@@ -77,6 +77,39 @@ object Rdf {
       .orderBy("custkey")
   }
 
+  /** r5 — SPARQL property path `locatedIn{1,4}`: transitive closure (to a
+    * declared 4-hop bound) over the location edge set c→n ∪ n→r, emitting
+    * each reachable (src, dst) with its SHORTEST path length. The bounded
+    * path is unrolled into 4 keyed self-joins — plan construction stays
+    * fully lazy (no driver-side fixpoint loop inside a declared query; for
+    * unbounded-depth graphs use the [[DedupCluster]] iterative idiom, which
+    * localCheckpoints per round and only ever surfaces a change count).
+    * Each hop shuffles on the join key `dst = src` — the reference's
+    * chained-job path join [RECON], generalized to variable length. The
+    * oracle expresses the same closure as a DuckDB `WITH RECURSIVE` CTE
+    * bounded at depth 4.
+    */
+  def r5(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).select(
+      concat(lit("c"), col("c_custkey")).as("src"),
+      concat(lit("n"), col("c_nationkey")).as("dst"))
+    val nr = Tables.nation(s, d).select(
+      concat(lit("n"), col("n_nationkey")).as("src"),
+      concat(lit("r"), col("n_regionkey")).as("dst"))
+    val edges = cn.union(nr)
+    val hop = broadcast(edges.select(col("src").as("e_src"), col("dst").as("e_dst")))
+    def extend(p: DataFrame): DataFrame =
+      p.join(hop, col("dst") === col("e_src"))
+        .select(col("src"), col("e_dst").as("dst"),
+          (col("depth") + 1).as("depth"))
+    val p1 = edges.withColumn("depth", lit(1))
+    val p2 = extend(p1); val p3 = extend(p2); val p4 = extend(p3)
+    p1.union(p2).union(p3).union(p4)
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("depth")).cast("int").as("depth"))
+      .orderBy("src", "dst")
+  }
+
   /** r3 — subject-object path BGP: customer → nation → region chained through
     * the triples views (object of one pattern = subject of the next) [RECON
     * core: the reference's chained-job path join].

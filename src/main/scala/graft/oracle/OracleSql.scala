@@ -317,6 +317,19 @@ object OracleSql {
         |GROUP BY n.custkey, n.c_name
         |ORDER BY custkey""".stripMargin,
 
+    "r5_property_path" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c' || c_custkey AS src, 'n' || c_nationkey AS dst FROM customer
+        |  UNION ALL
+        |  SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+        | paths(src, dst, depth) AS (
+        |  SELECT src, dst, 1 FROM edges
+        |  UNION ALL
+        |  SELECT p.src, e.dst, p.depth + 1 FROM paths p JOIN edges e ON p.dst = e.src
+        |   WHERE p.depth < 4)
+        |SELECT src, dst, CAST(MIN(depth) AS INTEGER) AS depth
+        |FROM paths GROUP BY src, dst ORDER BY src, dst""".stripMargin,
+
     "f1_string" ->
       """SELECT c_custkey, upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
         | substr(c_name, 1, 8) AS name8, CAST(length(c_name) AS INTEGER) AS name_len,

@@ -229,6 +229,17 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("tf_dup") > 0))
   }
 
+  test("r5 property path: closure = c->n + c->r + n->r with shortest depths") {
+    val rows = ops.Rdf.r5(spark, sf001).collect()
+    val nCust = Tables.customer(spark, sf001).count()
+    val nNat = Tables.nation(spark, sf001).count()
+    assert(rows.length === 2 * nCust + nNat)
+    val byDepth = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(byDepth(1) === nCust + nNat) // direct edges
+    assert(byDepth(2) === nCust)        // customer -> region, 2 hops
+    assert(!byDepth.contains(3) && !byDepth.contains(4)) // DAG ends at region
+  }
+
   test("x12 split: covers all docs, fractions near 75/12.5/12.5, stable") {
     val out = Pipeline.x12(spark, sf001).collect()
     val byS = out.groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(2)).sum)

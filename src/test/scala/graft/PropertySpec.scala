@@ -136,6 +136,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("k-means property: one Lloyd step never increases SSE (random vectors)") {
+    val vecGen = Gen.listOfN(12, Gen.listOfN(4, Gen.choose(-100, 100)))
+    cases(vecGen, n = 5).foreach { vs =>
+      val df = vs.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.map(_.toDouble / 10.0)) }
+        .toDF("id", "emb")
+      val sse0 = ops.KMeansCodebook.sse(df, ops.KMeansCodebook.train(df, 3, 0))
+      val sse1 = ops.KMeansCodebook.sse(df, ops.KMeansCodebook.train(df, 3, 1))
+      val sse2 = ops.KMeansCodebook.sse(df, ops.KMeansCodebook.train(df, 3, 2))
+      assert(sse1 <= sse0 + 1e-9 && sse2 <= sse1 + 1e-9,
+        s"SSE not monotone: $sse0 -> $sse1 -> $sse2")
+    }
+  }
+
+  test("transitive-closure property: chain graph of length n yields n*(n+1)/2 paths") {
+    // r5's unrolled-join closure shape over a synthetic chain 0->1->...->n
+    cases(Gen.choose(2, 4), n = 3).foreach { n =>
+      val edges = (0 until n).map(i => (s"v$i", s"v${i + 1}")).toDF("src", "dst")
+      val hop = edges.select($"src".as("e_src"), $"dst".as("e_dst"))
+      def extend(p: org.apache.spark.sql.DataFrame) =
+        p.join(hop, $"dst" === $"e_src")
+          .select($"src", $"e_dst".as("dst"), ($"depth" + 1).as("depth"))
+      val p1 = edges.withColumn("depth", lit(1))
+      val p2 = extend(p1); val p3 = extend(p2); val p4 = extend(p3)
+      val closure = p1.union(p2).union(p3).union(p4)
+        .groupBy($"src", $"dst").agg(min($"depth").as("depth"))
+      // a chain of n edges has n + (n-1) + ... + 1 bounded-by-4 paths
+      val expected = (1 to n).map(len => math.max(0, n - len + 1))
+        .zipWithIndex.collect { case (c, i) if i < 4 => c }.sum
+      assert(closure.count() === expected.toLong)
+    }
+  }
+
   test("session-window invariant on fixture: events conserved, gaps ≥ 30 min") {
     val s3 = ops.Events.s3(spark, sf001)
     val total = s3.agg(sum("cnt")).head().getLong(0)
