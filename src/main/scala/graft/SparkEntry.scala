@@ -53,6 +53,7 @@ object SparkEntry {
     "w4_lag_lead" -> (Windows.w4 _),
     "w5_moving_avg" -> (Windows.w5 _),
     "w6_rank_stats" -> (Windows.w6 _),
+    "w7_value_picks" -> (Windows.w7 _),
     "r1_triples_view" -> (Rdf.r1 _),
     "r2_star_bgp" -> (Rdf.r2 _),
     "r3_path_join" -> (Rdf.r3 _),
@@ -67,11 +68,13 @@ object SparkEntry {
     "f6_conditional" -> (Scalars.f6 _),
     "f7_string2" -> (Scalars.f7 _),
     "f8_json_keys" -> (Scalars.f8 _),
+    "f9_bitwise" -> (Scalars.f9 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),
     "s3_session" -> (Events.s3 _),
     "s4_dedup_first" -> (Events.s4 _),
+    "s5_funnel" -> (Events.s5 _),
     // §2.7 UDF/UDAF/generator
     "u1_scalar_udf" -> (Udfs.u1 _),
     "u2_udaf_wavg" -> (Udfs.u2 _),

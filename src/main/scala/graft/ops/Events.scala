@@ -59,6 +59,24 @@ object Events {
         col("cnt"))
       .orderBy("user_id", "session_start")
 
+  /** s5 — conversion funnel: per user, first signup time, first purchase
+    * time, and whether the user converted (a purchase at-or-after the first
+    * signup). One keyed aggregation of conditional µs minima — pure integer
+    * math, the standard event-analytics funnel at any scale.
+    */
+  def s5(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("us", expr("ts div 1000"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("us"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase"),
+        count(lit(1)).as("event_cnt"))
+      .withColumn("converted",
+        when(col("first_signup").isNotNull && col("first_purchase").isNotNull
+          && col("first_signup") <= col("first_purchase"), 1).otherwise(0))
+      .orderBy("user_id")
+
   /** s4 — keep-first dedup per (user, event_type, minute): the deterministic
     * twin of `dropDuplicates` keyed by the ns timestamp + event id.
     */

@@ -123,6 +123,21 @@ object Scalars {
       .orderBy("k_bucket")
 
   /** f6 — conditional expressions (CASE/COALESCE/NULLIF/LEAST/GREATEST). */
+  /** f9 — bitwise scalar surface over int64 keys: and/or/xor, shifts,
+    * popcount. Pure integer ops — exact parity by construction (DuckDB
+    * spells xor as a function, shifts/and/or as operators).
+    */
+  def f9(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_orderkey").bitwiseAND(255L)).as("low_byte"),
+        (col("o_orderkey").bitwiseOR(4096L)).as("with_flag"),
+        (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("key_mix"),
+        shiftleft(col("o_orderkey"), 3).as("shl3"),
+        shiftright(col("o_orderkey"), 2).as("shr2"),
+        expr("cast(bit_count(o_orderkey) as integer)").as("popcount"))
+      .orderBy("o_orderkey")
+
   def f6(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"),

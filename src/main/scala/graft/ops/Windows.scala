@@ -91,6 +91,27 @@ object Windows {
       .orderBy("c_mktsegment", "c_custkey")
   }
 
+  /** w7 — value-picking window functions over the full-partition frame:
+    * each order row sees its customer's first / last / 2nd order price
+    * (ordered by date, key). first/last/nth copy INPUT values — no
+    * arithmetic — so parity needs only the explicit
+    * `ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING` frame on
+    * both engines (the default frame would make last/nth depend on the
+    * current row).
+    */
+  def w7(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDate(col("o_orderdate")).as("order_date"), col("o_totalprice"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_custkey", "order_date", "o_orderkey")
+  }
+
   /** w5 — 7-row moving total over daily order revenue (ROWS frame) plus the
     * RANGE-frame variant over a day index (covers calendar gaps differently).
     */

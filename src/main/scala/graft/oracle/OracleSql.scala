@@ -256,6 +256,17 @@ object OracleSql {
         | CAST(CAST(SUM(day_total) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS mov7_range
         |FROM d2 ORDER BY day""".stripMargin,
 
+    "w7_value_picks" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+        | o_totalprice,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price,
+        | nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        | ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, order_date, o_orderkey""".stripMargin,
+
     "w6_rank_stats" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         | CAST(ntile(4) OVER w AS INTEGER) AS quartile,
@@ -419,6 +430,28 @@ object OracleSql {
         | make_timestamp(MAX(us) + 1800000000) AS session_end, COUNT(*) AS cnt
         |FROM isl GROUP BY user_id, island
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "f9_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS low_byte,
+        | o_orderkey | 4096 AS with_flag,
+        | xor(o_orderkey, o_custkey) AS key_mix,
+        | o_orderkey << 3 AS shl3,
+        | o_orderkey >> 2 AS shr2,
+        | CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "s5_funnel" ->
+      """SELECT user_id,
+        | MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
+        | MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase,
+        | COUNT(*) AS event_cnt,
+        | CASE WHEN MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) IS NOT NULL
+        |       AND MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) IS NOT NULL
+        |       AND MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END)
+        |        <= MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      THEN 1 ELSE 0 END AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "s4_dedup_first" ->
       """SELECT user_id, event_type,

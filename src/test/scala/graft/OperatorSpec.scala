@@ -229,6 +229,32 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Int]("tf_dup") > 0))
   }
 
+  test("w7 value picks: first <= all prices' date-order, nth null iff <2 orders") {
+    val rows = Windows.w7(spark, sf001).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.values.foreach { rs =>
+      val firstPrices = rs.map(_.getDouble(4)).distinct
+      val lastPrices = rs.map(_.getDouble(5)).distinct
+      assert(firstPrices.length === 1 && lastPrices.length === 1,
+        "first/last must be constant within a partition")
+      if (rs.length < 2) assert(rs.forall(_.isNullAt(6)))
+      else assert(rs.forall(!_.isNullAt(6)))
+    }
+  }
+
+  test("s5 funnel: converted implies both timestamps present and ordered") {
+    val rows = ops.Events.s5(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (r.getInt(4) == 1) {
+        assert(!r.isNullAt(1) && !r.isNullAt(2))
+        assert(r.getLong(1) <= r.getLong(2))
+      }
+    }
+    val totalEvents = rows.map(_.getLong(3)).sum
+    assert(totalEvents === Tables.events(spark, sf001).count())
+  }
+
   test("r5 property path: closure = c->n + c->r + n->r with shortest depths") {
     val rows = ops.Rdf.r5(spark, sf001).collect()
     val nCust = Tables.customer(spark, sf001).count()
