@@ -32,6 +32,7 @@ object SparkEntry {
     "j8_theta_range" -> (Joins.j8 _),
     "j9_asof" -> (Joins.j9 _),
     "j10_cross" -> (Joins.j10 _),
+    "j11_scalar_subquery" -> (Joins.j11 _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
     "a2_distinct_agg" -> (Aggs.a2 _),

@@ -138,4 +138,22 @@ object Joins {
     Tables.region(s, d).crossJoin(Tables.nation(s, d))
       .select(col("r_regionkey"), col("n_nationkey"), col("r_name"), col("n_name"))
       .orderBy("r_regionkey", "n_nationkey")
+
+  /** j11 — correlated scalar subqueries: orders strictly above their
+    * customer's average price. Exercises Catalyst's subquery decorrelation
+    * (both correlated aggregates rewrite to one aggregate + join — check
+    * `.explain`: no per-row subquery execution survives). The average is
+    * compared multiplicatively (`price × count > sum`) so the math stays in
+    * exact decimals end-to-end — an avg would force an engine-specific
+    * decimal-division scale.
+    */
+  def j11(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_j11")
+    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_j11 o
+             WHERE CAST(o_totalprice AS DECIMAL(18,2))
+                 * (SELECT COUNT(*) FROM orders_j11 i WHERE i.o_custkey = o.o_custkey)
+               > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                  FROM orders_j11 i WHERE i.o_custkey = o.o_custkey)
+             ORDER BY o_orderkey""")
+  }
 }

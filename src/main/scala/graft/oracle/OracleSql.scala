@@ -96,6 +96,14 @@ object OracleSql {
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
 
+    "j11_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2))
+        |    * (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+        |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

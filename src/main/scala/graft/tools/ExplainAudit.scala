@@ -17,7 +17,8 @@ object ExplainAudit {
       "j3_star_5way", "j9_asof", "a1_pricing_summary", "l3_cosine_topk",
       "x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
       "x10_simhash_pairs",
-      "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf")
+      "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf",
+      "j11_scalar_subquery", "r5_property_path")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
