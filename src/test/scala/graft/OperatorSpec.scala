@@ -89,7 +89,9 @@ class OperatorSpec extends SparkSpec {
       // the round-robin-repartitioned pair ops: intra-partition order is
       // nondeterministic, so these prove the final total order masks it
       "x1" -> Pipeline.x1, "x4" -> Pipeline.x4, "x10" -> Pipeline.x10,
-      "l2" -> Llm.l2, "j9" -> Joins.j9
+      "l2" -> Llm.l2, "j9" -> Joins.j9,
+      // round-3 ranked/iterative additions
+      "l6" -> Llm.l6, "x11" -> Pipeline.x11, "r5" -> Rdf.r5
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
