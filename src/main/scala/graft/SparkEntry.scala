@@ -99,7 +99,8 @@ object SparkEntry {
     "x9_ann_lsh" -> (Pipeline.x9 _),
     "x10_simhash_pairs" -> (Pipeline.x10 _),
     "x11_ann_ivf" -> (Pipeline.x11 _),
-    "x12_split_sample" -> (Pipeline.x12 _)
+    "x12_split_sample" -> (Pipeline.x12 _),
+    "x13_lm_score" -> (Pipeline.x13 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -414,6 +414,47 @@ object Pipeline {
     * (sf0.01) and 26/30 (sf0.1) of the exact top-3 slots recovered, vs 0-1
     * for a single 8-bit sign bucket. The oracle mirrors the banding.
     */
+  /** x13 — bigram language-model scoring (perplexity-style quality filter,
+    * the real pipeline stage behind "remove gibberish"): per-doc mean log
+    * probability under an add-one-smoothed corpus bigram model,
+    * p(w2|w1) = (c12 + 1) / (c1 + V).
+    *
+    * Determinism: a per-doc SUM of double logs is evaluation-order-dependent
+    * (D2), so each bigram's log-prob is rounded to 9 dp and quantized to
+    * DECIMAL(18,9) BEFORE the sum — the aggregation is then exact under any
+    * partitioning and the oracle sums identically. Scale shape: bigram
+    * explode is narrow (window lead per doc), model counts are two keyed
+    * aggs, scoring joins are keyed on (w1, w2)/(w1), vocab size is one
+    * broadcast scalar row.
+    */
+  def x13(s: SparkSession, d: String): DataFrame = {
+    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead("w1", 1).over(wPos))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("vocab"))
+    bi
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("logp",
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("vocab"))), 9)
+          .cast("decimal(18,9)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("sum_logp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.Det.round4nz(
+          col("sum_logp").cast("double") / col("n_bigrams").cast("double"))
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
   /** x12 — deterministic train/val/test splitting, the seed-free assignment
     * every training-data pipeline needs: split = first hex digit of
     * md5(doc_id) → 75% train ('0'-'b'), 12.5% val ('c','d'), 12.5% test

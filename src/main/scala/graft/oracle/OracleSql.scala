@@ -580,6 +580,23 @@ object OracleSql {
         | FROM scored) t
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
+    "x13_lm_score" ->
+      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | bi AS (SELECT doc_id,
+        |   unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        |  FROM sp),
+        | c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        | c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        | v AS (SELECT COUNT(DISTINCT w) AS vocab
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        | sc AS (SELECT doc_id,
+        |   CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + vocab)), 9) AS DECIMAL(18,9)) AS logp
+        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | ROUND(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "x12_split_sample" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
