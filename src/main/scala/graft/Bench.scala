@@ -22,14 +22,20 @@ object Bench {
     // number. BASELINE.md's DuckDB comparators are warm second-run figures,
     // so min-of-2 is the apples-to-apples protocol — single-run numbers on
     // this box swing up to 2x with background load.
+    // A failed run records the sentinel -1.0, never its wall-clock-to-failure
+    // (a fast crash must not win the min over a slow success).
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            -1.0
+        }
       }
       val a = once(); val b = once()
-      name -> math.min(a, b)
+      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -58,15 +58,18 @@ object Aggs {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first, col("gid"))
 
-  /** a5 — explicit GROUPING SETS via SQL on a temp view. */
-  def a5(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).createOrReplaceTempView("documents_gs")
-    s.sql("""SELECT lang, source, COUNT(*) AS doc_cnt, SUM(n_chars) AS sum_chars,
-             CAST(grouping_id() AS BIGINT) AS gid
-             FROM documents_gs
-             GROUP BY GROUPING SETS ((lang, source), (lang), ())
-             ORDER BY lang ASC NULLS FIRST, source ASC NULLS FIRST, gid""")
-  }
+  /** a5 — explicit GROUPING SETS via the native Dataset.groupingSets API
+    * (Spark 4) — no SQL text, no temp view, no shared-catalog side effect.
+    */
+  def a5(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupingSets(
+        Seq(Seq(col("lang"), col("source")), Seq(col("lang")), Seq.empty),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("doc_cnt"), sum(col("n_chars")).as("sum_chars"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first,
+        col("gid"))
 
   /** a11 — conditional (pivot-style) aggregation: per-nation order counts by
     * status and high-value revenue share, via sum(CASE WHEN) so empty cells

@@ -19,6 +19,11 @@ import graft.Det._
   */
 object Joins {
 
+  /** Monotone suffix for per-call temp-view names (j11) — keeps SQL-text
+    * queries from mutating a shared catalog name under concurrent callers.
+    */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** j1 — inner equi-join fact→dim. */
   def j1(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -148,12 +153,17 @@ object Joins {
     * decimal-division scale.
     */
   def j11(s: SparkSession, d: String): DataFrame = {
-    Tables.orders(s, d).createOrReplaceTempView("orders_j11")
-    s.sql("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders_j11 o
+    // Correlated scalar subqueries are SQL-text-only, which forces a view;
+    // a per-call unique name (dropped immediately after the eager analysis
+    // inside sql()) keeps this function free of shared-catalog side effects.
+    val v = s"orders_j11_${Joins.viewSeq.incrementAndGet()}"
+    Tables.orders(s, d).createOrReplaceTempView(v)
+    try s.sql(s"""SELECT o_orderkey, o_custkey, o_totalprice FROM $v o
              WHERE CAST(o_totalprice AS DECIMAL(18,2))
-                 * (SELECT COUNT(*) FROM orders_j11 i WHERE i.o_custkey = o.o_custkey)
+                 * (SELECT COUNT(*) FROM $v i WHERE i.o_custkey = o.o_custkey)
                > (SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
-                  FROM orders_j11 i WHERE i.o_custkey = o.o_custkey)
+                  FROM $v i WHERE i.o_custkey = o.o_custkey)
              ORDER BY o_orderkey""")
+    finally s.catalog.dropTempView(v)
   }
 }

@@ -18,9 +18,15 @@ import graft.functions.DotProduct.{dot => vdot}
   *    gives an exact deterministic tie-break, one keyed aggregation, no
   *    window;
   *  - update: per-dimension means via posexplode + groupBy(cell, pos) —
-  *    a keyed shuffle whose width is k×dims rows, then the new centroid
+  *    a keyed shuffle whose width is k×dims rows. Each component is
+  *    quantized to DECIMAL(27,14) BEFORE the sum (rule D2: a decimal sum
+  *    is exact, so its value is independent of partial-aggregation order —
+  *    `avg` over raw doubles is not) and divided once; the new centroid
   *    arrays are reassembled in pos order (sort_array on (pos, mean)
   *    structs, unique pos ⇒ total order ⇒ deterministic);
+  *  - a cell that receives no vectors this round RETAINS its previous
+  *    centroid (left join + coalesce onto the prior codebook), so train()
+  *    always returns exactly k centroids;
   *  - the per-iteration centroid frame is `localCheckpoint`ed to truncate
   *    the growing lineage (same idiom as [[DedupCluster]]).
   *
@@ -39,14 +45,18 @@ object KMeansCodebook {
       .localCheckpoint()
     (0 until iters).foreach { _ =>
       val assigned = assign(vecs, codebook)
-      codebook = assigned.join(vecs, "id")
+      val means = assigned.join(vecs, "id")
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+        .agg((sum(col("v").cast("decimal(27,14)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
-          expr("transform(pm, x -> x.m)").as("cent_emb"))
+          expr("transform(pm, x -> x.m)").as("new_emb"))
+      codebook = codebook.join(means, Seq("cent_id"), "left")
+        .select(col("cent_id"),
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
         .localCheckpoint()
     }
     codebook

@@ -84,10 +84,15 @@ object Rdf {
     * fully lazy (no driver-side fixpoint loop inside a declared query; for
     * unbounded-depth graphs use the [[DedupCluster]] iterative idiom, which
     * localCheckpoints per round and only ever surfaces a change count).
-    * Each hop shuffles on the join key `dst = src` — the reference's
-    * chained-job path join [RECON], generalized to variable length. The
-    * oracle expresses the same closure as a DuckDB `WITH RECURSIVE` CTE
-    * bounded at depth 4.
+    * Each hop is a keyed join on `dst = src`. Only the nation→region edge
+    * set is broadcast: a path's `dst` is always an `n*` or `r*` node (no
+    * edge points AT a customer), so the corpus-cardinality c→n edges can
+    * never extend a path and stay out of the broadcast — the hop relation
+    * is dimension-sized (|nation| rows) by construction. On a general
+    * graph whose hop relation is corpus-sized, drop the broadcast and let
+    * each hop shuffle on the key — the reference's chained-job path join
+    * [RECON], generalized to variable length. The oracle expresses the
+    * same closure as a DuckDB `WITH RECURSIVE` CTE bounded at depth 4.
     */
   def r5(s: SparkSession, d: String): DataFrame = {
     val cn = Tables.customer(s, d).select(
@@ -97,7 +102,9 @@ object Rdf {
       concat(lit("n"), col("n_nationkey")).as("src"),
       concat(lit("r"), col("n_regionkey")).as("dst"))
     val edges = cn.union(nr)
-    val hop = broadcast(edges.select(col("src").as("e_src"), col("dst").as("e_dst")))
+    // Extension edges must START where some path ENDS; dst ∈ {n*, r*} only,
+    // so the hop relation is exactly the tiny n→r set (r has no out-edges).
+    val hop = broadcast(nr.select(col("src").as("e_src"), col("dst").as("e_dst")))
     def extend(p: DataFrame): DataFrame =
       p.join(hop, col("dst") === col("e_src"))
         .select(col("src"), col("e_dst").as("dst"),

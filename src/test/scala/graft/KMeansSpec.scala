@@ -29,6 +29,16 @@ class KMeansSpec extends SparkSpec {
     a.foreach(r => assert(r.getSeq[Double](1).length === 64))
   }
 
+  test("empty cells retain their previous centroid (k never shrinks)") {
+    // All-identical vectors: every vector ties to the min cent_id, so cells
+    // 2..4 receive nothing — they must survive the update with their
+    // round-0 centroids instead of silently dropping out.
+    val same = vecs.limit(8).select(col("id"), expr("transform(emb, x -> 0.5d)").as("emb"))
+    val cb = KMeansCodebook.train(same, 4, 2).orderBy("cent_id").collect()
+    assert(cb.length === 4)
+    cb.foreach(r => assert(r.getSeq[Double](1).length === 64))
+  }
+
   test("every vector lands in exactly one cell of the trained codebook") {
     val v = vecs
     val cb = KMeansCodebook.train(v, 4, 2)
