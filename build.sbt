@@ -16,6 +16,10 @@ run / fork := true
 // consumer that json-parses Bench's single {"metric":...} result line
 // (the driver's BENCH artifact recorded parsed:null in rounds 1-2).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue line: the external
+// bench driver keeps only a ~2000-char tail of stdout and json-parses the
+// {"metric":...} line from it, so nothing may print after that line.
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
