@@ -47,6 +47,8 @@ object SparkEntry {
     "a11_cond_agg" -> (Aggs.a11 _),
     "a12_stat_moments" -> (Aggs.a12 _),
     "a13_unpivot" -> (Aggs.a13 _),
+    "a14_pivot" -> (Aggs.a14 _),
+    "a15_histogram" -> (Aggs.a15 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),
@@ -60,6 +62,7 @@ object SparkEntry {
     "r3_path_join" -> (Rdf.r3 _),
     "r4_optional_bgp" -> (Rdf.r4 _),
     "r5_property_path" -> (Rdf.r5 _),
+    "r6_degree_dist" -> (Rdf.r6 _),
     // §2.5 scalar functions
     "f1_string" -> (Scalars.f1 _),
     "f2_date" -> (Scalars.f2 _),
@@ -76,6 +79,7 @@ object SparkEntry {
     "s3_session" -> (Events.s3 _),
     "s4_dedup_first" -> (Events.s4 _),
     "s5_funnel" -> (Events.s5 _),
+    "s6_retention" -> (Events.s6 _),
     // §2.7 UDF/UDAF/generator
     "u1_scalar_udf" -> (Udfs.u1 _),
     "u2_udaf_wavg" -> (Udfs.u2 _),
@@ -87,6 +91,7 @@ object SparkEntry {
     "l4_tokenize" -> (Llm.l4 _),
     "l5_text_stats" -> (Llm.l5 _),
     "l6_bm25" -> (Llm.l6 _),
+    "l7_tfidf" -> (Llm.l7 _),
     // training-data-pipeline extensions (builder brief)
     "x1_minhash_lsh" -> (Pipeline.x1 _),
     "x2_simhash" -> (Pipeline.x2 _),
@@ -100,7 +105,10 @@ object SparkEntry {
     "x10_simhash_pairs" -> (Pipeline.x10 _),
     "x11_ann_ivf" -> (Pipeline.x11 _),
     "x12_split_sample" -> (Pipeline.x12 _),
-    "x13_lm_score" -> (Pipeline.x13 _)
+    "x13_lm_score" -> (Pipeline.x13 _),
+    "x14_contamination" -> (Pipeline.x14 _),
+    "x15_source_diversity" -> (Pipeline.x15 _),
+    "x16_repetition" -> (Pipeline.x16 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

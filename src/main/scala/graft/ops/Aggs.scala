@@ -145,4 +145,37 @@ object Aggs {
         round(percentile(col("n_chars"), lit(0.9)), 2).as("p90"),
         count(lit(1)).as("doc_cnt"))
       .orderBy("lang")
+
+  /** a14 — PIVOT (long→wide, the inverse of a13's unpivot): per-returnflag
+    * row with one (qty, cnt) column pair per linestatus. The pivot values
+    * are pinned to the fixture domain {F,O} so the output schema is static
+    * (an unpinned pivot needs a distinct-values job first — never do that in
+    * a declared query); Catalyst rewrites the pivot into one conditional
+    * aggregation pass, which is exactly the oracle's CASE formulation.
+    * Money math stays decimal until the final out-cast (D2).
+    */
+  def a14(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(out2(sum(dec2(col("l_quantity")))).as("qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  /** a15 — fixed-width histogram (the binning every profiling pass needs):
+    * orders bucketed by total price into 50k-wide bins, top bin open-ended.
+    * Bucket index is exact integer math on both engines (identical IEEE
+    * divide + floor), so bin membership can't flake; per-bin money stats are
+    * decimal until the final cast (D2). One keyed aggregation — narrow,
+    * nothing to tune at 100 TB.
+    */
+  def a15(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bucket", least(floor(col("o_totalprice") / 50000).cast("long"), lit(9L)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("order_cnt"),
+        out2(sum(dec2(col("o_totalprice")))).as("revenue"),
+        out2(min(dec2(col("o_totalprice")))).as("min_price"),
+        out2(max(dec2(col("o_totalprice")))).as("max_price"))
+      .orderBy("bucket")
 }

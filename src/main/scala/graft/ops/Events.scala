@@ -94,4 +94,26 @@ object Events {
         col("event_id"), col("ts"))
       .orderBy("user_id", "event_type", "minute_start")
   }
+
+  /** s6 — cohort retention: users cohorted by first-activity day, activity
+    * counted per (cohort, day-offset) cell — the classic retention triangle.
+    * Day indices are exact integer math on the µs longs (D3); the cohort is
+    * a per-user window min (one keyed shuffle on user_id), the cell rollup a
+    * second keyed shuffle — both on high-cardinality keys, so the plan holds
+    * at 100 TB (no driver state, no per-day loop).
+    */
+  def s6(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val wU = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .withColumn("day_idx", expr(s"(ts div 1000) div $usPerDay"))
+      .withColumn("cohort_idx", min(col("day_idx")).over(wU))
+      .withColumn("day_offset", col("day_idx") - col("cohort_idx"))
+      .groupBy(col("cohort_idx"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("event_cnt"))
+      .select(asDate(timestamp_seconds(col("cohort_idx") * 86400)).as("cohort_day"),
+        col("day_offset"), col("active_users"), col("event_cnt"))
+      .orderBy("cohort_day", "day_offset")
+  }
 }

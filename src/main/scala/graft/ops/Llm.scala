@@ -146,4 +146,37 @@ object Llm {
           .as("chars_per_word"))
       .orderBy("lang")
   }
+
+  /** l7 — TF-IDF: corpus-wide top-100 (doc, term) pairs by tf·idf. The idf
+    * ln is the one transcendental: it is rounded to 9 dp and quantized to
+    * DECIMAL(18,9) BEFORE the tf multiply (x13's D2 pattern for
+    * transcendental per-row values), so tf·idf is exact integer×decimal on
+    * both engines and the ranking can't flake in low bits. Ties broken by
+    * (doc_id, term) for a total order (D1/D6 — LIMIT only after it).
+    *
+    * Scale: two keyed aggregations (term frequencies per (doc, term), then
+    * document frequencies per term), a keyed equi-join back on term, one
+    * broadcast scalar (corpus size), and a global top-k that plans as
+    * TakeOrderedAndProject (bounded heap per partition — no global sort).
+    */
+  def l7(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        round(log(col("n").cast("double") / col("df").cast("double")), 9)
+          .cast("decimal(18,9)"))
+      // tf as DECIMAL(10,0), not long: a long multiplicand widens the product
+      // past precision 38 and Spark trims its scale to 8, silently rounding
+      // the 9th idf digit (observed: 8.98719682 vs exact 8.987196822).
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("decimal(10,0)") * col("idf")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term"))
+      .limit(100)
+  }
 }

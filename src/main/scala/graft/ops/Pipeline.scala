@@ -23,6 +23,26 @@ object Pipeline {
     Tables.documents(s, d).select(col("doc_id"), col("lang"),
       array_distinct(split(col("text"), " ")).as("toks"))
 
+  /** x12's deterministic split rule: first hex digit of md5(doc_id) →
+    * 'train' (0-b) / 'val' (c,d) / 'test' (e,f). Shared by x14 so the
+    * contamination check sees exactly the split the manifest declares.
+    */
+  private def splitCol: Column = {
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    when(h.isin("c", "d"), "val")
+      .when(h.isin("e", "f"), "test")
+      .otherwise("train")
+  }
+
+  /** Word trigrams of an array column named `w` (docs with fewer than 3
+    * tokens produce an empty array — the guard matters because Spark's
+    * `sequence(0, -1)` counts DOWN; DuckDB's `range` is just empty there).
+    */
+  private def trigramsOfW: Column =
+    when(size(col("w")) >= 3,
+      expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
+      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+
   /** x1 — MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate generation,
     * then exact Jaccard >= 0.7 verification on candidates only. MinHash is
     * the lexicographic min of md5("seed:token") hex strings — portable
@@ -550,4 +570,73 @@ object Pipeline {
       .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
       .orderBy("q_id", "rnk")
   }
+
+  /** x14 — train/test contamination check (the eval-integrity gate every
+    * training pipeline needs): for each test-split document (x12's md5 split
+    * rule), the fraction of its distinct word trigrams that also occur
+    * anywhere in the train split.
+    *
+    * Scale: the train side is collapsed to a DISTINCT shingle index before
+    * the join, so each test shingle matches at most one index row — a keyed
+    * equi-join on the shingle with no fan-out, never doc×doc. Hot shingles
+    * cost one index row regardless of their train-side frequency; both
+    * aggregations shuffle on high-cardinality keys (shingle, then doc_id).
+    */
+  def x14(s: SparkSession, d: String): DataFrame = {
+    val tri = Tables.documents(s, d)
+      .withColumn("split", splitCol)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), col("split"), explode(trigramsOfW).as("sh"))
+    val trainIdx = tri.filter(col("split") === "train").select(col("sh")).distinct()
+      .withColumn("hit", lit(1))
+    tri.filter(col("split") === "test")
+      .select(col("doc_id"), col("sh")).distinct()
+      .join(trainIdx, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        graft.Det.round4nz(
+          col("n_contaminated").cast("double") / col("n_shingles").cast("double"))
+          .as("contamination_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** x15 — per-source corpus diversity: documents, token volume, corpus-wide
+    * distinct vocabulary and type-token ratio per source — the signal a
+    * data-mixing pass uses to weight (or drop) low-diversity sources. Unlike
+    * l5's per-doc distinct sums, the vocabulary here is distinct ACROSS the
+    * source's documents. One explode + one keyed aggregation with two
+    * distincts (Catalyst expands to the two-phase distinct-agg plan).
+    */
+  def x15(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("doc_cnt"),
+        count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("distinct_tokens"))
+      .select(col("source"), col("doc_cnt"), col("total_tokens"), col("distinct_tokens"),
+        graft.Det.round4nz(
+          col("distinct_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("type_token_ratio"))
+      .orderBy("source")
+
+  /** x16 — per-document repetition ratio (Gopher-style quality rule): the
+    * fraction of a document's word trigrams that are repeats of an earlier
+    * trigram, 1 − distinct/total. Fully narrow — the trigram list never
+    * leaves its row (no explode, no shuffle except the final sort), so the
+    * operator is embarrassingly parallel at any scale.
+    */
+  def x16(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("tri", trigramsOfW)
+      .filter(size(col("tri")) > 0)
+      .select(col("doc_id"), size(col("tri")).as("n_trigrams"),
+        size(array_distinct(col("tri"))).as("n_distinct"))
+      .select(col("doc_id"), col("n_trigrams"), col("n_distinct"),
+        graft.Det.round4nz(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
+          .as("rep_ratio"))
+      .orderBy("doc_id")
 }

@@ -134,4 +134,26 @@ object Rdf {
       .select(col("custkey"), col("nat_s").as("nationkey"), col("region_name"))
       .orderBy("custkey")
   }
+
+  /** r6 — object in-degree distribution over the FK predicates of the
+    * triples view: for each of `nationkey` (customer→nation) and `regionkey`
+    * (nation→region), count the subjects pointing at each object, then roll
+    * the per-object degrees into a (predicate, degree) → object-count
+    * histogram — the degree-distribution statistic every triple-store
+    * optimizer keeps [RECON: the reference sizes its reduce-side joins by
+    * per-key triple counts; the tree was empty at build time, SURVEY §0].
+    *
+    * Scale: two keyed aggregations (first on (p, o) — the join-key space,
+    * high-cardinality on a real graph — then on the tiny (p, degree) space);
+    * never collects a vertex list, so the plan is the 100 TB shape.
+    */
+  def r6(s: SparkSession, d: String): DataFrame = {
+    val fk = custTriples(s, d).filter(col("p") === "nationkey")
+      .unionByName(nationTriples(s, d).filter(col("p") === "regionkey"))
+    fk.groupBy(col("p"), col("o"))
+      .agg(count(lit(1)).as("degree"))
+      .groupBy(col("p"), col("degree"))
+      .agg(count(lit(1)).as("n_objects"))
+      .orderBy("p", "degree")
+  }
 }

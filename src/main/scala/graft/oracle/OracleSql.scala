@@ -597,6 +597,91 @@ object OracleSql {
         | ROUND(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+
+    "a14_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+        |  AS DECIMAL(18,2)) AS DOUBLE) AS F_qty,
+        | COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_cnt,
+        | CAST(CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END)
+        |  AS DECIMAL(18,2)) AS DOUBLE) AS O_qty,
+        | COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "a15_histogram" ->
+      """SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+        | COUNT(*) AS order_cnt,
+        | CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        | CAST(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS min_price,
+        | CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS max_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "s6_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),
+        | c AS (SELECT user_id, day_idx,
+        |  MIN(day_idx) OVER (PARTITION BY user_id) AS cohort_idx FROM e)
+        |SELECT CAST(to_timestamp(cohort_idx * 86400) AS DATE) AS cohort_day,
+        | day_idx - cohort_idx AS day_offset,
+        | COUNT(DISTINCT user_id) AS active_users, COUNT(*) AS event_cnt
+        |FROM c GROUP BY cohort_idx, day_offset ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "r6_degree_dist" ->
+      """WITH fk AS (
+        |  SELECT 'nationkey' AS p, CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'regionkey' AS p, CAST(n_regionkey AS VARCHAR) AS o FROM nation),
+        | deg AS (SELECT p, o, COUNT(*) AS degree FROM fk GROUP BY p, o)
+        |SELECT p, degree, COUNT(*) AS n_objects
+        |FROM deg GROUP BY p, degree ORDER BY p, degree""".stripMargin,
+
+    "l7_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n FROM documents),
+        | sc AS (SELECT doc_id, tf.term, tf,
+        |   CAST(tf AS DECIMAL(10,0))
+        |    * CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS DECIMAL(18,9)) AS score
+        |  FROM tf JOIN df ON tf.term = df.term, n)
+        |SELECT doc_id, term, tf, CAST(score AS DOUBLE) AS score
+        |FROM sc ORDER BY score DESC, doc_id, term LIMIT 100""".stripMargin,
+
+    "x14_contamination" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM documents),
+        | tri AS (SELECT doc_id, split,
+        |   unnest(list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM d),
+        | trainsh AS (SELECT DISTINCT sh FROM tri WHERE split = 'train'),
+        | testsh AS (SELECT DISTINCT doc_id, sh FROM tri WHERE split = 'test')
+        |SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(tr.sh) AS n_contaminated,
+        | ROUND(CAST(COUNT(tr.sh) AS DOUBLE) / COUNT(*), 4) + 0.0 AS contamination_rate
+        |FROM testsh t LEFT JOIN trainsh tr ON t.sh = tr.sh
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "x15_source_diversity" ->
+      """WITH tok AS (SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+        | FROM documents)
+        |SELECT source, COUNT(DISTINCT doc_id) AS doc_cnt, COUNT(*) AS total_tokens,
+        | COUNT(DISTINCT tok) AS distinct_tokens,
+        | ROUND(CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*), 4) + 0.0 AS type_token_ratio
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "x16_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | tr AS (SELECT doc_id,
+        |   list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS tri
+        |  FROM d WHERE len(w) >= 3)
+        |SELECT doc_id, len(tri) AS n_trigrams, len(list_distinct(tri)) AS n_distinct,
+        | ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 4) + 0.0 AS rep_ratio
+        |FROM tr ORDER BY doc_id""".stripMargin,
+
     "x12_split_sample" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'

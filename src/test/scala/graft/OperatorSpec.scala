@@ -91,7 +91,9 @@ class OperatorSpec extends SparkSpec {
       "x1" -> Pipeline.x1, "x4" -> Pipeline.x4, "x10" -> Pipeline.x10,
       "l2" -> Llm.l2, "j9" -> Joins.j9,
       // round-3 ranked/iterative additions
-      "l6" -> Llm.l6, "x11" -> Pipeline.x11, "r5" -> Rdf.r5
+      "l6" -> Llm.l6, "x11" -> Pipeline.x11, "r5" -> Rdf.r5,
+      // round-5 ranked/joined additions
+      "l7" -> Llm.l7, "x14" -> Pipeline.x14, "s6" -> ops.Events.s6
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
@@ -294,5 +296,104 @@ class OperatorSpec extends SparkSpec {
     val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
     assert(got.intersect(exact).size * 2 >= exact.size,
       s"IVF recalled ${got.intersect(exact).size}/${exact.size} exact slots")
+  }
+
+  test("a14 pivot: wide cells sum back to a1's long-form totals") {
+    val wide = Aggs.a14(spark, sf001).collect()
+    val long = Aggs.a1(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Double]("sum_qty"), r.getAs[Long]("count_order"))).toMap
+    wide.foreach { r =>
+      val rf = r.getString(0)
+      Seq("F", "O").foreach { ls =>
+        val qty = Option(r.getAs[java.lang.Double](s"${ls}_qty")).map(_.toDouble)
+        val cnt = r.getAs[Long](s"${ls}_cnt")
+        long.get((rf, ls)) match {
+          case Some((q, c)) => assert(qty.contains(q) && cnt == c, s"cell ($rf,$ls)")
+          case None         => assert(qty.isEmpty && cnt == 0L, s"empty cell ($rf,$ls)")
+        }
+      }
+    }
+  }
+
+  test("a15 histogram: buckets within range, counts sum to table size") {
+    val h = Aggs.a15(spark, sf001).collect()
+    assert(h.forall { r => val b = r.getAs[Long]("bucket"); b >= 0 && b <= 9 })
+    assert(h.map(_.getAs[Long]("order_cnt")).sum ===
+      Tables.orders(spark, sf001).count())
+    h.foreach(r => assert(r.getAs[Double]("min_price") <= r.getAs[Double]("max_price")))
+  }
+
+  test("s6 retention: offsets non-negative, day-0 cell counts every cohort user") {
+    val rows = ops.Events.s6(spark, sf001).collect()
+    assert(rows.forall(_.getAs[Long]("day_offset") >= 0))
+    // Σ over cohorts of day-0 active_users = number of distinct users: every
+    // user is active in their own first-day cell, and cohorts partition users.
+    val day0 = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("active_users")).sum
+    val users = Tables.events(spark, sf001).select($"user_id").distinct().count()
+    assert(day0 === users)
+  }
+
+  test("r6 degree distribution: object counts account for every nation and region") {
+    val rows = Rdf.r6(spark, sf001).collect()
+    val byP = rows.groupBy(_.getString(0))
+    // every degree row counts objects; totals = distinct referenced objects
+    val nObjNation = byP("nationkey").map(_.getAs[Long]("n_objects")).sum
+    val refNations = Tables.customer(spark, sf001).select($"c_nationkey").distinct().count()
+    assert(nObjNation === refNations)
+    // weighted degree sum = total triples (customers / nations)
+    val wNation = byP("nationkey").map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_objects")).sum
+    assert(wNation === Tables.customer(spark, sf001).count())
+    val wRegion = byP("regionkey").map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_objects")).sum
+    assert(wRegion === Tables.nation(spark, sf001).count())
+  }
+
+  test("l7 tfidf: scores positive and non-increasing, corpus-wide terms excluded") {
+    val rows = Llm.l7(spark, sf001).collect()
+    assert(rows.length <= 100)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a term present in every document has idf = ln(1) = 0 → can never rank
+    assert(scores.forall(_ > 0))
+  }
+
+  test("x14 contamination: rates in [0,1], only test-split docs appear") {
+    val rows = Pipeline.x14(spark, sf001).collect()
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("contamination_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_contaminated") <= r.getAs[Long]("n_shingles"))
+    }
+    val md5TestDocs = Tables.documents(spark, sf001)
+      .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 1).isin("e", "f"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet.subsetOf(md5TestDocs))
+  }
+
+  test("x15 source diversity: distinct vocabulary bounded by token volume") {
+    val rows = Pipeline.x15(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("distinct_tokens") <= r.getAs[Long]("total_tokens"))
+      val ttr = r.getAs[Double]("type_token_ratio")
+      assert(ttr > 0.0 && ttr <= 1.0)
+    }
+    assert(rows.map(_.getAs[Long]("doc_cnt")).sum ===
+      Tables.documents(spark, sf001).count())
+  }
+
+  test("x16 repetition: ratio consistent with distinct/total trigram counts") {
+    val rows = Pipeline.x16(spark, sf001).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_trigrams"); val dct = r.getAs[Int]("n_distinct")
+      assert(dct >= 1 && dct <= n)
+      val expect = BigDecimal(1.0 - dct.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rep_ratio") - expect) < 1e-9)
+    }
+    // every doc with >= 3 tokens appears
+    val eligible = Tables.documents(spark, sf001)
+      .filter(size(split($"text", " ")) >= 3).count()
+    assert(rows.length.toLong === eligible)
   }
 }
