@@ -51,14 +51,18 @@ object Pipeline {
     */
   def x1(s: SparkSession, d: String): DataFrame = {
     val t = toks(s, d)
-    // MinHash per DISTINCT token (vocabulary × 8 md5s), broadcast back and
+    // MinHash per DISTINCT token (vocabulary × 8 md5s), joined back and
     // min-aggregated per doc — identical minima to hashing inside each doc's
-    // array, at a fraction of the hashing work.
+    // array, at a fraction of the hashing work. The join is keyed on `tok`
+    // with NO broadcast hint: the vocabulary is sublinear but unbounded at
+    // 100 TB (billions of distinct tokens), so the hint would OOM every
+    // executor there; AQE broadcasts on its own when the dictionary is
+    // genuinely small (it is at every test SF).
     val exploded = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
     val hashed = exploded.select(col("tok")).distinct()
       .select(Seq(col("tok")) ++ (0 until 8).map(i =>
         md5(concat(lit(s"$i:"), col("tok")).cast("binary")).as(s"h$i")): _*)
-    val sig = exploded.join(broadcast(hashed), "tok")
+    val sig = exploded.join(hashed, "tok")
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(col("h0")).as("mh0"), min(col("h1")).as("mh1"),
         min(col("h2")).as("mh2"), min(col("h3")).as("mh3"),
@@ -113,16 +117,20 @@ object Pipeline {
         && col("a_id") < col("b_id"))
       .filter(firstCollision)
       .select(col("lang"), col("a_id"), col("b_id"))
-    // enc is vocabulary-bounded per doc and tiny next to the pair stream:
-    // broadcast both verify sides so candidates never shuffle again. Both
-    // joins broadcast the SAME projection keyed on doc_id (renames happen
-    // AFTER each join), so the two BroadcastExchanges are canonically
-    // identical and ReuseExchange builds the encoded frame once, not twice.
+    // enc is one row PER DOCUMENT — corpus-sized at 100 TB — so neither
+    // verify lookup may carry a broadcast hint (the hint would collect the
+    // whole corpus' token sets onto the driver and every executor). Each is
+    // a plain keyed join on the pair id; AQE still broadcasts when the
+    // frame is genuinely small (it is at every test SF), so nothing is
+    // lost locally. Both joins consume the SAME projection keyed on doc_id
+    // (renames happen AFTER each join), so when the planner picks shuffle
+    // joins the two enc exchanges are canonically identical and
+    // ReuseExchange materializes the encoded frame once, not twice.
     val enc = SetSim.tokenSets(t)
       .select(col("doc_id"), col("small"), col("set"), col("sz"))
     cand
-      .join(broadcast(enc.as("ea")), col("a_id") === col("ea.doc_id"))
-      .join(broadcast(enc.as("eb")), col("b_id") === col("eb.doc_id"))
+      .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
       .select(col("lang"), col("a_id"), col("b_id"),
         col("ea.small").as("small"),
         col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
@@ -302,7 +310,11 @@ object Pipeline {
       col("nrm").as("a_nrm"))
     val eb = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"))
-    cand.join(broadcast(ea), "a_id").join(broadcast(eb), "b_id")
+    // ea/eb are ALL embeddings — corpus-sized — so the verify lookups are
+    // keyed joins on the pair ids, never hinted broadcasts (AQE broadcasts
+    // on its own when a side is genuinely small). Contrast x9, which
+    // broadcasts only its 10-row query side.
+    cand.join(ea, "a_id").join(eb, "b_id")
       .withColumn("sim",
         graft.Det.round4nz(vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
       .filter(col("sim") >= 0.4)

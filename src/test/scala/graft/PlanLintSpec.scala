@@ -21,6 +21,54 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
+  /** A `broadcast()` hint on a frame whose cardinality grows with the
+    * corpus is the one pattern AQE cannot save you from — the hint is
+    * unconditional, so at 100 TB it collects the whole table onto the
+    * driver and every executor. A hinted subtree that scans the corpus
+    * tables (documents/embeddings) must contain a corpus-reducing step:
+    * a global aggregate (≤1 row), a limit, or a literal-comparison filter
+    * (a fixed probe/codebook set like vec_id < 10). Frames that are merely
+    * "small at test SF" must leave the decision to AQE (no hint).
+    */
+  test("no broadcast hint on a corpus-sized documents/embeddings frame") {
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+    def corpusLeaf(p: LogicalPlan): Boolean = p.collectLeaves().exists {
+      case lr: LogicalRelation => lr.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
+          val s = rp.toString
+          s.contains("documents.parquet") || s.contains("embeddings.parquet")
+        }
+        case _ => false
+      }
+      case _ => false
+    }
+    def reducing(p: LogicalPlan): Boolean = p.exists {
+      case a: Aggregate if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimit | _: LocalLimit => true
+      // A comparison against a foldable side (a literal, possibly wrapped
+      // in an implicit cast: `vec_id < cast(10 as bigint)`) is a fixed
+      // probe/codebook selection — corpus-reducing by construction.
+      case f: Filter => f.condition.exists {
+        case cmp: BinaryComparison => cmp.left.foldable || cmp.right.foldable
+        case _ => false
+      }
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val hinted = fn(spark, sf001).queryExecution.analyzed.collect {
+        case h: ResolvedHint
+          if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) => h
+      }
+      if (hinted.exists(h => corpusLeaf(h.child) && !reducing(h.child))) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized broadcast hints: ${offenders.mkString(", ")}")
+  }
+
   test("every declared query's optimized plan builds without error") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val qe = fn(spark, sf001).queryExecution
