@@ -35,13 +35,15 @@ object Pipeline {
   }
 
   /** Word trigrams of an array column named `w` (docs with fewer than 3
-    * tokens produce an empty array — the guard matters because Spark's
-    * `sequence(0, -1)` counts DOWN; DuckDB's `range` is just empty there).
+    * tokens produce an empty array). Codegen'd [[graft.functions.Trigrams]]
+    * expression — the `transform(sequence(...))` HOF it replaced interprets
+    * its lambda per shingle (~0.8 ms/doc, dominating x16/x14 wall-clock;
+    * same finding as x3's comment). The DuckDB oracle keeps the equivalent
+    * list-comprehension formulation; a PropertySpec test pins this
+    * expression to the HOF semantics.
     */
   private def trigramsOfW: Column =
-    when(size(col("w")) >= 3,
-      expr("transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))"))
-      .otherwise(expr("CAST(array() AS ARRAY<STRING>)"))
+    graft.functions.Trigrams.trigrams(col("w"))
 
   /** x1 — MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate generation,
     * then exact Jaccard >= 0.7 verification on candidates only. MinHash is
@@ -432,8 +434,11 @@ object Pipeline {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("content_fp",
         md5(array_join(array_sort(array_distinct(col("w"))), " ").cast("binary")))
-      .withColumn("min_shingle_fp", expr(
-        "array_min(transform(sequence(0, size(w) - 3), i -> md5(cast(concat(w[i], ' ', w[i+1], ' ', w[i+2]) as binary))))"))
+      // Shingle construction is the codegen'd Trigrams expression; only the
+      // md5-per-shingle map stays a (md5-dominated) HOF lambda.
+      .withColumn("min_shingle_fp",
+        array_min(transform(graft.functions.Trigrams.trigrams(col("w")),
+          t => md5(t.cast("binary")))))
       .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"))
       .orderBy("doc_id")
 

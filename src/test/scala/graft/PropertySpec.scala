@@ -136,6 +136,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Trigrams codegen expression equals the HOF formulation on random token lists") {
+    import org.apache.spark.sql.functions.expr
+    val word = Gen.oneOf((0 until 6).map(i => s"w$i"))
+    // lengths 0-5 cover the <3-token empty-array edge both sides of 3
+    val doc = Gen.choose(0, 5).flatMap(n => Gen.listOfN(n, word))
+    cases(Gen.listOfN(12, doc)).foreach { docs =>
+      val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.toArray) }
+        .toDF("id", "w")
+      val got = df.select($"id",
+          graft.functions.Trigrams.trigrams($"w").as("t"))
+        .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      val want = df.select($"id", expr(
+          """CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
+            |  i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("t"))
+        .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      assert(got == want)
+    }
+  }
+
   test("k-means property: one Lloyd step never increases SSE (random vectors)") {
     val vecGen = Gen.listOfN(12, Gen.listOfN(4, Gen.choose(-100, 100)))
     cases(vecGen, n = 5).foreach { vs =>
