@@ -155,6 +155,86 @@ object StreamTwins {
       }
   }
 
+  /** s5 twin — streaming conversion funnel via mapGroupsWithState, the
+    * canonical stateful-streaming shape: per-user state carries (first
+    * signup µs, first purchase µs, event count), updated incrementally;
+    * each batch re-emits the user's current funnel row (update mode — the
+    * sink keeps the last row per user). Conditional minima over integers
+    * are order-insensitive, so the final state equals batch s5 under ANY
+    * arrival order (asserted in StreamTwinsSpec with shuffled chunks).
+    * State is one 3-long tuple per user — bounded, shard-by-key; on an
+    * unbounded feed add a state timeout for users idle past the analysis
+    * horizon.
+    */
+  case class FunnelState(fs: Long, fp: Long, cnt: Long) // MaxValue = unseen
+  case class FunnelRow(user_id: Long, first_signup: Option[Long],
+    first_purchase: Option[Long], event_cnt: Long, converted: Int)
+
+  def funnel(events: Dataset[Event]): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelRow](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(FunnelState(Long.MaxValue, Long.MaxValue, 0L))
+          var fs = prev.fs; var fp = prev.fp; var cnt = prev.cnt
+          rows.foreach { e =>
+            val us = e.ts / 1000
+            if (e.event_type == "signup" && us < fs) fs = us
+            if (e.event_type == "purchase" && us < fp) fp = us
+            cnt += 1
+          }
+          state.update(FunnelState(fs, fp, cnt))
+          FunnelRow(user,
+            if (fs == Long.MaxValue) None else Some(fs),
+            if (fp == Long.MaxValue) None else Some(fp),
+            cnt,
+            if (fs != Long.MaxValue && fp != Long.MaxValue && fs <= fp) 1 else 0)
+      }
+  }
+
+  /** s6 twin — streaming cohort retention. A retention cell's
+    * `countDistinct(user_id)` is not incrementally maintainable by the
+    * streaming runner, so the twin is the standard two-tier changelog
+    * pattern: a per-user LEDGER (flatMapGroupsWithState keyed on user_id;
+    * state = per-day event counts) re-emits the user's (cohort, offset,
+    * cnt) cells whenever they change, and the cell rollup — distinct users
+    * + total events per (cohort_day, day_offset), exactly batch s6 — runs
+    * downstream over the ledger's latest snapshot (a keyed upsert sink at
+    * scale; the memory sink + last-row-per-key in the spec). Counts are
+    * per-user monotone, so the snapshot is well-defined under any chunking.
+    * State is one (day → cnt) map per user, bounded by the user's distinct
+    * active days; day indices are exact integer math on the µs longs (D3).
+    */
+  case class RetentionCell(user_id: Long, cohort_idx: Long, day_offset: Long,
+    event_cnt: Long)
+  case class DayCounts(days: Map[Long, Long])
+
+  def retentionLedger(events: Dataset[Event]): Dataset[RetentionCell] = {
+    import events.sparkSession.implicits._
+    val usPerDay = 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DayCounts, RetentionCell](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[DayCounts]) =>
+          val days = scala.collection.mutable.Map[Long, Long]()
+          state.getOption.foreach(s => days ++= s.days)
+          rows.foreach { e =>
+            val day = (e.ts / 1000) / usPerDay
+            days(day) = days.getOrElse(day, 0L) + 1L
+          }
+          state.update(DayCounts(days.toMap))
+          // re-derive offsets from the current min so a late batch that
+          // moves the user's cohort EARLIER rebases every cell correctly
+          val cohort = days.keys.min
+          days.toSeq.sortBy(_._1)
+            .map { case (d, c) => RetentionCell(user, cohort, d - cohort, c) }
+            .iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

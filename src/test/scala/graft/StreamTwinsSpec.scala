@@ -61,6 +61,67 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming funnel (mapGroupsWithState) equals batch s5 under shuffled arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    // conditional minima are order-insensitive: shuffle arrival deliberately
+    val events = new scala.util.Random(42).shuffle(fixtureEvents)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.funnel(stream.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode("update").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // update mode re-emits a user's row per batch; event_cnt is monotone,
+      // so the max-cnt row per user is the final state
+      val streamed = spark.table("funnel")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("event_cnt").desc)))
+        .filter(col("rn") === 1).drop("rn")
+        .select("user_id", "first_signup", "first_purchase", "event_cnt", "converted")
+        .orderBy("user_id").collect().toSeq
+      val batch = ops.Events.s5(spark, sf001)
+        .select("user_id", "first_signup", "first_purchase", "event_cnt", "converted")
+        .orderBy("user_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
+  test("streaming retention ledger rolls up to batch s6") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.retentionLedger(stream.toDS())
+      .writeStream.format("memory").queryName("retention")
+      .outputMode("update").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // latest snapshot per (user, cohort, offset): counts are monotone
+      val snapshot = spark.table("retention")
+        .groupBy("user_id", "cohort_idx", "day_offset")
+        .agg(max("event_cnt").as("event_cnt"))
+      // downstream cell rollup over the snapshot = batch s6's semantics
+      val streamed = snapshot
+        .groupBy("cohort_idx", "day_offset")
+        .agg(countDistinct("user_id").as("active_users"),
+          sum("event_cnt").as("event_cnt"))
+        .select(to_date(timestamp_seconds(col("cohort_idx") * 86400)).as("cohort_day"),
+          col("day_offset"), col("active_users"), col("event_cnt"))
+        .orderBy("cohort_day", "day_offset").collect().toSeq
+      val batch = ops.Events.s6(spark, sf001)
+        .orderBy("cohort_day", "day_offset").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming as-of join equals batch j9 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     // split on event time so cross-batch per-user order is preserved — the
