@@ -73,6 +73,7 @@ object SparkEntry {
     "f7_string2" -> (Scalars.f7 _),
     "f8_json_keys" -> (Scalars.f8 _),
     "f9_bitwise" -> (Scalars.f9 _),
+    "f10_map_funcs" -> (Scalars.f10 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),
@@ -84,6 +85,7 @@ object SparkEntry {
     "u1_scalar_udf" -> (Udfs.u1 _),
     "u2_udaf_wavg" -> (Udfs.u2 _),
     "u3_generator" -> (Udfs.u3 _),
+    "u4_posexplode_outer" -> (Udfs.u4 _),
     // §2.8 LLM-pipeline ops
     "l1_dedup_exact" -> (Llm.l1 _),
     "l2_neardup_jaccard" -> (Llm.l2 _),
@@ -108,7 +110,8 @@ object SparkEntry {
     "x13_lm_score" -> (Pipeline.x13 _),
     "x14_contamination" -> (Pipeline.x14 _),
     "x15_source_diversity" -> (Pipeline.x15 _),
-    "x16_repetition" -> (Pipeline.x16 _)
+    "x16_repetition" -> (Pipeline.x16 _),
+    "x17_cross_source" -> (Pipeline.x17 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

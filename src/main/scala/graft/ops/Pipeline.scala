@@ -663,6 +663,30 @@ object Pipeline {
     * leaves its row (no explode, no shuffle except the final sort), so the
     * operator is embarrassingly parallel at any scale.
     */
+  /** x17 — cross-source near-dup leakage matrix (provenance contamination):
+    * x1's verified MinHash-LSH pairs rolled up per unordered source pair —
+    * the signal that tells a data-mixing pass two sources overlap (a crawl
+    * re-ingesting a curated set, a mirror, a license-laundered copy). The
+    * source pair is normalized with least/greatest so the matrix is
+    * upper-triangular, within-source duplication on the diagonal.
+    *
+    * Scale: the pair stream joins the narrow (doc_id, source) projection
+    * keyed on each pair id — no broadcast hint (the projection is
+    * corpus-sized; AQE broadcasts it only when genuinely small) — then one
+    * low-cardinality keyed rollup. Adds nothing quadratic on top of x1.
+    */
+  def x17(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    x1(s, d)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("a_src")), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("b_src")), "b_id")
+      .select(least(col("a_src"), col("b_src")).as("src1"),
+        greatest(col("a_src"), col("b_src")).as("src2"))
+      .groupBy(col("src1"), col("src2"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("src1", "src2")
+  }
+
   def x16(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))

@@ -138,6 +138,25 @@ object Scalars {
         expr("cast(bit_count(o_orderkey) as integer)").as("popcount"))
       .orderBy("o_orderkey")
 
+  /** f10 — map-typed scalar surface (the §2.5 `map_*` gap): construct a map
+    * from literal keys + part columns, then size / element_at / map_keys /
+    * map_values / key membership. Map key order is construction order on
+    * both engines, so the joined key/value strings are deterministic; the
+    * map itself never leaves the row (narrow, no shuffle but the sort).
+    */
+  def f10(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .withColumn("m", map_from_arrays(
+        array(lit("brand"), lit("type"), lit("size")),
+        array(col("p_brand"), col("p_type"), col("p_size").cast("string"))))
+      .select(col("p_partkey"),
+        size(col("m")).cast("bigint").as("n_keys"),
+        element_at(col("m"), "type").as("type_val"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        array_contains(map_keys(col("m")), "brand").cast("int").as("has_brand"),
+        array_join(map_values(col("m")), "|").as("vals_csv"))
+      .orderBy("p_partkey")
+
   def f6(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"),

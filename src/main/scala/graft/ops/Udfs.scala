@@ -73,4 +73,20 @@ object Udfs {
       .select(col("o_orderkey"),
         explode(sequence(lit(1L), (col("o_orderkey") % 3) + 1)).as("installment"))
       .orderBy("o_orderkey", "installment")
+
+  /** u4 — OUTER generator (posexplode_outer): a row whose array is EMPTY
+    * still emits one (null, null) row — the outer-generate semantics a plain
+    * explode silently drops (§2.7 gap). Array length p_partkey % 3 makes
+    * every third part hit the empty case. Narrow Generate node; Spark's
+    * default ascending sort is NULLS FIRST and the oracle says so
+    * explicitly (DuckDB defaults NULLS LAST).
+    */
+  def u4(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        slice(split(col("p_name"), " "), lit(1), (col("p_partkey") % 3).cast("int")).as("arr"))
+      .select(col("p_partkey"), posexplode_outer(col("arr")))
+      .select(col("p_partkey"), col("pos").cast("bigint").as("pos"),
+        col("col").as("word"))
+      .orderBy("p_partkey", "pos")
 }

@@ -10,6 +10,31 @@ package graft.oracle
   */
 object OracleSql {
 
+  /** x1's candidate-generation CTE chain, shared verbatim by x17 (which
+    * rolls the same verified pairs up per source pair) so the two oracles
+    * can never drift apart.
+    */
+  private val x1Ctes =
+    """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),
+      | sig AS (SELECT doc_id, lang,
+      |  list_aggregate(list_transform(t, x -> md5('0:' || x)), 'min') AS mh0,
+      |  list_aggregate(list_transform(t, x -> md5('1:' || x)), 'min') AS mh1,
+      |  list_aggregate(list_transform(t, x -> md5('2:' || x)), 'min') AS mh2,
+      |  list_aggregate(list_transform(t, x -> md5('3:' || x)), 'min') AS mh3,
+      |  list_aggregate(list_transform(t, x -> md5('4:' || x)), 'min') AS mh4,
+      |  list_aggregate(list_transform(t, x -> md5('5:' || x)), 'min') AS mh5,
+      |  list_aggregate(list_transform(t, x -> md5('6:' || x)), 'min') AS mh6,
+      |  list_aggregate(list_transform(t, x -> md5('7:' || x)), 'min') AS mh7
+      |  FROM toks),
+      | bands AS (
+      |  SELECT doc_id, lang, 0 AS pos, md5(mh0 || mh1) AS bh FROM sig
+      |  UNION ALL SELECT doc_id, lang, 1, md5(mh2 || mh3) FROM sig
+      |  UNION ALL SELECT doc_id, lang, 2, md5(mh4 || mh5) FROM sig
+      |  UNION ALL SELECT doc_id, lang, 3, md5(mh6 || mh7) FROM sig),
+      | cand AS (SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
+      |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.pos = b.pos
+      |   AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "c1_scan_project" ->
@@ -449,6 +474,18 @@ object OracleSql {
         | CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
+    "f10_map_funcs" ->
+      """SELECT p_partkey,
+        | CAST(cardinality(m) AS BIGINT) AS n_keys,
+        | m['type'][1] AS type_val,
+        | array_to_string(map_keys(m), ',') AS keys_csv,
+        | CAST(list_contains(map_keys(m), 'brand') AS INTEGER) AS has_brand,
+        | array_to_string(map_values(m), '|') AS vals_csv
+        |FROM (SELECT p_partkey,
+        |  map(['brand','type','size'], [p_brand, p_type, CAST(p_size AS VARCHAR)]) AS m
+        | FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
     "s5_funnel" ->
       """SELECT user_id,
         | MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
@@ -489,6 +526,19 @@ object OracleSql {
     "u3_generator" ->
       """SELECT o_orderkey, UNNEST(generate_series(1, o_orderkey % 3 + 1)) AS installment
         |FROM orders ORDER BY o_orderkey, installment""".stripMargin,
+
+    // outer-generate semantics: empty arrays pad one all-NULL row; DuckDB's
+    // parallel UNNESTs zip (range supplies the 0-based pos like posexplode)
+    "u4_posexplode_outer" ->
+      """WITH base AS (SELECT p_partkey,
+        |  list_slice(string_split(p_name, ' '), 1, CAST(p_partkey % 3 AS INTEGER)) AS arr
+        | FROM part)
+        |SELECT p_partkey, pos, word FROM (
+        | SELECT p_partkey, CAST(UNNEST(range(len(arr))) AS BIGINT) AS pos,
+        |  UNNEST(arr) AS word FROM base WHERE len(arr) > 0
+        | UNION ALL
+        | SELECT p_partkey, NULL, NULL FROM base WHERE len(arr) = 0)
+        |ORDER BY p_partkey, pos NULLS FIRST""".stripMargin,
 
     "l1_dedup_exact" ->
       """SELECT MIN(doc_id) AS survivor_id, md5(lower(trim(text))) AS text_hash,
@@ -691,32 +741,26 @@ object OracleSql {
         |SELECT lang, split, COUNT(*) AS doc_cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM t GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
-    "x1_minhash_lsh" ->
-      """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),
-        | sig AS (SELECT doc_id, lang,
-        |  list_aggregate(list_transform(t, x -> md5('0:' || x)), 'min') AS mh0,
-        |  list_aggregate(list_transform(t, x -> md5('1:' || x)), 'min') AS mh1,
-        |  list_aggregate(list_transform(t, x -> md5('2:' || x)), 'min') AS mh2,
-        |  list_aggregate(list_transform(t, x -> md5('3:' || x)), 'min') AS mh3,
-        |  list_aggregate(list_transform(t, x -> md5('4:' || x)), 'min') AS mh4,
-        |  list_aggregate(list_transform(t, x -> md5('5:' || x)), 'min') AS mh5,
-        |  list_aggregate(list_transform(t, x -> md5('6:' || x)), 'min') AS mh6,
-        |  list_aggregate(list_transform(t, x -> md5('7:' || x)), 'min') AS mh7
-        |  FROM toks),
-        | bands AS (
-        |  SELECT doc_id, lang, 0 AS pos, md5(mh0 || mh1) AS bh FROM sig
-        |  UNION ALL SELECT doc_id, lang, 1, md5(mh2 || mh3) FROM sig
-        |  UNION ALL SELECT doc_id, lang, 2, md5(mh4 || mh5) FROM sig
-        |  UNION ALL SELECT doc_id, lang, 3, md5(mh6 || mh7) FROM sig),
-        | cand AS (SELECT DISTINCT a.lang, a.doc_id AS a_id, b.doc_id AS b_id
-        |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.pos = b.pos
-        |   AND a.bh = b.bh AND a.doc_id < b.doc_id)
+    "x1_minhash_lsh" -> (x1Ctes +
+      """
         |SELECT c.lang, c.a_id, c.b_id,
         | ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
         |   / len(list_distinct(ta.t || tb.t)), 4) AS jaccard
         |FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
         |WHERE 10 * len(list_intersect(ta.t, tb.t)) >= 7 * len(list_distinct(ta.t || tb.t))
-        |ORDER BY c.lang, a_id, b_id""".stripMargin,
+        |ORDER BY c.lang, a_id, b_id""".stripMargin),
+
+    "x17_cross_source" -> (x1Ctes +
+      """,
+        | pairs AS (SELECT c.a_id, c.b_id
+        |  FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+        |  WHERE 10 * len(list_intersect(ta.t, tb.t)) >= 7 * len(list_distinct(ta.t || tb.t)))
+        |SELECT least(sa.source, sb.source) AS src1, greatest(sa.source, sb.source) AS src2,
+        | COUNT(*) AS pair_cnt
+        |FROM pairs p JOIN documents sa ON p.a_id = sa.doc_id
+        | JOIN documents sb ON p.b_id = sb.doc_id
+        |GROUP BY src1, src2
+        |ORDER BY src1, src2""".stripMargin),
 
     "x2_simhash" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
