@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SignBands}
+import graft.functions.{DotProduct, SignBands, Trigrams}
 
 /** Single entry point wiring every graft Catalyst extension into a session:
   * the `YearEqualsToRange` optimizer rule, the `TopKPerGroup` planner
   * strategy, and SQL registrations of the native expressions
-  * (`graft_dot`, `graft_sign_bands`).
+  * (`graft_dot`, `graft_sign_bands`, `graft_trigrams`).
   *
   * Two installation routes:
   *  - config-time: `spark.sql.extensions=graft.GraftExtensions` (or
@@ -44,7 +44,10 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sign_bands"),
       new ExpressionInfo(classOf[SignBands].getName, "graft_sign_bands"),
       (args: Seq[Expression]) =>
-        SignBands(args(0), intArg(args(1), "bands"), intArg(args(2), "bits"))))
+        SignBands(args(0), intArg(args(1), "bands"), intArg(args(2), "bits"))),
+    (FunctionIdentifier("graft_trigrams"),
+      new ExpressionInfo(classOf[Trigrams].getName, "graft_trigrams"),
+      (args: Seq[Expression]) => Trigrams(args(0))))
 
   /** Idempotent runtime install into a live session. */
   def install(spark: SparkSession): Unit = {

@@ -18,7 +18,8 @@ object ExplainAudit {
       "x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
       "x10_simhash_pairs",
       "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf",
-      "j11_scalar_subquery", "r5_property_path")
+      "j11_scalar_subquery", "r5_property_path",
+      "x14_contamination", "x16_repetition", "x17_cross_source")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

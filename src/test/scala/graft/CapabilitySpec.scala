@@ -128,6 +128,10 @@ class CapabilitySpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toSeq
     assert(viaSql == viaCol)
     assert(viaSql.forall(_._2.length == 16))
+    val tri = spark.sql(
+      "SELECT graft_trigrams(array('a','b','c','d')) AS t")
+      .head().getSeq[String](0)
+    assert(tri == Seq("a b c", "b c d"))
     // the config-time form constructs cleanly too
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
