@@ -687,6 +687,39 @@ object Pipeline {
       .orderBy("src1", "src2")
   }
 
+  /** x18 — composite document quality GATE (the stage the individual
+    * signals exist to feed; Gopher-style rule set): word count in
+    * [5, 5000], quality score (x6's exact formula) >= 0.5, trigram
+    * repetition ratio (x16's formula; 0 for docs too short to have
+    * trigrams) <= 0.2; keep = all three. Emits per-rule verdicts so a
+    * tuning pass can attribute rejections rule by rule. Fully narrow — one
+    * pass over the text, no shuffle but the final sort; every threshold
+    * compares the ROUNDED value on both engines (D4).
+    */
+  def x18(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("wc", size(col("w")).cast("bigint"))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), t => t.isin("the", "a", "of", "and"))))
+      .withColumn("short_cnt", size(filter(col("w"), t => length(t) <= 2)))
+      .withColumn("quality", graft.Det.round4nz(
+        lit(1.0) - lit(0.5) * (col("stop_cnt").cast("double") / col("wc"))
+          - lit(0.3) * (col("short_cnt").cast("double") / col("wc"))))
+      .withColumn("tri", trigramsOfW)
+      .withColumn("rep_ratio",
+        when(size(col("tri")) > 0, graft.Det.round4nz(
+          lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri")).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("r_len", when(col("wc") >= 5 && col("wc") <= 5000, 1).otherwise(0))
+      .withColumn("r_quality", when(col("quality") >= 0.5, 1).otherwise(0))
+      .withColumn("r_rep", when(col("rep_ratio") <= 0.2, 1).otherwise(0))
+      .select(col("doc_id"), col("wc"), col("quality"), col("rep_ratio"),
+        col("r_len"), col("r_quality"), col("r_rep"),
+        (col("r_len") * col("r_quality") * col("r_rep")).as("keep"))
+      .orderBy("doc_id")
+
   def x16(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("w", split(col("text"), " "))

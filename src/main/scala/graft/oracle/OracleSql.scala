@@ -732,6 +732,32 @@ object OracleSql {
         | ROUND(1.0 - CAST(len(list_distinct(tri)) AS DOUBLE) / len(tri), 4) + 0.0 AS rep_ratio
         |FROM tr ORDER BY doc_id""".stripMargin,
 
+    // composite gate: x6's quality formula + x16's repetition formula,
+    // thresholds compared on the ROUNDED values (D4) on both engines
+    "x18_quality_gate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS wc,
+        |  len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS stop_cnt,
+        |  len(list_filter(w, t -> length(t) <= 2)) AS short_cnt
+        |  FROM w),
+        | q AS (SELECT doc_id, wc,
+        |  ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality,
+        |  CASE WHEN len(w) >= 3 THEN
+        |   ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |    / (len(w) - 2), 4) + 0.0
+        |  ELSE 0.0 END AS rep_ratio
+        | FROM c),
+        | r AS (SELECT doc_id, wc, quality, rep_ratio,
+        |  CASE WHEN wc BETWEEN 5 AND 5000 THEN 1 ELSE 0 END AS r_len,
+        |  CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END AS r_quality,
+        |  CASE WHEN rep_ratio <= 0.2 THEN 1 ELSE 0 END AS r_rep
+        | FROM q)
+        |SELECT doc_id, wc, quality, rep_ratio, r_len, r_quality, r_rep,
+        | r_len * r_quality * r_rep AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "x12_split_sample" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'

@@ -382,6 +382,18 @@ class OperatorSpec extends SparkSpec {
       Tables.documents(spark, sf001).count())
   }
 
+  test("x17 cross-source matrix: pair counts conserve x1's pair graph") {
+    val matrix = Pipeline.x17(spark, sf001).collect()
+    // every x1 pair lands in exactly one normalized source-pair cell
+    assert(matrix.map(_.getAs[Long]("pair_cnt")).sum ===
+      Pipeline.x1(spark, sf001).count())
+    matrix.foreach { r =>
+      assert(r.getAs[String]("src1") <= r.getAs[String]("src2"),
+        "matrix must be least/greatest-normalized (upper-triangular)")
+      assert(r.getAs[Long]("pair_cnt") > 0)
+    }
+  }
+
   test("x16 repetition: ratio consistent with distinct/total trigram counts") {
     val rows = Pipeline.x16(spark, sf001).collect()
     rows.foreach { r =>
