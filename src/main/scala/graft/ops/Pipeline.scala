@@ -229,18 +229,15 @@ object Pipeline {
   val ShingleDfCap = 1000
 
   def x3(s: SparkSession, d: String): DataFrame = {
-    // Trigrams via window leads over exploded tokens — fully codegen'd
-    // (the transform/array_distinct HOF formulation interprets its lambdas
-    // and cost ~0.8ms/doc, dominating the whole query).
-    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    // Shingle derivation is the codegen'd Trigrams expression + a NARROW
+    // explode — no shuffle until the distinct. (History: the original
+    // transform/array_distinct HOF interpreted its lambdas at ~0.8 ms/doc;
+    // the round-4 fix derived trigrams via posexplode + lead windows, fully
+    // codegen'd but paying a per-doc shuffle+sort for the window — with the
+    // native expression both costs are gone.)
     val allPosts = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("w1", lead("w", 1).over(wPos))
-      .withColumn("w2", lead("w", 2).over(wPos))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("w"), col("w1"), col("w2")).as("tok"))
+        explode(graft.functions.Trigrams.trigrams(split(col("text"), " "))).as("tok"))
       .distinct() // the doc's trigram SET (≡ array_distinct of the shingles)
     // df via a window over the posting key: one shuffle on (lang, tok) —
     // the same key the pair join below needs — instead of a separate
