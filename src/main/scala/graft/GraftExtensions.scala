@@ -3,12 +3,12 @@ package graft
 import org.apache.spark.sql.{GraftBridge, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SignBands, Trigrams}
+import graft.functions.{DotProduct, NGrams, SignBands}
 
 /** Single entry point wiring every graft Catalyst extension into a session:
   * the `YearEqualsToRange` optimizer rule, the `TopKPerGroup` planner
   * strategy, and SQL registrations of the native expressions
-  * (`graft_dot`, `graft_sign_bands`, `graft_trigrams`).
+  * (`graft_dot`, `graft_sign_bands`, `graft_ngrams`, `graft_trigrams`).
   *
   * Two installation routes:
   *  - config-time: `spark.sql.extensions=graft.GraftExtensions` (or
@@ -30,7 +30,7 @@ object GraftExtensions {
   private def intArg(e: Expression, what: String): Int = e match {
     case lit if lit.foldable => lit.eval().asInstanceOf[Int]
     case other => throw new IllegalArgumentException(
-      s"graft_sign_bands $what must be an integer literal, got $other")
+      s"$what must be an integer literal, got $other")
   }
 
   /** (identifier, info, builder) triples in the shape injectFunction and
@@ -44,10 +44,14 @@ object GraftExtensions {
     (FunctionIdentifier("graft_sign_bands"),
       new ExpressionInfo(classOf[SignBands].getName, "graft_sign_bands"),
       (args: Seq[Expression]) =>
-        SignBands(args(0), intArg(args(1), "bands"), intArg(args(2), "bits"))),
+        SignBands(args(0), intArg(args(1), "graft_sign_bands bands"),
+          intArg(args(2), "graft_sign_bands bits"))),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NGrams].getName, "graft_ngrams"),
+      (args: Seq[Expression]) => NGrams(args(0), intArg(args(1), "graft_ngrams n"))),
     (FunctionIdentifier("graft_trigrams"),
-      new ExpressionInfo(classOf[Trigrams].getName, "graft_trigrams"),
-      (args: Seq[Expression]) => Trigrams(args(0))))
+      new ExpressionInfo(classOf[NGrams].getName, "graft_trigrams"),
+      (args: Seq[Expression]) => NGrams(args(0), 3)))
 
   /** Idempotent runtime install into a live session. */
   def install(spark: SparkSession): Unit = {

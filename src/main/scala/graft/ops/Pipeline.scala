@@ -35,7 +35,7 @@ object Pipeline {
   }
 
   /** Word trigrams of an array column named `w` (docs with fewer than 3
-    * tokens produce an empty array). Codegen'd [[graft.functions.Trigrams]]
+    * tokens produce an empty array). Codegen'd [[graft.functions.NGrams]]
     * expression — the `transform(sequence(...))` HOF it replaced interprets
     * its lambda per shingle (~0.8 ms/doc, dominating x16/x14 wall-clock;
     * same finding as x3's comment). The DuckDB oracle keeps the equivalent
@@ -43,7 +43,7 @@ object Pipeline {
     * expression to the HOF semantics.
     */
   private def trigramsOfW: Column =
-    graft.functions.Trigrams.trigrams(col("w"))
+    graft.functions.NGrams.ngrams(col("w"), 3)
 
   /** x1 — MinHash (8 hashes) + LSH (4 bands × 2 rows) candidate generation,
     * then exact Jaccard >= 0.7 verification on candidates only. MinHash is
@@ -229,7 +229,7 @@ object Pipeline {
   val ShingleDfCap = 1000
 
   def x3(s: SparkSession, d: String): DataFrame = {
-    // Shingle derivation is the codegen'd Trigrams expression + a NARROW
+    // Shingle derivation is the codegen'd NGrams expression + a NARROW
     // explode — no shuffle until the distinct. (History: the original
     // transform/array_distinct HOF interpreted its lambdas at ~0.8 ms/doc;
     // the round-4 fix derived trigrams via posexplode + lead windows, fully
@@ -237,7 +237,7 @@ object Pipeline {
     // native expression both costs are gone.)
     val allPosts = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
-        explode(graft.functions.Trigrams.trigrams(split(col("text"), " "))).as("tok"))
+        explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 3)).as("tok"))
       .distinct() // the doc's trigram SET (≡ array_distinct of the shingles)
     // df via a window over the posting key: one shuffle on (lang, tok) —
     // the same key the pair join below needs — instead of a separate
@@ -431,10 +431,10 @@ object Pipeline {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("content_fp",
         md5(array_join(array_sort(array_distinct(col("w"))), " ").cast("binary")))
-      // Shingle construction is the codegen'd Trigrams expression; only the
+      // Shingle construction is the codegen'd NGrams expression; only the
       // md5-per-shingle map stays a (md5-dominated) HOF lambda.
       .withColumn("min_shingle_fp",
-        array_min(transform(graft.functions.Trigrams.trigrams(col("w")),
+        array_min(transform(graft.functions.NGrams.ngrams(col("w"), 3),
           t => md5(t.cast("binary")))))
       .select(col("doc_id"), col("content_fp"), col("min_shingle_fp"))
       .orderBy("doc_id")
@@ -457,24 +457,26 @@ object Pipeline {
     * (D2), so each bigram's log-prob is rounded to 9 dp and quantized to
     * DECIMAL(18,9) BEFORE the sum — the aggregation is then exact under any
     * partitioning and the oracle sums identically. Scale shape: bigram
-    * explode is narrow (window lead per doc), model counts are two keyed
-    * aggs, scoring joins are keyed on (w1, w2)/(w1), vocab size is one
-    * broadcast scalar row.
+    * explode is narrow (codegen'd NGrams — no window, no shuffle before
+    * the model aggs), model counts are two keyed aggs, scoring joins are
+    * keyed on the bigram/(w1), vocab size is one broadcast scalar row.
     */
   def x13(s: SparkSession, d: String): DataFrame = {
-    val wPos = Window.partitionBy("doc_id").orderBy("pos")
+    // Bigrams via the narrow NGrams explode (the lead-window formulation
+    // paid a full-corpus shuffle+sort for the per-doc window); w1 is
+    // recovered from the joined shingle — exact, because tokens are split
+    // products and cannot contain the separator.
     val bi = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
-      .withColumn("w2", lead("w1", 1).over(wPos))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w1"), col("w2"))
-    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c12 = bi.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val v = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .agg(countDistinct(col("w")).as("vocab"))
     bi
-      .join(c12, Seq("w1", "w2"))
+      .join(c12, Seq("bg"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("logp",

@@ -136,7 +136,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("Trigrams codegen expression equals the HOF formulation on random token lists") {
+  test("NGrams(3) codegen expression equals the HOF formulation on random token lists") {
     import org.apache.spark.sql.functions.expr
     val word = Gen.oneOf((0 until 6).map(i => s"w$i"))
     // lengths 0-5 cover the <3-token empty-array edge both sides of 3
@@ -145,7 +145,7 @@ class PropertySpec extends SparkSpec {
       val df = docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.toArray) }
         .toDF("id", "w")
       val got = df.select($"id",
-          graft.functions.Trigrams.trigrams($"w").as("t"))
+          graft.functions.NGrams.ngrams($"w", 3).as("t"))
         .orderBy("id").as[(Long, Seq[String])].collect().toSeq
       val want = df.select($"id", expr(
           """CASE WHEN size(w) >= 3 THEN transform(sequence(0, size(w) - 3),
@@ -153,6 +153,16 @@ class PropertySpec extends SparkSpec {
             |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("t"))
         .orderBy("id").as[(Long, Seq[String])].collect().toSeq
       assert(got == want)
+      // and the bigram width x13 uses, against the same HOF shape
+      val got2 = df.select($"id",
+          graft.functions.NGrams.ngrams($"w", 2).as("t"))
+        .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      val want2 = df.select($"id", expr(
+          """CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2),
+            |  i -> concat(w[i], ' ', w[i+1]))
+            |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin).as("t"))
+        .orderBy("id").as[(Long, Seq[String])].collect().toSeq
+      assert(got2 == want2)
     }
   }
 
