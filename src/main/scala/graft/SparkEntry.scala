@@ -112,7 +112,8 @@ object SparkEntry {
     "x15_source_diversity" -> (Pipeline.x15 _),
     "x16_repetition" -> (Pipeline.x16 _),
     "x17_cross_source" -> (Pipeline.x17 _),
-    "x18_quality_gate" -> (Pipeline.x18 _)
+    "x18_quality_gate" -> (Pipeline.x18 _),
+    "x19_weighted_sample" -> (Pipeline.x19 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

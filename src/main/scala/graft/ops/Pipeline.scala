@@ -686,6 +686,32 @@ object Pipeline {
       .orderBy("src1", "src2")
   }
 
+  /** x19 — deterministic source-weighted sampling (the data-MIXING stage:
+    * keep curated sources whole, downsample the crawl): a doc is kept iff
+    * its md5 2-hex-digit bucket (256 buckets) falls below its source's
+    * threshold — 'zz' (keep all, sources 0-4), '80' (1/2, sources 5-9),
+    * '40' (1/4, the rest). Seed-free and locally decidable like x12's
+    * split rule (a production version widens the prefix for finer
+    * granularity); fixed-width lowercase hex compares lexicographically =
+    * numerically, so the rule is one string comparison on both engines.
+    * Narrow map + one keyed rollup.
+    */
+  def x19(s: SparkSession, d: String): DataFrame = {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val thr = when(srcNum < 5, lit("zz"))
+      .when(srcNum < 10, lit("80"))
+      .otherwise(lit("40"))
+    val keep = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < thr
+    Tables.documents(s, d)
+      .withColumn("kept", when(keep, 1).otherwise(0))
+      .withColumn("wc", size(split(col("text"), " ")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs_total"),
+        sum(col("kept")).as("docs_kept"),
+        sum(when(col("kept") === 1, col("wc")).otherwise(0)).as("tokens_kept"))
+      .orderBy("source")
+  }
+
   /** x18 — composite document quality GATE (the stage the individual
     * signals exist to feed; Gopher-style rule set): word count in
     * [5, 5000], quality score (x6's exact formula) >= 0.5, trigram

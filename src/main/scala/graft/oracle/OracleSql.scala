@@ -758,6 +758,24 @@ object OracleSql {
         | r_len * r_quality * r_rep AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
 
+    // mixing rule: fixed-width lowercase hex compares lexicographically =
+    // numerically; 'zz' sorts above every hex pair = keep-all
+    "x19_weighted_sample" ->
+      """WITH t AS (SELECT source,
+        |  len(string_split(text, ' ')) AS wc,
+        |  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS sn,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        | FROM documents),
+        | k AS (SELECT source, wc,
+        |  CASE WHEN h < (CASE WHEN sn < 5 THEN 'zz' WHEN sn < 10 THEN '80'
+        |                 ELSE '40' END)
+        |   THEN 1 ELSE 0 END AS kept
+        | FROM t)
+        |SELECT source, COUNT(*) AS docs_total,
+        | CAST(SUM(kept) AS BIGINT) AS docs_kept,
+        | CAST(SUM(CASE WHEN kept = 1 THEN wc ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
     "x12_split_sample" ->
       """WITH t AS (SELECT lang, n_chars,
         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c','d') THEN 'val'
