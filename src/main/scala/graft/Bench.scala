@@ -50,10 +50,13 @@ object Bench {
     val results = mins
     // The driver keeps only a bounded tail of stdout (2000 chars observed in
     // BENCH_r03/r04, where the full-precision ~2.9KB line overflowed it and
-    // recorded parsed:null). Emit millisecond precision with trailing zeros
-    // stripped and the sf basename so the whole line stays well under 2KB.
+    // recorded parsed:null). At 91 queries a 3-decimal line is ~2.04KB —
+    // over the tail again — so emit CENTIsecond precision (ample for
+    // per-query attribution against whole-suite noise) with trailing zeros
+    // stripped; that keeps the line ~1.95KB. If the inventory grows past
+    // ~95 queries, shrink further before adding keys.
     def fmt(v: Double): String =
-      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

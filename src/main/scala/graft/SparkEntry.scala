@@ -49,6 +49,7 @@ object SparkEntry {
     "a13_unpivot" -> (Aggs.a13 _),
     "a14_pivot" -> (Aggs.a14 _),
     "a15_histogram" -> (Aggs.a15 _),
+    "a16_listagg" -> (Aggs.a16 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),
@@ -81,6 +82,7 @@ object SparkEntry {
     "s4_dedup_first" -> (Events.s4 _),
     "s5_funnel" -> (Events.s5 _),
     "s6_retention" -> (Events.s6 _),
+    "s7_rolling_active" -> (Events.s7 _),
     // §2.7 UDF/UDAF/generator
     "u1_scalar_udf" -> (Udfs.u1 _),
     "u2_udaf_wavg" -> (Udfs.u2 _),
@@ -113,7 +115,9 @@ object SparkEntry {
     "x16_repetition" -> (Pipeline.x16 _),
     "x17_cross_source" -> (Pipeline.x17 _),
     "x18_quality_gate" -> (Pipeline.x18 _),
-    "x19_weighted_sample" -> (Pipeline.x19 _)
+    "x19_weighted_sample" -> (Pipeline.x19 _),
+    "x20_dup_clusters" -> (Pipeline.x20 _),
+    "x21_semdedup" -> (Pipeline.x21 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -178,4 +178,22 @@ object Aggs {
         out2(min(dec2(col("o_totalprice")))).as("min_price"),
         out2(max(dec2(col("o_totalprice")))).as("max_price"))
       .orderBy("bucket")
+
+  /** a16 — ordered string aggregation (LISTAGG / GROUP_CONCAT; the
+    * reducer-side value-concatenation idiom [RECON analog: a reducer
+    * emitting one delimited list per join key]): per region, the sorted CSV
+    * of its nation names. `collect_list` assembles elements in partition
+    * order — nondeterministic — so the list is `array_sort`ed BEFORE
+    * joining; the oracle's `string_agg` carries an explicit ORDER BY for
+    * the same reason. The grouped lists are dimension-bounded (≤ 25 nations
+    * per region): an unbounded listagg concentrates a whole group on one
+    * row and has no place in a declared query at scale.
+    */
+  def a16(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"))
+      .orderBy("r_name")
 }

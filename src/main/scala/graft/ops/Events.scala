@@ -116,4 +116,30 @@ object Events {
         col("day_offset"), col("active_users"), col("event_cnt"))
       .orderBy("cohort_day", "day_offset")
   }
+
+  /** s7 — daily + trailing-7-day rolling distinct active users (DAU/WAU),
+    * the liveness dashboard every event pipeline feeds. A rolling DISTINCT
+    * count fits no window frame (distinct state isn't mergeable across
+    * frame slides), so each distinct (user, day) is exploded to the ≤ 7
+    * trailing windows it covers — a bounded ×7 narrow fan-out whose
+    * constant is the window width, never the data — and each cover day
+    * takes one keyed count over the already-distinct (day, user) pairs.
+    * Day indices are exact integer µs math (D3); output is restricted to
+    * days with actual activity (the DAU side) like every dashboard shows.
+    */
+  def s7(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .distinct()
+    val dau = userDays.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .withColumn("cover_idx", explode(sequence(col("day_idx"), col("day_idx") + 6)))
+      .select(col("cover_idx"), col("user_id")).distinct()
+      .groupBy(col("cover_idx")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, col("day_idx") === col("cover_idx"))
+      .select(asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("dau"), col("wau"))
+      .orderBy("day")
+  }
 }

@@ -757,4 +757,93 @@ object Pipeline {
           lit(1.0) - col("n_distinct").cast("double") / col("n_trigrams").cast("double"))
           .as("rep_ratio"))
       .orderBy("doc_id")
+
+  /** x20 — near-dup CLUSTER labeling: connected components over x10's
+    * SimHash hamming≤1 pair graph via EIGHT unrolled rounds of min-label
+    * propagation. The label after round t is the min doc_id within ≤ t
+    * hops, so the bound is exact for every node within 8 hops of its
+    * component's min — measured 5 (sf0.001) / 6 (sf0.01) / 11 (sf0.1)
+    * max, so the oracle-gated SFs converge and sf0.1's labels are the
+    * DECLARED 8-hop-bounded semantics (still deterministic and mirrored
+    * by the oracle's identically-bounded recursive CTE). Graphs of
+    * unknown diameter use [[DedupCluster.components]] — the same
+    * per-round plan iterated to fixpoint with only a change COUNT ever
+    * reaching the driver (OperatorSpec asserts the two agree at sf0.001).
+    *
+    * Plan-shape note: each round references the previous labels frame
+    * exactly ONCE — self-loops folded into the edge list make the round a
+    * single keyed join + keyed min agg (`least`/`coalesce` over a second
+    * labels reference would double the subtree per round → exponential
+    * unrolled plan, the blowup DedupCluster's localCheckpoint exists to
+    * cut). The edge list is identical across rounds, so its shuffle is
+    * planned once and reused (ReuseExchange). Emits every document's
+    * cluster label (min reachable doc_id) + is_dup — the survivor/victim
+    * decision the dedup pipeline's final filter consumes.
+    */
+  val ClusterRounds = 8
+
+  def x20(s: SparkSession, d: String): DataFrame = {
+    val pairs = x10(s, d).select(col("a_id"), col("b_id"))
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val edges = pairs
+      .union(pairs.select(col("b_id"), col("a_id")))
+      .union(docs.select(col("doc_id"), col("doc_id"))) // self-loops
+      .toDF("src", "dst")
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to ClusterRounds) {
+      labels = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+    }
+    labels
+      .select(col("doc_id"), col("lbl").as("cluster"),
+        when(col("doc_id") =!= col("lbl"), 1).otherwise(0).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** x21 — SemDedup-style cluster-scoped embedding dedup (the Abbas et al.
+    * 2023 recipe: coarse-cluster the corpus, then compare embeddings ONLY
+    * within a cluster): vectors are assigned to x11's IVF cells (identity
+    * codebook — a learned one swaps in via the x11With contract) and
+    * near-dup pairs are rounded-cosine ≥ 0.35 within a cell. Cross-cell
+    * recall loss is the DECLARED semantics — that locality is the whole
+    * scale story: k grows with the corpus (k ≈ N / target cell size), so
+    * per-cell work stays constant-bounded and the operator never goes
+    * all-pairs, unlike a corpus-wide threshold join. x4 is the
+    * complementary recall shape (hyperplane-LSH bands, corpus-wide).
+    * The cell join has only k distinct keys — far fewer than the shuffle
+    * width at fixture scale — so the left side is block-decomposed ×8
+    * (x1's pattern): same pair set, 8× the join parallelism.
+    */
+  def x21(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
+        col("nrm").as("cent_nrm"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("csim", graft.Det.round4nz(
+        vdot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("emb"), col("nrm"))
+    val B = 8
+    val a = assign.select(col("cell"), col("vec_id").as("a_id"),
+        col("emb").as("a_emb"), col("nrm").as("a_nrm"))
+      .withColumn("blk", (col("a_id") % B).cast("int"))
+    val b = assign.select(col("cell").as("cell_b"), col("vec_id").as("b_id"),
+        col("emb").as("b_emb"), col("nrm").as("b_nrm"))
+      .withColumn("blk_b", explode(sequence(lit(0), lit(B - 1))))
+    a.join(b, col("cell") === col("cell_b") && col("blk") === col("blk_b")
+        && col("a_id") < col("b_id"))
+      .withColumn("sim", graft.Det.round4nz(
+        vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
+      .filter(col("sim") >= 0.35)
+      .select(col("cell"), col("a_id"), col("b_id"), col("sim"))
+      .orderBy("cell", "a_id", "b_id")
+  }
 }

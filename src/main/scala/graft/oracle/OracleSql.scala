@@ -918,6 +918,65 @@ object OracleSql {
         |WHERE bit_count(xor(a.s, b.s)) <= 1
         |ORDER BY a.lang, a_id, b_id""".stripMargin,
 
+    "a16_listagg" ->
+      """SELECT r_name, COUNT(*) AS n_nations,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "s7_rolling_active" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),
+        | dau AS (SELECT day_idx, COUNT(*) AS dau FROM ud GROUP BY day_idx),
+        | cover AS (SELECT DISTINCT day_idx + k AS cover_idx, user_id
+        |  FROM ud, (SELECT unnest(range(7)) AS k) ks),
+        | wau AS (SELECT cover_idx, COUNT(*) AS wau FROM cover GROUP BY cover_idx)
+        |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau, wau
+        |FROM dau JOIN wau ON day_idx = cover_idx ORDER BY day""".stripMargin,
+
+    "x20_dup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        | bits AS (SELECT doc_id, lang, pos, md5(t) AS h
+        |  FROM tok, (SELECT unnest(range(16)) AS pos) p),
+        | contrib AS (SELECT doc_id, lang, pos,
+        |   2 * ((strpos('0123456789abcdef', substr(h, CAST(pos + 1 AS INTEGER), 1)) - 1) % 2) - 1 AS c
+        |  FROM bits),
+        | sc AS (SELECT doc_id, lang, pos, SUM(c) AS sc FROM contrib GROUP BY 1, 2, 3),
+        | bt AS (SELECT doc_id, lang, pos, CASE WHEN sc > 0 THEN 1 ELSE 0 END AS bv FROM sc),
+        | sh AS (SELECT doc_id, lang, CAST(SUM(bv * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS s
+        |  FROM bt GROUP BY doc_id, lang),
+        | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= 1),
+        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        | reach(root, node, depth) AS (
+        |  SELECT doc_id, doc_id, 0 FROM documents
+        |  UNION
+        |  SELECT r.root, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src
+        |  WHERE r.depth < 8)
+        |SELECT root AS doc_id, MIN(node) AS cluster,
+        | CASE WHEN MIN(node) <> root THEN 1 ELSE 0 END AS is_dup
+        |FROM reach GROUP BY root ORDER BY doc_id""".stripMargin,
+
+    "x21_semdedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),
+        | sims AS (SELECT vec_id, cent_id,
+        |   ROUND(list_cosine_similarity(emb, cent_emb), 4) + 0.0 AS csim
+        |  FROM e, cent),
+        | asgn AS (SELECT vec_id, cent_id AS cell FROM (
+        |   SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |   FROM sims) r WHERE crn = 1),
+        | pr AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+        |   ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) + 0.0 AS sim
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |   JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id)
+        |SELECT cell, a_id, b_id, sim FROM pr WHERE sim >= 0.35
+        |ORDER BY cell, a_id, b_id""".stripMargin,
+
     "x9_ann_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | eb AS (SELECT vec_id, k AS band,

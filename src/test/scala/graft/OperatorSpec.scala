@@ -93,7 +93,9 @@ class OperatorSpec extends SparkSpec {
       // round-3 ranked/iterative additions
       "l6" -> Llm.l6, "x11" -> Pipeline.x11, "r5" -> Rdf.r5,
       // round-5 ranked/joined additions
-      "l7" -> Llm.l7, "x14" -> Pipeline.x14, "s6" -> ops.Events.s6
+      "l7" -> Llm.l7, "x14" -> Pipeline.x14, "s6" -> ops.Events.s6,
+      // round-6 iterative/bucketed additions
+      "x20" -> Pipeline.x20, "x21" -> Pipeline.x21
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
@@ -407,5 +409,79 @@ class OperatorSpec extends SparkSpec {
     val eligible = Tables.documents(spark, sf001)
       .filter(size(split($"text", " ")) >= 3).count()
     assert(rows.length.toLong === eligible)
+  }
+
+  test("a16 listagg: CSV element count equals n_nations, elements sorted") {
+    val rows = Aggs.a16(spark, sf001).collect()
+    assert(rows.map(_.getAs[Long]("n_nations")).sum ===
+      Tables.nation(spark, sf001).count())
+    rows.foreach { r =>
+      val parts = r.getAs[String]("nations_csv").split(",").toSeq
+      assert(parts.length.toLong === r.getAs[Long]("n_nations"))
+      assert(parts === parts.sorted, "listagg elements must be sorted")
+    }
+  }
+
+  test("s7 rolling active: wau >= dau, wau bounded by user count") {
+    val rows = ops.Events.s7(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf001).select($"user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("wau") >= r.getAs[Long]("dau"),
+        "a 7-day window is a superset of its last day")
+      assert(r.getAs[Long]("wau") <= users)
+    }
+  }
+
+  test("x20 bounded label propagation agrees with DedupCluster's fixpoint") {
+    // 8 unrolled rounds must reach the component min at sf0.001 (measured
+    // max distance-to-min there is 5); DedupCluster.components is the
+    // unbounded-iteration path over the same pair graph.
+    val bounded = Pipeline.x20(spark, sf001)
+      .select($"doc_id", $"cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fixpoint = ops.DedupCluster.components(
+      Pipeline.x10(spark, sf001).select($"a_id", $"b_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fixpoint.nonEmpty, "fixture must contain near-dup pairs")
+    fixpoint.foreach { case (id, lbl) =>
+      assert(bounded(id) === lbl, s"doc $id: bounded ${bounded(id)} != fixpoint $lbl")
+    }
+    // docs in no pair are their own singleton cluster
+    val paired = fixpoint.keySet
+    bounded.foreach { case (id, lbl) =>
+      if (!paired.contains(id)) assert(lbl === id)
+    }
+  }
+
+  test("x21 semdedup: pairs share a cell, sims above threshold, a < b") {
+    val rows = Pipeline.x21(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("sim") >= 0.35)
+    }
+    // cluster-scoped by construction: every reported pair's members must be
+    // assigned to the emitted cell — cross-checked against x11's assignment
+    // (same identity codebook, same rounded-cosine argmax).
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("emb", $"embedding".cast("array<double>"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct.dot($"emb", $"emb")))
+      .select($"vec_id", $"emb", $"nrm")
+    val cent = e.filter($"vec_id" < 16)
+      .select($"vec_id".as("cent_id"), $"emb".as("cent_emb"), $"nrm".as("cent_nrm"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy($"csim".desc, $"cent_id")
+    val cellOf = e.crossJoin(broadcast(cent))
+      .withColumn("csim", Det.round4nz(
+        graft.functions.DotProduct.dot($"emb", $"cent_emb") / ($"nrm" * $"cent_nrm")))
+      .withColumn("crn", row_number().over(wA))
+      .filter($"crn" === 1)
+      .select($"vec_id", $"cent_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      assert(cellOf(r.getAs[Long]("a_id")) === cell)
+      assert(cellOf(r.getAs[Long]("b_id")) === cell)
+    }
   }
 }
