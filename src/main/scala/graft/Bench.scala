@@ -50,19 +50,25 @@ object Bench {
     val results = mins
     // The driver keeps only a bounded tail of stdout (2000 chars observed in
     // BENCH_r03/r04, where the full-precision ~2.9KB line overflowed it and
-    // recorded parsed:null). At 91 queries a 3-decimal line is ~2.04KB —
+    // recorded parsed:null). At 93 queries a 3-decimal line is ~2.1KB —
     // over the tail again — so emit CENTIsecond precision (ample for
-    // per-query attribution against whole-suite noise) with trailing zeros
-    // stripped; that keeps the line ~1.95KB. If the inventory grows past
-    // ~95 queries, shrink further before adding keys.
-    def fmt(v: Double): String =
-      BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+    // per-query attribution against whole-suite noise; Profile holds the
+    // precise floors) with trailing zeros stripped, and if the line STILL
+    // exceeds the tail (worst case ~1.99KB — query growth or a slow run
+    // widening values) fall back to decisecond precision rather than ship
+    // an unparseable line.
+    def fmt(v: Double, prec: Int): String =
+      BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
         .bigDecimal.stripTrailingZeros.toPlainString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    def line(prec: Int): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, prec) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = { val l = line(2); if (l.length <= 1985) l else line(1) }
+    println(out)
     spark.stop()
   }
 }

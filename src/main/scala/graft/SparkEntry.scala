@@ -83,6 +83,7 @@ object SparkEntry {
     "s5_funnel" -> (Events.s5 _),
     "s6_retention" -> (Events.s6 _),
     "s7_rolling_active" -> (Events.s7 _),
+    "s8_transitions" -> (Events.s8 _),
     // §2.7 UDF/UDAF/generator
     "u1_scalar_udf" -> (Udfs.u1 _),
     "u2_udaf_wavg" -> (Udfs.u2 _),
@@ -96,6 +97,7 @@ object SparkEntry {
     "l5_text_stats" -> (Llm.l5 _),
     "l6_bm25" -> (Llm.l6 _),
     "l7_tfidf" -> (Llm.l7 _),
+    "l8_pmi_colloc" -> (Llm.l8 _),
     // training-data-pipeline extensions (builder brief)
     "x1_minhash_lsh" -> (Pipeline.x1 _),
     "x2_simhash" -> (Pipeline.x2 _),

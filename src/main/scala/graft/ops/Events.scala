@@ -142,4 +142,30 @@ object Events {
         col("dau"), col("wau"))
       .orderBy("day")
   }
+
+  /** s8 — event-type transition matrix (first-order Markov model of user
+    * behavior — the statistic funnel and next-action analyses start from):
+    * per (prev_type, next_type), the transition count and probability
+    * P(next | prev) = cnt / from_cnt. Successor pairs come from `lag` over
+    * each user's (µs ts, event_id) order — the same keyed window as w4 —
+    * then two keyed aggs and a keyed join on prev_type. Counts are exact
+    * longs, both < 2^53, so the probability quotient is bit-identical on
+    * both engines; emitted 4-dp-rounded (D4). The matrix is
+    * |event_types|² rows — bounded output at any corpus size.
+    */
+  def s8(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .withColumn("ts", expr("ts div 1000"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val tot = tr.groupBy(col("prev_type")).agg(count(lit(1)).as("from_cnt"))
+    tr.groupBy(col("prev_type"), col("next_type")).agg(count(lit(1)).as("cnt"))
+      .join(tot, Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("cnt"),
+        round4nz(col("cnt").cast("double") / col("from_cnt").cast("double"))
+          .as("prob"))
+      .orderBy("prev_type", "next_type")
+  }
 }

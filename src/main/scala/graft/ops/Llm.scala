@@ -179,4 +179,42 @@ object Llm {
       .orderBy(col("score").desc, col("doc_id"), col("term"))
       .limit(100)
   }
+
+  /** l8 — PMI collocation mining (the classic corpus-statistics pass that
+    * finds multi-word expressions worth protecting from tokenizer splits):
+    * top-50 adjacent word pairs by pointwise mutual information,
+    * pmi = ln(N·c12 / (c1·c2)), over pairs seen ≥ 5 times. c1/c2 are the
+    * POSITIONAL marginals (w1 as first element, w2 as second — exactly the
+    * bigram model's conditioning counts).
+    *
+    * Determinism: all four counts are exact longs; both products stay far
+    * under 2^53, so their double quotient and `ln` are bit-identical on
+    * both engines; rank by the 4-dp-rounded pmi with (w1, w2) tie-break
+    * (D4), LIMIT only after the total order (D6).
+    *
+    * Scale: bigram explode is narrow (codegen NGrams); three keyed aggs;
+    * the c1/c2 joins are keyed on vocabulary-sized frames (no broadcast
+    * hint — vocabulary is unbounded at 100 TB, AQE broadcasts if small);
+    * N is ONE broadcast scalar row; top-50 plans as TakeOrderedAndProject.
+    */
+  def l8(s: SparkSession, d: String): DataFrame = {
+    val bi = Tables.documents(s, d)
+      .select(explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 2)).as("bg"))
+      .select(substring_index(col("bg"), " ", 1).as("w1"),
+        substring_index(col("bg"), " ", -1).as("w2"))
+    val n = bi.agg(count(lit(1)).as("n_total"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    c12.filter(col("c12") >= 5)
+      .join(c1, Seq("w1"))
+      .join(c2, Seq("w2"))
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        graft.Det.round4nz(log(
+          (col("c12") * col("n_total")).cast("double") /
+            (col("c1") * col("c2")).cast("double"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
 }

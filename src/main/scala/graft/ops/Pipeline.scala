@@ -775,8 +775,11 @@ object Pipeline {
     * single keyed join + keyed min agg (`least`/`coalesce` over a second
     * labels reference would double the subtree per round → exponential
     * unrolled plan, the blowup DedupCluster's localCheckpoint exists to
-    * cut). The edge list is identical across rounds, so its shuffle is
-    * planned once and reused (ReuseExchange). Emits every document's
+    * cut). The edge-list subplan is identical across rounds; the static
+    * plan prints one copy per round, but AQE's runtime stage cache
+    * computes the edge shuffle once and reuses it (verified by timing:
+    * 8-round wall-clock ≈ one x10 pass + 8 cheap label rounds, nowhere
+    * near 8 × x10). Emits every document's
     * cluster label (min reachable doc_id) + is_dup — the survivor/victim
     * decision the dedup pipeline's final filter consumes.
     */

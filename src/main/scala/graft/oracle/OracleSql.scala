@@ -934,6 +934,34 @@ object OracleSql {
         |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau, wau
         |FROM dau JOIN wau ON day_idx = cover_idx ORDER BY day""".stripMargin,
 
+    "l8_pmi_colloc" ->
+      """WITH sp AS (SELECT string_split(text, ' ') AS w FROM documents),
+        | bi AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+        |   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2 FROM sp),
+        | n AS (SELECT COUNT(*) AS n_total FROM bi),
+        | c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+        | c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+        | c2 AS (SELECT w2, COUNT(*) AS c2 FROM bi GROUP BY 1)
+        |SELECT w1, w2, c12,
+        | ROUND(ln(CAST(c12 * n_total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 4) + 0.0 AS pmi
+        |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "s8_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |   LAG(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events),
+        | tr AS (SELECT prev_type, event_type AS next_type FROM seq
+        |  WHERE prev_type IS NOT NULL),
+        | tot AS (SELECT prev_type, COUNT(*) AS from_cnt FROM tr GROUP BY 1),
+        | c AS (SELECT prev_type, next_type, COUNT(*) AS cnt FROM tr GROUP BY 1, 2)
+        |SELECT c.prev_type, c.next_type, cnt,
+        | ROUND(CAST(cnt AS DOUBLE) / CAST(from_cnt AS DOUBLE), 4) + 0.0 AS prob
+        |FROM c JOIN tot USING (prev_type)
+        |ORDER BY prev_type, next_type""".stripMargin,
+
     "x20_dup_clusters" ->
       """WITH RECURSIVE tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
         |  FROM documents),

@@ -235,6 +235,38 @@ object StreamTwins {
       }
   }
 
+  /** s8 twin — streaming event-type transitions via flatMapGroupsWithState:
+    * per-user state is the last-seen (µs ts, event_id, type); each arriving
+    * event emits its (prev_type, next_type) successor pair, and the
+    * transition-matrix rollup (batch s8's counts + probabilities) runs
+    * downstream over the emitted pair stream. Within a micro-batch rows are
+    * ordered by (µs ts, event_id) — exactly batch s8's lag order — so
+    * feeding batches split on event time reproduces the batch pair multiset
+    * (asserted in StreamTwinsSpec). State is one small tuple per user —
+    * bounded, shard-by-key.
+    */
+  case class TransitionPair(user_id: Long, prev_type: String, next_type: String)
+  case class LastEvent(ts: Long, event_id: Long, event_type: String)
+
+  def transitions(events: Dataset[Event]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[LastEvent]) =>
+          val ordered = rows.toSeq.sortBy(e => (e.ts / 1000, e.event_id))
+          var last = state.getOption
+          val out = Seq.newBuilder[TransitionPair]
+          ordered.foreach { e =>
+            last.foreach(p => out += TransitionPair(user, p.event_type, e.event_type))
+            last = Some(LastEvent(e.ts / 1000, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

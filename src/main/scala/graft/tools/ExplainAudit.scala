@@ -19,7 +19,8 @@ object ExplainAudit {
       "x10_simhash_pairs",
       "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf",
       "j11_scalar_subquery", "r5_property_path",
-      "x14_contamination", "x16_repetition", "x17_cross_source")
+      "x14_contamination", "x16_repetition", "x17_cross_source",
+      "x20_dup_clusters", "x21_semdedup", "l8_pmi_colloc", "s8_transitions")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

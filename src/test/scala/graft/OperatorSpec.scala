@@ -454,6 +454,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s8 transitions: per-prev probabilities sum to 1, counts conserve successor pairs") {
+    val rows = ops.Events.s8(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val byPrev = rows.groupBy(_.getAs[String]("prev_type"))
+    byPrev.values.foreach { rs =>
+      val pSum = rs.map(_.getAs[Double]("prob")).sum
+      assert(math.abs(pSum - 1.0) < 1e-2, s"probabilities sum to $pSum")
+    }
+    // successor pairs = events - one first-event per user
+    val events = Tables.events(spark, sf001).count()
+    val users = Tables.events(spark, sf001).select($"user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("cnt")).sum === events - users)
+  }
+
+  test("l8 PMI: bounded top-50, scores non-increasing, counts >= 5") {
+    val rows = Llm.l8(spark, sf001).collect()
+    assert(rows.length <= 50)
+    assert(rows.nonEmpty)
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(_.getAs[Long]("c12") >= 5))
+  }
+
   test("x21 semdedup: pairs share a cell, sims above threshold, a < b") {
     val rows = Pipeline.x21(spark, sf001).collect()
     rows.foreach { r =>

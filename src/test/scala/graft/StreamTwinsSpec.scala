@@ -122,6 +122,40 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming transitions roll up to batch s8 across event-time-split batches") {
+    implicit val sqlCtx = spark.sqlContext
+    // split on event time so cross-batch per-user order is preserved — the
+    // state must carry the last event over the batch boundary
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.transitions(stream.toDS())
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // materialize: a self-join directly over the memory sink hits
+      // conflicting attribute references (MemoryPlan is not deduplicated)
+      val pairs = spark.table("transitions")
+        .as[(Long, String, String)].collect().toSeq
+        .toDF("user_id", "prev_type", "next_type")
+      val tot = pairs.groupBy("prev_type").agg(count(lit(1)).as("from_cnt"))
+      val streamed = pairs.groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("cnt"))
+        .join(tot, Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("cnt"),
+          Det.round4nz(col("cnt").cast("double") / col("from_cnt").cast("double"))
+            .as("prob"))
+        .orderBy("prev_type", "next_type").collect().toSeq
+      val batch = ops.Events.s8(spark, sf001)
+        .orderBy("prev_type", "next_type").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming as-of join equals batch j9 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     // split on event time so cross-batch per-user order is preserved — the
