@@ -50,6 +50,7 @@ object SparkEntry {
     "a14_pivot" -> (Aggs.a14 _),
     "a15_histogram" -> (Aggs.a15 _),
     "a16_listagg" -> (Aggs.a16 _),
+    "a17_regression" -> (Aggs.a17 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),

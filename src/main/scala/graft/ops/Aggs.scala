@@ -196,4 +196,41 @@ object Aggs {
       .agg(count(lit(1)).as("n_nations"),
         array_join(array_sort(collect_list(col("n_name"))), ",").as("nations_csv"))
       .orderBy("r_name")
+
+  /** a17 — per-segment least-squares regression of order price against
+    * order date (the `regr_slope`/`regr_intercept`/`r²` surface), done
+    * scale-safe exactly like a12: the native regr_* functions aggregate
+    * raw doubles (order-dependent between partitions/engines), so the
+    * moments aggregate exactly — x (days since 1995-01-01) as integer
+    * longs, money in fixed-scale decimals — and the closed forms evaluate
+    * in one fixed double-expression order mirrored textually by the
+    * oracle (the intercept repeats the slope subexpression verbatim on
+    * both engines rather than referencing a rounded value). One keyed
+    * shuffle with partial aggregation; five rows out.
+    */
+  def a17(s: SparkSession, d: String): DataFrame = {
+    val g = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("x"),
+        col("o_totalprice").as("y"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(dec2(col("y"))).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec4(col("y") * col("y"))).as("syy"),
+        sum(dec4(col("x") * col("y"))).as("sxy"))
+    val nd = col("n").cast("double")
+    val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+    val sxx = col("sxx").cast("double"); val syy = col("syy").cast("double")
+    val sxy = col("sxy").cast("double")
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    g.select(col("c_mktsegment"), col("n"),
+        round4nz(slope).as("slope"),
+        round4nz((sy - slope * sx) / nd).as("intercept"),
+        round4nz(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+          / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))).as("r2"))
+      .orderBy("c_mktsegment")
+  }
 }

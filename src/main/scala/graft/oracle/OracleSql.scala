@@ -228,6 +228,28 @@ object OracleSql {
         | ROUND(sqrt((nd * syy - sy * sy) / (nd * (nd - 1.0))), 4) + 0.0 AS stddev_price
         |FROM m ORDER BY l_returnflag""".stripMargin,
 
+    "a17_regression" ->
+      """WITH t AS (SELECT c_mktsegment,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+        |  o_totalprice AS y
+        | FROM orders JOIN customer ON o_custkey = c_custkey),
+        | g AS (SELECT c_mktsegment, COUNT(*) AS n,
+        |  SUM(x) AS sx, SUM(CAST(y AS DECIMAL(18,2))) AS sy,
+        |  SUM(x * x) AS sxx,
+        |  SUM(CAST(y * y AS DECIMAL(18,4))) AS syy,
+        |  SUM(CAST(x * y AS DECIMAL(18,4))) AS sxy
+        | FROM t GROUP BY 1),
+        | m AS (SELECT c_mktsegment, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |  CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+        |  CAST(sxy AS DOUBLE) AS sxy FROM g)
+        |SELECT c_mktsegment, n,
+        | ROUND((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 4) + 0.0 AS slope,
+        | ROUND((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 4) + 0.0 AS intercept,
+        | ROUND(((nd * sxy - sx * sy) * (nd * sxy - sx * sy))
+        |   / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 4) + 0.0 AS r2
+        |FROM m ORDER BY c_mktsegment""".stripMargin,
+
     "a13_unpivot" ->
       """WITH wide AS (SELECT o_orderpriority,
         |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f,

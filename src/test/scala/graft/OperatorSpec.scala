@@ -218,6 +218,29 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("a17 regression matches Spark's native regr_slope/intercept to float tolerance") {
+    val ours = ops.Aggs.a17(spark, sf001)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val x = datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+      .cast("double")
+    val native = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(regr_slope($"o_totalprice", x).as("sl"),
+        regr_intercept($"o_totalprice", x).as("ic"),
+        regr_r2($"o_totalprice", x).as("r2"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ours.keySet === native.keySet)
+    ours.foreach { case (k, (sl, ic, r2)) =>
+      assert(math.abs(sl - native(k)._1) < 1e-2, s"slope($k): $sl vs ${native(k)._1}")
+      assert(math.abs(ic - native(k)._2) < 1e2 * math.max(1.0, math.abs(ic) * 1e-4),
+        s"intercept($k): $ic vs ${native(k)._2}")
+      assert(math.abs(r2 - native(k)._3) < 1e-3, s"r2($k)")
+    }
+  }
+
   test("a13 unpivot: long form sums back to the wide counts") {
     val long = ops.Aggs.a13(spark, sf001)
     assert(long.select($"status").distinct().collect().map(_.getString(0)).sorted
