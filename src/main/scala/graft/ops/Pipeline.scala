@@ -804,6 +804,54 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x22 — the TRAINING MANIFEST: the end-to-end composition every stage
+    * above exists to feed. A document enters the training set iff it
+    * (1) survives exact dedup (l1's rule: min doc_id of its normalized-
+    * text md5 group), (2) passes the x18 quality gate (wc ∈ [5,5000],
+    * quality ≥ 0.5, repetition ≤ 0.2), and (3) is kept by x19's
+    * deterministic source-weighted sampling; kept docs are assigned
+    * x12's split and rolled up per (split, lang) — the manifest a
+    * downstream trainer reads. One pass over the text plus ONE keyed
+    * window (the dedup survivor min over text_hash) and one keyed
+    * rollup: the whole pipeline composes without any extra corpus scan,
+    * which is the point — stages share the same narrow projection at
+    * 100 TB instead of re-reading the lake per stage.
+    */
+  def x22(s: SparkSession, d: String): DataFrame = {
+    val wHash = Window.partitionBy("text_hash")
+    val srcNum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+    val thr = when(srcNum < 5, lit("zz"))
+      .when(srcNum < 10, lit("80"))
+      .otherwise(lit("40"))
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(lower(trim(col("text"))).cast("binary")))
+      .withColumn("survivor", col("doc_id") === min(col("doc_id")).over(wHash))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("wc", size(col("w")).cast("bigint"))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), t => t.isin("the", "a", "of", "and"))))
+      .withColumn("short_cnt", size(filter(col("w"), t => length(t) <= 2)))
+      .withColumn("quality", graft.Det.round4nz(
+        lit(1.0) - lit(0.5) * (col("stop_cnt").cast("double") / col("wc"))
+          - lit(0.3) * (col("short_cnt").cast("double") / col("wc"))))
+      .withColumn("tri", trigramsOfW)
+      .withColumn("rep_ratio",
+        when(size(col("tri")) > 0, graft.Det.round4nz(
+          lit(1.0) - size(array_distinct(col("tri"))).cast("double")
+            / size(col("tri")).cast("double")))
+          .otherwise(lit(0.0)))
+      .withColumn("sampled",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < thr)
+      .filter(col("survivor")
+        && col("wc") >= 5 && col("wc") <= 5000
+        && col("quality") >= 0.5 && col("rep_ratio") <= 0.2
+        && col("sampled"))
+      .withColumn("split", splitCol)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("wc")).as("kept_tokens"))
+      .orderBy("split", "lang")
+  }
+
   /** x21 — SemDedup-style cluster-scoped embedding dedup (the Abbas et al.
     * 2023 recipe: coarse-cluster the corpus, then compare embeddings ONLY
     * within a cluster): vectors are assigned to x11's IVF cells (identity

@@ -1010,6 +1010,43 @@ object OracleSql {
         | CASE WHEN MIN(node) <> root THEN 1 ELSE 0 END AS is_dup
         |FROM reach GROUP BY root ORDER BY doc_id""".stripMargin,
 
+    "x22_training_manifest" ->
+      """WITH base AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w,
+        |  md5(lower(trim(text))) AS text_hash,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1,
+        |  CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) AS sn
+        | FROM documents),
+        | surv AS (SELECT *,
+        |  doc_id = MIN(doc_id) OVER (PARTITION BY text_hash) AS survivor
+        | FROM base),
+        | c AS (SELECT doc_id, lang, survivor, h2, h1, sn, w,
+        |  CAST(len(w) AS BIGINT) AS wc,
+        |  len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS stop_cnt,
+        |  len(list_filter(w, t -> length(t) <= 2)) AS short_cnt
+        | FROM surv),
+        | q AS (SELECT doc_id, lang, survivor, h2, h1, sn, wc,
+        |  ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality,
+        |  CASE WHEN len(w) >= 3 THEN
+        |   ROUND(1.0 - CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS DOUBLE)
+        |    / (len(w) - 2), 4) + 0.0
+        |  ELSE 0.0 END AS rep_ratio
+        | FROM c),
+        | kept AS (SELECT lang, wc,
+        |  CASE WHEN h1 IN ('c','d') THEN 'val'
+        |       WHEN h1 IN ('e','f') THEN 'test'
+        |       ELSE 'train' END AS split
+        | FROM q
+        | WHERE survivor AND wc BETWEEN 5 AND 5000
+        |  AND quality >= 0.5 AND rep_ratio <= 0.2
+        |  AND h2 < (CASE WHEN sn < 5 THEN 'zz' WHEN sn < 10 THEN '80'
+        |            ELSE '40' END))
+        |SELECT split, lang, COUNT(*) AS kept_docs,
+        | CAST(SUM(wc) AS BIGINT) AS kept_tokens
+        |FROM kept GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
     "x21_semdedup" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | cent AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e WHERE vec_id < 16),

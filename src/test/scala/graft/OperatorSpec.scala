@@ -500,6 +500,35 @@ class OperatorSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("c12") >= 5))
   }
 
+  test("x22 manifest equals composing l1 survivors + x18 gate + x19 sample + x12 split") {
+    val manifest = Pipeline.x22(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))).toMap
+    // recompose from the individual declared stages
+    val survivors = Llm.l1(spark, sf001).select($"survivor_id".as("doc_id"))
+    val gated = Pipeline.x18(spark, sf001).filter($"keep" === 1)
+      .select($"doc_id", $"wc")
+    val srcNum = regexp_extract($"source", "([0-9]+)$", 1).cast("int")
+    val thr = when(srcNum < 5, lit("zz")).when(srcNum < 10, lit("80"))
+      .otherwise(lit("40"))
+    val sampled = Tables.documents(spark, sf001)
+      .filter(substring(md5($"doc_id".cast("string").cast("binary")), 1, 2) < thr)
+      .select($"doc_id", $"lang")
+    val h = substring(md5($"doc_id".cast("string").cast("binary")), 1, 1)
+    val split = Tables.documents(spark, sf001).select($"doc_id",
+      when(h.isin("c", "d"), "val").when(h.isin("e", "f"), "test")
+        .otherwise("train").as("split"))
+    val composed = survivors.join(gated, "doc_id").join(sampled, "doc_id")
+      .join(split, "doc_id")
+      .groupBy($"split", $"lang")
+      .agg(count(lit(1)).as("kept_docs"), sum($"wc").as("kept_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("kept_docs"), r.getAs[Long]("kept_tokens"))).toMap
+    assert(manifest === composed)
+    assert(manifest.nonEmpty)
+  }
+
   test("x21 semdedup: pairs share a cell, sims above threshold, a < b") {
     val rows = Pipeline.x21(spark, sf001).collect()
     rows.foreach { r =>
