@@ -76,6 +76,7 @@ object SparkEntry {
     "f8_json_keys" -> (Scalars.f8 _),
     "f9_bitwise" -> (Scalars.f9 _),
     "f10_map_funcs" -> (Scalars.f10 _),
+    "f11_struct_funcs" -> (Scalars.f11 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),

@@ -168,4 +168,25 @@ object Scalars {
         least(col("c_acctbal"), lit(1000.0)).as("bal_min1k"),
         greatest(col("c_acctbal"), lit(0.0)).as("bal_nonneg"))
       .orderBy("c_custkey")
+
+  /** f11 — struct-typed scalar surface (completes the nested-type trio with
+    * f4's arrays and f10's maps): build a nested struct (profile holding an
+    * inner address struct + a derived boolean), then project fields back
+    * out through dotted access. Like f10's map, the struct never leaves its
+    * row (structs are zero-cost column groupings in Tungsten — field access
+    * compiles to a direct column read; emitting only scalar fields keeps
+    * the output oracle-comparable per D8).
+    */
+  def f11(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .withColumn("prof", struct(
+        col("c_name").as("name"),
+        struct(col("c_nationkey").as("nk"), col("c_mktsegment").as("seg")).as("addr"),
+        (col("c_acctbal") > 0).as("pos")))
+      .select(col("c_custkey"),
+        col("prof.name").as("name"),
+        col("prof.addr.nk").as("nk"),
+        col("prof.addr.seg").as("seg"),
+        col("prof.pos").cast("int").as("pos_bal"))
+      .orderBy("c_custkey")
 }

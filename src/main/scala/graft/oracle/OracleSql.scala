@@ -508,6 +508,14 @@ object OracleSql {
         | FROM part)
         |ORDER BY p_partkey""".stripMargin,
 
+    "f11_struct_funcs" ->
+      """SELECT c_custkey, prof['name'] AS name, prof['addr']['nk'] AS nk,
+        | prof['addr']['seg'] AS seg, CAST(prof['pos'] AS INTEGER) AS pos_bal
+        |FROM (SELECT c_custkey, struct_pack(name := c_name,
+        |   addr := struct_pack(nk := c_nationkey, seg := c_mktsegment),
+        |   pos := c_acctbal > 0) AS prof FROM customer)
+        |ORDER BY c_custkey""".stripMargin,
+
     "s5_funnel" ->
       """SELECT user_id,
         | MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS first_signup,
