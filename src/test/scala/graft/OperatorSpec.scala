@@ -94,8 +94,9 @@ class OperatorSpec extends SparkSpec {
       "l6" -> Llm.l6, "x11" -> Pipeline.x11, "r5" -> Rdf.r5,
       // round-5 ranked/joined additions
       "l7" -> Llm.l7, "x14" -> Pipeline.x14, "s6" -> ops.Events.s6,
-      // round-6 iterative/bucketed additions
-      "x20" -> Pipeline.x20, "x21" -> Pipeline.x21
+      // round-6 iterative/bucketed/ranked additions
+      "x20" -> Pipeline.x20, "x21" -> Pipeline.x21,
+      "l8" -> Llm.l8, "x22" -> Pipeline.x22
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
