@@ -122,7 +122,8 @@ object SparkEntry {
     "x19_weighted_sample" -> (Pipeline.x19 _),
     "x20_dup_clusters" -> (Pipeline.x20 _),
     "x21_semdedup" -> (Pipeline.x21 _),
-    "x22_training_manifest" -> (Pipeline.x22 _)
+    "x22_training_manifest" -> (Pipeline.x22 _),
+    "x23_containment" -> (Pipeline.x23 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

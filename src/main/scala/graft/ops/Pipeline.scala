@@ -228,25 +228,27 @@ object Pipeline {
     */
   val ShingleDfCap = 1000
 
-  def x3(s: SparkSession, d: String): DataFrame = {
-    // Shingle derivation is the codegen'd NGrams expression + a NARROW
-    // explode — no shuffle until the distinct. (History: the original
-    // transform/array_distinct HOF interpreted its lambdas at ~0.8 ms/doc;
-    // the round-4 fix derived trigrams via posexplode + lead windows, fully
-    // codegen'd but paying a per-doc shuffle+sort for the window — with the
-    // native expression both costs are gone.)
-    val allPosts = Tables.documents(s, d)
+  /** The df-capped trigram posting list shared by x3 (Jaccard) and x23
+    * (containment): one narrow codegen'd-NGrams explode + distinct, then
+    * the hot-shingle df cap applied via a window over the SAME (lang, tok)
+    * key the pair joins below shuffle on. (History: the original
+    * transform/array_distinct HOF interpreted its lambdas at ~0.8 ms/doc;
+    * the round-4 fix derived trigrams via posexplode + lead windows, fully
+    * codegen'd but paying a per-doc shuffle+sort for the window — with the
+    * native expression both costs are gone.)
+    */
+  private def shinglePosts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 3)).as("tok"))
       .distinct() // the doc's trigram SET (≡ array_distinct of the shingles)
-    // df via a window over the posting key: one shuffle on (lang, tok) —
-    // the same key the pair join below needs — instead of a separate
-    // aggregate + join back.
-    val posts = allPosts
       .withColumn("df", count(lit(1)).over(
         Window.partitionBy(col("lang"), col("tok"))))
       .filter(col("df") <= ShingleDfCap)
       .drop("df")
+
+  def x3(s: SparkSession, d: String): DataFrame = {
+    val posts = shinglePosts(s, d)
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
@@ -263,6 +265,43 @@ object Pipeline {
       .select(col("lang"), col("a_id"), col("b_id"),
         round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
       .orderBy("lang", "a_id", "b_id")
+  }
+
+  /** x23 — ASYMMETRIC containment near-dup pairs: directional rows
+    * (contained_id, container_id) where ≥ 80% of the contained doc's
+    * trigram set occurs in the container, C(A→B) = |A∩B| / |A| ≥ 0.8 in
+    * exact integer math. Containment catches what Jaccard (x3) structurally
+    * cannot: a short excerpt/quote inside a long document scores near-zero
+    * Jaccard (the union is dominated by the long side) but containment 1.0
+    * — the subset-duplication case a dedup pass must flag. Same inverted-
+    * index machinery and df cap as x3 (one posting self-join computes |∩|
+    * for BOTH directions of a pair); each unordered pair then emits 0, 1 or
+    * 2 directional rows against its own size.
+    */
+  def x23(s: SparkSession, d: String): DataFrame = {
+    val posts = shinglePosts(s, d)
+    val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
+    val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
+    val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
+      col("doc_id").as("b_id"))
+    val inter = pa.join(pb, col("lang") === col("lang_b")
+        && col("tok") === col("tok_b") && col("a_id") < col("b_id"))
+      .groupBy(col("lang"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("int").as("inter"))
+    val sa = sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
+    val sb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
+    val both = inter.join(sa, "a_id").join(sb, "b_id")
+    val dirA = both.filter(col("inter") * 10 >= col("a_sz") * 8)
+      .select(col("lang"), col("a_id").as("contained_id"),
+        col("b_id").as("container_id"),
+        graft.Det.round4nz(col("inter").cast("double") / col("a_sz").cast("double"))
+          .as("containment"))
+    val dirB = both.filter(col("inter") * 10 >= col("b_sz") * 8)
+      .select(col("lang"), col("b_id").as("contained_id"),
+        col("a_id").as("container_id"),
+        graft.Det.round4nz(col("inter").cast("double") / col("b_sz").cast("double"))
+          .as("containment"))
+    dirA.union(dirB).orderBy("lang", "contained_id", "container_id")
   }
 
   /** Banded hyperplane sign-LSH over all 64 embedding dims: 16 bands × 4

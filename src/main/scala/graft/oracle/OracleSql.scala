@@ -868,6 +868,30 @@ object OracleSql {
         |  AND len(list_distinct(a.t || b.t)) > 0
         |ORDER BY a.lang, a_id, b_id""".stripMargin,
 
+    "x23_containment" ->
+      """WITH ex AS (SELECT doc_id, lang,
+        |  unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2]))) AS tok
+        | FROM documents),
+        | kept AS (SELECT lang, tok FROM (SELECT lang, tok, COUNT(*) AS df
+        |   FROM ex GROUP BY lang, tok) x WHERE df <= 1000),
+        | tg AS (SELECT doc_id, ex.lang, list(ex.tok) AS t
+        |  FROM ex JOIN kept ON ex.lang = kept.lang AND ex.tok = kept.tok
+        |  GROUP BY doc_id, ex.lang),
+        | pr AS (SELECT a.lang, a.doc_id AS a_id, b.doc_id AS b_id,
+        |   len(list_intersect(a.t, b.t)) AS i, len(a.t) AS a_sz, len(b.t) AS b_sz
+        |  FROM tg a JOIN tg b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+        | dir AS (
+        |  SELECT lang, a_id AS contained_id, b_id AS container_id,
+        |   ROUND(CAST(i AS DOUBLE) / a_sz, 4) + 0.0 AS containment
+        |  FROM pr WHERE i * 10 >= a_sz * 8
+        |  UNION ALL
+        |  SELECT lang, b_id, a_id, ROUND(CAST(i AS DOUBLE) / b_sz, 4) + 0.0
+        |  FROM pr WHERE i * 10 >= b_sz * 8)
+        |SELECT lang, contained_id, container_id, containment
+        |FROM dir ORDER BY lang, contained_id, container_id""".stripMargin,
+
     "x4_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | eb AS (SELECT vec_id, label, k AS band,

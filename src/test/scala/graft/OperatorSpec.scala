@@ -530,6 +530,26 @@ class OperatorSpec extends SparkSpec {
     assert(manifest.nonEmpty)
   }
 
+  test("x23 containment: directional, above threshold, superset of symmetric full matches") {
+    val rows = Pipeline.x23(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("contained_id") !== r.getAs[Long]("container_id"))
+      assert(r.getAs[Double]("containment") >= 0.8)
+      assert(r.getAs[Double]("containment") <= 1.0)
+    }
+    // asymmetry sanity: every x3 pair with jaccard = 1.0 (identical shingle
+    // sets) must appear in BOTH directions here
+    val full = Pipeline.x3(spark, sf001).filter($"jaccard" === 1.0)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dirs = rows.map(r =>
+      (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id"))).toSet
+    full.foreach { case (a, b) =>
+      assert(dirs.contains((a, b)) && dirs.contains((b, a)),
+        s"identical-set pair ($a,$b) must be mutually contained")
+    }
+  }
+
   test("x21 semdedup: pairs share a cell, sims above threshold, a < b") {
     val rows = Pipeline.x21(spark, sf001).collect()
     rows.foreach { r =>
