@@ -550,6 +550,24 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x23 on literal docs: a strict shingle-subset doc is contained at 1.0, not vice versa") {
+    // doc 1's trigram set is a strict subset of doc 2's; doc 3 is disjoint.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta", "s", 0L),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s", 0L),
+      (3L, "en", "one two three four five six", "s", 0L)
+    ).toDF("doc_id", "lang", "text", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x23-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val rows = Pipeline.x23(spark, dir).collect()
+      .map(r => (r.getAs[Long]("contained_id"), r.getAs[Long]("container_id")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(rows.get((1L, 2L)).contains(1.0), "subset doc must be contained at 1.0")
+    assert(!rows.contains((2L, 1L)),
+      "the superset doc is NOT contained in the subset doc (asymmetry)")
+    assert(!rows.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("x21 semdedup: pairs share a cell, sims above threshold, a < b") {
     val rows = Pipeline.x21(spark, sf001).collect()
     rows.foreach { r =>

@@ -75,4 +75,23 @@ class PlanLintSpec extends SparkSpec {
       assert(qe.optimizedPlan != null, name)
     }
   }
+
+  /** x22's design claim is that the composed pipeline (dedup survivor →
+    * gate → sample → split → rollup) shares ONE corpus scan instead of
+    * re-reading the lake per stage — enforce it so a refactor that joins
+    * stage outputs (and silently multiplies the 100 TB scan) fails here.
+    */
+  test("x22 training manifest reads the documents table exactly once") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = ops.Pipeline.x22(spark, sf001).queryExecution.optimizedPlan
+      .collectLeaves().count {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+          case _ => false
+        }
+        case _ => false
+      }
+    assert(scans === 1, s"x22 must scan documents once, found $scans scans")
+  }
 }
