@@ -67,7 +67,15 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = { val l = line(2); if (l.length <= 1985) l else line(1) }
+    // Tiered precision: centi → deci → whole seconds, first that fits the
+    // 2000-char tail (the line plus its newline must sit inside the last
+    // 2000 chars of stdout → line ≤ 1999). At 97 keys the deci line is
+    // ~1,992 chars, so calm runs still carry sub-second values; a loaded
+    // run pushing many values to double digits (+1 char each) or further
+    // query growth drops to the integer tier rather than shipping an
+    // unparseable line. Per-query PRECISION lives in BASELINE.md's Profile
+    // warm floors — this line only needs to localize regressions.
+    val out = Seq(2, 1, 0).map(line).find(_.length <= 1999).getOrElse(line(0))
     println(out)
     spark.stop()
   }
