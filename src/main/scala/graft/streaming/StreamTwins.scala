@@ -235,6 +235,22 @@ object StreamTwins {
       }
   }
 
+  /** s7 twin — streaming distinct (user, day) cells via stateful
+    * `dropDuplicates`: the rolling DAU/WAU rollup (batch s7) runs
+    * downstream over the emitted cell stream — the same two-tier
+    * changelog shape as the retention ledger, with Spark's built-in dedup
+    * state instead of custom state. Append mode: each cell is emitted
+    * exactly once, on first arrival. State is one key per (user, active
+    * day) — on an unbounded feed, bound it with a watermark +
+    * `dropDuplicatesWithinWatermark` once days fall out of the analysis
+    * horizon.
+    */
+  def userDays(events: DataFrame): DataFrame =
+    events
+      .withColumn("day_idx", expr("(ts div 1000) div 86400000000"))
+      .select(col("user_id"), col("day_idx"))
+      .dropDuplicates("user_id", "day_idx")
+
   /** s8 twin — streaming event-type transitions via flatMapGroupsWithState:
     * per-user state is the last-seen (µs ts, event_id, type); each arriving
     * event emits its (prev_type, next_type) successor pair, and the

@@ -162,6 +162,36 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming user-day cells roll up to batch s7 DAU/WAU") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.userDays(stream.toDF())
+      .writeStream.format("memory").queryName("userdays")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      // downstream dashboard rollup over the emitted distinct cells = batch s7
+      val cells = spark.table("userdays")
+        .as[(Long, Long)].collect().toSeq.toDF("user_id", "day_idx")
+      val dau = cells.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+      val wau = cells
+        .withColumn("cover_idx", explode(sequence(col("day_idx"), col("day_idx") + 6)))
+        .select("cover_idx", "user_id").distinct()
+        .groupBy("cover_idx").agg(count(lit(1)).as("wau"))
+      val streamed = dau.join(wau, col("day_idx") === col("cover_idx"))
+        .select(to_date(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+          col("dau"), col("wau"))
+        .orderBy("day").collect().toSeq
+      val batch = ops.Events.s7(spark, sf001).collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming transitions roll up to batch s8 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     // split on event time so cross-batch per-user order is preserved — the
