@@ -109,6 +109,25 @@ class CapabilitySpec extends SparkSpec {
     }
   }
 
+  test("AQE converts x1's unhinted dictionary join to broadcast at runtime") {
+    // x1/x4's round-6 scale fix removed the corpus-sized broadcast() hints
+    // on the premise that the engine broadcasts genuinely small sides on
+    // its own — statically from size estimates, and at runtime from real
+    // shuffle statistics (AQE). Prove it on x1: execute and assert the
+    // FINAL adaptive plan still contains broadcast joins with NO hint in
+    // the code — which is exactly what makes the unhinted form safe at
+    // 100 TB (a corpus-sized dictionary blows the size thresholds and
+    // stays a keyed shuffle join; a small one gets broadcast anyway).
+    val df = ops.Pipeline.x1(spark, sf001)
+    assert(df.collect().nonEmpty) // executes THIS queryExecution's plan
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("AdaptiveSparkPlan"), "AQE must be on")
+    assert(finalPlan.contains("isFinalPlan=true"), "plan must be post-execution")
+    assert(finalPlan.contains("BroadcastHashJoin"),
+      s"AQE should have broadcast the small dictionary side at this SF:\n" +
+        finalPlan.take(2000))
+  }
+
   test("GraftExtensions registers native expressions as SQL functions") {
     GraftExtensions.install(spark)
     GraftExtensions.install(spark) // idempotent
