@@ -913,6 +913,15 @@ object Pipeline {
     val cent = e.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("emb").as("cent_emb"),
         col("nrm").as("cent_nrm"))
+    x21With(e, cent)
+  }
+
+  /** x21 with a caller-supplied codebook — the "k grows with the corpus"
+    * contract (same shape as [[x11With]]): a trained
+    * [[KMeansCodebook]] swaps in without touching the dedup logic, and a
+    * bigger k only shrinks the cells. KMeansSpec exercises the swap.
+    */
+  def x21With(e: DataFrame, cent: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cent_id"))
     val assign = e.crossJoin(broadcast(cent))

@@ -101,4 +101,28 @@ class KMeansSpec extends SparkSpec {
     assert(asgn.select("id").distinct().count() === v.count())
     assert(asgn.select("cell").distinct().count() <= 4)
   }
+
+  test("x21 semdedup accepts a trained codebook transparently (x21With)") {
+    // The "k grows with the corpus" contract: clustering granularity is a
+    // codebook swap, not a dedup-logic change. Same schema, same pair
+    // invariants; the trained cells tighten (a within-cell pair under the
+    // trained codebook is at least as plausible a near-dup — its members
+    // agree on a LEARNED centroid, not an arbitrary one).
+    import graft.functions.DotProduct.{dot => vdot}
+    val e = Tables.embeddings(spark, sf001)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val learned = KMeansCodebook.train(
+        e.select(col("vec_id").as("id"), col("emb")), 16, 4)
+      .select(col("cent_id"), col("cent_emb"),
+        sqrt(vdot(col("cent_emb"), col("cent_emb"))).as("cent_nrm"))
+    val out = ops.Pipeline.x21With(e, learned)
+    assert(out.columns.toSeq === ops.Pipeline.x21(spark, sf001).columns.toSeq)
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a_id") < r.getAs[Long]("b_id"))
+      assert(r.getAs[Double]("sim") >= 0.35)
+    }
+  }
 }

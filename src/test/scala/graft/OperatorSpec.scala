@@ -55,6 +55,19 @@ class OperatorSpec extends SparkSpec {
     assert(results(0) == results(1) && results(1) == results(2))
   }
 
+  test("a17 regression moments are partitioning-invariant (rule D2 on closed forms)") {
+    // The regression's six moments are exact decimals/longs, so slope/
+    // intercept/r2 must be BIT-identical under any input partitioning —
+    // the property the native regr_* aggregates lack.
+    val shufP = spark.conf.get("spark.sql.shuffle.partitions")
+    val results = Seq("1", "4").map { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+      try ops.Aggs.a17(spark, sf001).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", shufP)
+    }
+    assert(results(0) == results(1))
+  }
+
   test("w2 top-k: at most 3 per brand, ranks contiguous from 1") {
     val rows = Windows.w2(spark, sf001).collect()
     val byBrand = rows.groupBy(_.getString(0))
@@ -96,7 +109,8 @@ class OperatorSpec extends SparkSpec {
       "l7" -> Llm.l7, "x14" -> Pipeline.x14, "s6" -> ops.Events.s6,
       // round-6 iterative/bucketed/ranked additions
       "x20" -> Pipeline.x20, "x21" -> Pipeline.x21,
-      "l8" -> Llm.l8, "x22" -> Pipeline.x22
+      "l8" -> Llm.l8, "x22" -> Pipeline.x22, "a17" -> Aggs.a17,
+      "x23" -> Pipeline.x23
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
