@@ -62,20 +62,31 @@ object Bench {
         .bigDecimal.stripTrailingZeros.toPlainString
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def line(prec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, prec) }
+    def line(prec: collection.Map[String, Int]): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, prec(k)) }
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    // Tiered precision: centi → deci → whole seconds, first that fits the
-    // 2000-char tail (the line plus its newline must sit inside the last
-    // 2000 chars of stdout → line ≤ 1999). At 97 keys the deci line is
-    // ~1,992 chars, so calm runs still carry sub-second values; a loaded
-    // run pushing many values to double digits (+1 char each) or further
-    // query growth drops to the integer tier rather than shipping an
-    // unparseable line. Per-query PRECISION lives in BASELINE.md's Profile
-    // warm floors — this line only needs to localize regressions.
-    val out = Seq(2, 1, 0).map(line).find(_.length <= 1999).getOrElse(line(0))
+    // Precision budget: the line plus its newline must sit inside the
+    // driver's 2000-char stdout tail (→ line ≤ 1999 chars). Try centi,
+    // then deci, for every query; past that, demote queries to INTEGER
+    // seconds FASTEST-FIRST until the line fits — a 0.1 s query's value
+    // carries no attribution signal beyond its BASELINE.md Profile floor,
+    // while the slow queries (where regressions live) keep their decimals
+    // as long as possible. Worst case every value is integer — coarse but
+    // always parseable, never parsed:null.
+    def uniform(p: Int) = results.keys.map(_ -> p).toMap
+    val out = Seq(uniform(2), uniform(1)).map(line).find(_.length <= 1999)
+      .getOrElse {
+        val prec = scala.collection.mutable.Map(uniform(1).toSeq: _*)
+        val fastestFirst = results.toSeq.sortBy(_._2).map(_._1).iterator
+        var l = line(prec)
+        while (l.length > 1999 && fastestFirst.hasNext) {
+          prec(fastestFirst.next()) = 0
+          l = line(prec)
+        }
+        l
+      }
     println(out)
     spark.stop()
   }

@@ -33,6 +33,7 @@ object SparkEntry {
     "j9_asof" -> (Joins.j9 _),
     "j10_cross" -> (Joins.j10 _),
     "j11_scalar_subquery" -> (Joins.j11 _),
+    "j12_lateral_topn" -> (Joins.j12 _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
     "a2_distinct_agg" -> (Aggs.a2 _),

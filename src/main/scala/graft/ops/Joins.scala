@@ -166,4 +166,27 @@ object Joins {
              ORDER BY o_orderkey""")
     finally s.catalog.dropTempView(v)
   }
+
+  /** j12 — LATERAL correlated TABLE subquery (row-returning, vs j11's
+    * scalars): per nation, its top-3 customers by account balance through
+    * `LATERAL (... WHERE c_nationkey = n_nationkey ORDER BY ... LIMIT 3)`.
+    * Catalyst decorrelates the per-row LIMIT into a rank-window over ONE
+    * keyed join (`.explain`: a window + filter ≤ 3, no per-outer-row
+    * re-execution) — the same plan w2's explicit window writes by hand, so
+    * the lateral form scales identically. Balances are value copies (no
+    * arithmetic) with a c_custkey tie-break — exact parity (w7's rule).
+    */
+  def j12(s: SparkSession, d: String): DataFrame = {
+    val nv = s"nation_j12_${Joins.viewSeq.incrementAndGet()}"
+    val cv = s"customer_j12_${Joins.viewSeq.incrementAndGet()}"
+    Tables.nation(s, d).createOrReplaceTempView(nv)
+    Tables.customer(s, d).createOrReplaceTempView(cv)
+    try s.sql(s"""SELECT n_name, t.c_custkey, t.c_acctbal
+             FROM $nv,
+             LATERAL (SELECT c_custkey, c_acctbal FROM $cv
+                      WHERE c_nationkey = n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+             ORDER BY n_name, t.c_custkey""")
+    finally { s.catalog.dropTempView(nv); s.catalog.dropTempView(cv) }
+  }
 }

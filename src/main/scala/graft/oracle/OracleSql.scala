@@ -129,6 +129,14 @@ object OracleSql {
         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
 
+    "j12_lateral_topn" ->
+      """SELECT n_name, t.c_custkey, t.c_acctbal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3) t
+        |ORDER BY n_name, t.c_custkey""".stripMargin,
+
     "a1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,

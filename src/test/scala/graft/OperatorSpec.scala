@@ -233,6 +233,19 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("j12 lateral top-n equals the hand-written window formulation") {
+    val lateral = Joins.j12(spark, sf001).collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("c_nationkey").orderBy($"c_acctbal".desc, $"c_custkey")
+    val manual = Tables.customer(spark, sf001)
+      .withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+      .join(Tables.nation(spark, sf001), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", $"c_custkey", $"c_acctbal")
+      .orderBy("n_name", "c_custkey").collect().toSeq
+    assert(lateral == manual)
+    assert(lateral.nonEmpty)
+  }
+
   test("a17 regression matches Spark's native regr_slope/intercept to float tolerance") {
     val ours = ops.Aggs.a17(spark, sf001)
       .collect().map(r => r.getString(0) ->
