@@ -797,30 +797,39 @@ object Pipeline {
           .as("rep_ratio"))
       .orderBy("doc_id")
 
-  /** x20 — near-dup CLUSTER labeling: connected components over x10's
-    * SimHash hamming≤1 pair graph via EIGHT unrolled rounds of min-label
-    * propagation. The label after round t is the min doc_id within ≤ t
-    * hops, so the bound is exact for every node within 8 hops of its
-    * component's min — measured 5 (sf0.001) / 6 (sf0.01) / 11 (sf0.1)
-    * max, so the oracle-gated SFs converge and sf0.1's labels are the
-    * DECLARED 8-hop-bounded semantics (still deterministic and mirrored
-    * by the oracle's identically-bounded recursive CTE). Graphs of
-    * unknown diameter use [[DedupCluster.components]] — the same
-    * per-round plan iterated to fixpoint with only a change COUNT ever
-    * reaching the driver (OperatorSpec asserts the two agree at sf0.001).
+  /** x20 — near-dup CLUSTER labeling: TRUE connected components over x10's
+    * SimHash hamming≤1 pair graph via [[ClusterRounds]] rounds of
+    * hook + shortcut (pointer doubling / Shiloach–Vishkin shape):
     *
-    * Plan-shape note: each round references the previous labels frame
-    * exactly ONCE — self-loops folded into the edge list make the round a
-    * single keyed join + keyed min agg (`least`/`coalesce` over a second
-    * labels reference would double the subtree per round → exponential
-    * unrolled plan, the blowup DedupCluster's localCheckpoint exists to
-    * cut). The edge-list subplan is identical across rounds; the static
-    * plan prints one copy per round, but AQE's runtime stage cache
-    * computes the edge shuffle once and reuses it (verified by timing:
-    * 8-round wall-clock ≈ one x10 pass + 8 cheap label rounds, nowhere
-    * near 8 × x10). Emits every document's
-    * cluster label (min reachable doc_id) + is_dup — the survivor/victim
-    * decision the dedup pipeline's final filter consumes.
+    *   hook      lbl(v) ← min label in v's 1-hop neighbourhood
+    *   shortcut  lbl(v) ← lbl(lbl(v))      (labels propagate through labels)
+    *
+    * A linear hook-only round covers one hop, so 8 rounds under-covered
+    * sf0.1 (measured max distance-to-min 11 — round-6 verdict's one weak
+    * component). With the shortcut each round at least doubles the covered
+    * radius (worst-case path graph: 2, 6, 14, …, 510 hops after 8 rounds),
+    * so the labels CONVERGE to the component min at every fixture SF —
+    * OperatorSpec asserts equality with [[DedupCluster.components]]'s
+    * fixpoint at sf0.001 AND sf0.1, and the oracle mirrors the converged
+    * semantics with an UNBOUNDED recursive-reachability CTE (no hop bound
+    * to keep in sync — the oracle states the true-CC contract directly).
+    * Graphs of genuinely unknown diameter still use
+    * [[DedupCluster.components]], which iterates the same per-round plan
+    * to a verified fixpoint (only a change COUNT reaches the driver).
+    *
+    * Plan-shape note: the edge list and each round's labels are
+    * materialized via eager localCheckpoint — the x10 subplan is computed
+    * exactly ONCE (explicitly, rather than trusting AQE's stage cache to
+    * dedup 8 re-plans), and the shortcut's TWO references to the hooked
+    * labels read one materialized RDD instead of doubling the unrolled
+    * subtree per round (the exponential-lineage blowup DedupCluster's
+    * checkpoint exists to cut). On a multi-executor cluster swap
+    * localCheckpoint for a reliable checkpoint dir (executor loss drops
+    * local checkpoints); labels are one slim (id, lbl) row per document,
+    * so the per-round materialization is corpus-linear and tiny next to
+    * the pair graph itself. Emits every document's cluster label (min
+    * doc_id of its component) + is_dup — the survivor/victim decision the
+    * dedup pipeline's final filter consumes.
     */
   val ClusterRounds = 8
 
@@ -831,11 +840,24 @@ object Pipeline {
       .union(pairs.select(col("b_id"), col("a_id")))
       .union(docs.select(col("doc_id"), col("doc_id"))) // self-loops
       .toDF("src", "dst")
+      .localCheckpoint(true)
     var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
     for (_ <- 1 to ClusterRounds) {
-      labels = edges.join(labels, col("src") === col("doc_id"))
+      // hook: one keyed join + keyed min agg (self-loops fold the node's
+      // own previous label into the same min)
+      val hooked = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
         .select(col("dst").as("doc_id"), col("lbl"))
+        .localCheckpoint(true)
+      // shortcut: labels is total over doc_ids and lbl values ARE doc_ids,
+      // so the lookup join preserves every row; lbl(lbl(v)) ≤ lbl(v)
+      // because lbl(u) ≤ u invariantly (init lbl=id, min only decreases)
+      labels = hooked
+        .join(hooked.select(col("doc_id").as("via"), col("lbl").as("lbl2")),
+          col("lbl") === col("via"))
+        .select(col("doc_id"), col("lbl2").as("lbl"))
+        .localCheckpoint(true)
     }
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),

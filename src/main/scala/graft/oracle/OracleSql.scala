@@ -1041,11 +1041,10 @@ object OracleSql {
         |  WHERE bit_count(xor(a.s, b.s)) <= 1),
         | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
-        | reach(root, node, depth) AS (
-        |  SELECT doc_id, doc_id, 0 FROM documents
+        | reach(root, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
         |  UNION
-        |  SELECT r.root, e.dst, r.depth + 1 FROM reach r JOIN edges e ON r.node = e.src
-        |  WHERE r.depth < 8)
+        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src)
         |SELECT root AS doc_id, MIN(node) AS cluster,
         | CASE WHEN MIN(node) <> root THEN 1 ELSE 0 END AS is_dup
         |FROM reach GROUP BY root ORDER BY doc_id""".stripMargin,

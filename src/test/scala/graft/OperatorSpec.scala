@@ -484,24 +484,28 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("x20 bounded label propagation agrees with DedupCluster's fixpoint") {
-    // 8 unrolled rounds must reach the component min at sf0.001 (measured
-    // max distance-to-min there is 5); DedupCluster.components is the
-    // unbounded-iteration path over the same pair graph.
-    val bounded = Pipeline.x20(spark, sf001)
-      .select($"doc_id", $"cluster").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val fixpoint = ops.DedupCluster.components(
-      Pipeline.x10(spark, sf001).select($"a_id", $"b_id")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(fixpoint.nonEmpty, "fixture must contain near-dup pairs")
-    fixpoint.foreach { case (id, lbl) =>
-      assert(bounded(id) === lbl, s"doc $id: bounded ${bounded(id)} != fixpoint $lbl")
-    }
-    // docs in no pair are their own singleton cluster
-    val paired = fixpoint.keySet
-    bounded.foreach { case (id, lbl) =>
-      if (!paired.contains(id)) assert(lbl === id)
+  test("x20 hook+shortcut labels equal DedupCluster's fixpoint (sf0.001 AND sf0.1)") {
+    // Round-6's linear 8-hop propagation provably diverged at sf0.1
+    // (measured max distance-to-min 11 > 8); the pointer-doubling rounds
+    // must reach the TRUE component min at every fixture SF, so assert
+    // equality with the verified-convergent fixpoint path at the smallest
+    // AND the largest SF (the one the old bound failed at).
+    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+      val bounded = Pipeline.x20(spark, sf)
+        .select($"doc_id", $"cluster").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val fixpoint = ops.DedupCluster.components(
+        Pipeline.x10(spark, sf).select($"a_id", $"b_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fixpoint.nonEmpty, "fixture must contain near-dup pairs")
+      fixpoint.foreach { case (id, lbl) =>
+        assert(bounded(id) === lbl, s"$sf doc $id: x20 ${bounded(id)} != fixpoint $lbl")
+      }
+      // docs in no pair are their own singleton cluster
+      val paired = fixpoint.keySet
+      bounded.foreach { case (id, lbl) =>
+        if (!paired.contains(id)) assert(lbl === id, s"$sf singleton $id")
+      }
     }
   }
 
