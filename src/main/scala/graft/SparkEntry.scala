@@ -123,6 +123,7 @@ object SparkEntry {
     "x19_weighted_sample" -> (Pipeline.x19 _),
     "x20_dup_clusters" -> (Pipeline.x20 _),
     "x21_semdedup" -> (Pipeline.x21 _),
+    "x21_semdedup_learned" -> (Pipeline.x21Learned _),
     "x22_training_manifest" -> (Pipeline.x22 _),
     "x23_containment" -> (Pipeline.x23 _)
   )

@@ -7,7 +7,9 @@ import graft.functions.DotProduct.{dot => vdot}
 /** Deterministic Lloyd's k-means over an embedding column — the LEARNED
   * codebook for IVF-style ANN (`Pipeline.x11` uses the vec_id < k identity
   * codebook so the oracle can mirror it; swap in `train`'s output when
-  * recall matters more than oracle checkability).
+  * recall matters more than oracle checkability, or [[trainMirrored]]'s
+  * when BOTH matter — the declared `x21_semdedup_learned` query mirrors a
+  * full 2-iteration Lloyd training as a DuckDB CTE chain).
   *
   * Every step is expressed against Spark's distributed ops and stays
   * deterministic:
@@ -38,18 +40,41 @@ object KMeansCodebook {
   /** e: (id, emb: array<double>). Returns the trained codebook
     * (cent_id, cent_emb) after `iters` Lloyd rounds, k centroids.
     */
-  def train(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  def train(e: DataFrame, k: Int, iters: Int): DataFrame =
+    trainImpl(e, k, iters, mirrored = false)
+
+  /** The ORACLE-MIRRORABLE trainer (declared `x21_semdedup_learned` path).
+    * Two deltas vs [[train]], both so every intermediate is bit-identical
+    * on any engine rather than merely deterministic within Spark:
+    *  - the assignment argmin key is the 4-dp-ROUNDED squared distance
+    *    (raw doubles agree across engines only to ~1 ulp because the
+    *    64-term reduction order is engine-specific; rounding gives both
+    *    engines the same key, and the cent_id tie-break resolves the
+    *    coarser ties identically);
+    *  - the centroid mean casts the EXACT decimal component sum to double
+    *    BEFORE the count division (double/int division is correctly
+    *    rounded by IEEE 754 — engine-independent — while decimal division
+    *    precision/scale rules differ between engines).
+    */
+  def trainMirrored(e: DataFrame, k: Int, iters: Int): DataFrame =
+    trainImpl(e, k, iters, mirrored = true)
+
+  private def trainImpl(e: DataFrame, k: Int, iters: Int,
+      mirrored: Boolean): DataFrame = {
     val vecs = e.select(col("id"), col("emb"))
     var codebook = vecs.orderBy("id").limit(k)
       .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assigned = assign(vecs, codebook)
+      val assigned = assignImpl(vecs, codebook, mirrored)
+      val compSum = sum(col("v").cast("decimal(27,14)"))
+      val mean =
+        if (mirrored) compSum.cast("double") / count(lit(1))
+        else (compSum / count(lit(1))).cast("double")
       val means = assigned.join(vecs, "id")
         .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("v").cast("decimal(27,14)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg(mean.as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("cent_id"),
@@ -65,11 +90,16 @@ object KMeansCodebook {
   /** Nearest-centroid assignment: (id, cell, dist2). Squared L2, broadcast
     * codebook, deterministic argmin tie-broken by cent_id.
     */
-  def assign(vecs: DataFrame, codebook: DataFrame): DataFrame = {
+  def assign(vecs: DataFrame, codebook: DataFrame): DataFrame =
+    assignImpl(vecs, codebook, mirrored = false)
+
+  private def assignImpl(vecs: DataFrame, codebook: DataFrame,
+      mirrored: Boolean): DataFrame = {
     val diff = expr("zip_with(emb, cent_emb, (a, b) -> a - b)")
+    val d2 = vdot(col("d"), col("d"))
     vecs.crossJoin(broadcast(codebook))
       .withColumn("d", diff)
-      .withColumn("dist2", vdot(col("d"), col("d")))
+      .withColumn("dist2", if (mirrored) graft.Det.round4nz(d2) else d2)
       .groupBy(col("id"))
       .agg(min(struct(col("dist2"), col("cent_id"))).as("best"))
       .select(col("id"), col("best.cent_id").as("cell"),

@@ -187,10 +187,16 @@ object Llm {
     * POSITIONAL marginals (w1 as first element, w2 as second — exactly the
     * bigram model's conditioning counts).
     *
-    * Determinism: all four counts are exact longs; both products stay far
-    * under 2^53, so their double quotient and `ln` are bit-identical on
-    * both engines; rank by the 4-dp-rounded pmi with (w1, w2) tie-break
-    * (D4), LIMIT only after the total order (D6).
+    * Determinism: all four counts are exact longs and both cross-products
+    * stay far under 2^53, so they cast to double exactly and the quotient
+    * is CORRECTLY ROUNDED by IEEE 754 — bit-identical on any engine. The
+    * ranking therefore orders by that exact ratio (ln is monotone, so
+    * ratio order == pmi order) with (w1, w2) tie-break (D4) and LIMIT only
+    * after the total order (D6). `ln` itself carries no correct-rounding
+    * guarantee (Spark uses java.lang.Math.log's 1-ulp contract, other
+    *  engines use libm), so it is kept OUT of the sort key and used only
+    * for the displayed 4-dp pmi, where a 1-ulp divergence would have to
+    * land exactly on a rounding boundary to show.
     *
     * Scale: bigram explode is narrow (codegen NGrams); three keyed aggs;
     * the c1/c2 joins are keyed on vocabulary-sized frames (no broadcast
@@ -206,15 +212,17 @@ object Llm {
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val c2 = bi.groupBy(col("w2")).agg(count(lit(1)).as("c2"))
+    val ratio = (col("c12") * col("n_total")).cast("double") /
+      (col("c1") * col("c2")).cast("double")
     c12.filter(col("c12") >= 5)
       .join(c1, Seq("w1"))
       .join(c2, Seq("w2"))
       .crossJoin(broadcast(n))
       .select(col("w1"), col("w2"), col("c12"),
-        graft.Det.round4nz(log(
-          (col("c12") * col("n_total")).cast("double") /
-            (col("c1") * col("c2")).cast("double"))).as("pmi"))
-      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        graft.Det.round4nz(log(ratio)).as("pmi"),
+        ratio.as("ratio"))
+      .orderBy(col("ratio").desc, col("w1"), col("w2"))
       .limit(50)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi"))
   }
 }

@@ -923,6 +923,15 @@ object Pipeline {
     * per-cell work stays constant-bounded and the operator never goes
     * all-pairs, unlike a corpus-wide threshold join. x4 is the
     * complementary recall shape (hyperplane-LSH bands, corpus-wide).
+    *
+    * NOTE (scale caveat): THIS declared query pins k = 16 identity
+    * centroids so the oracle can mirror it — with k fixed, cell population
+    * grows linearly with the corpus and the within-cell join is quadratic
+    * at scale. The "k grows with the corpus" contract is the
+    * [[x21With]] path with a corpus-sized trained codebook
+    * ([[KMeansCodebook]]); the declared x21_semdedup_learned query
+    * exercises exactly that swap (a Lloyd-trained codebook, oracle-
+    * mirrored), so the scale story is declared and benched, not latent.
     * The cell join has only k distinct keys — far fewer than the shuffle
     * width at fixture scale — so the left side is block-decomposed ×8
     * (x1's pattern): same pair set, 8× the join parallelism.
@@ -966,5 +975,34 @@ object Pipeline {
       .filter(col("sim") >= 0.35)
       .select(col("cell"), col("a_id"), col("b_id"), col("sim"))
       .orderBy("cell", "a_id", "b_id")
+  }
+
+  /** x21_semdedup_learned — x21's SemDedup with a TRAINED codebook: the
+    * k = 16 centroids come from two [[KMeansCodebook.trainMirrored]] Lloyd
+    * iterations over the corpus instead of the first 16 vectors, then the
+    * same cluster-scoped cosine dedup runs via [[x21With]]. This is the
+    * query that DECLARES the "k grows with the corpus" scale path (x21's
+    * docstring caveat): the codebook is learned from the data, so a
+    * production run raises k with N and the per-cell pair work stays
+    * bounded — and the whole training loop (argmin assignment, decimal-
+    * exact per-dimension means, empty-cell retention) is mirrored in the
+    * oracle as a plain CTE chain, proving the trainer's math is
+    * engine-independent, not just Spark-deterministic.
+    *
+    * Scale shape: training touches vectors only through one broadcast-k
+    * crossJoin + keyed argmin and one (cell, pos)-keyed mean per
+    * iteration — corpus-linear per round; the driver never sees a vector
+    * (the k×dims codebook is checkpointed, not collected).
+    */
+  def x21Learned(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .withColumn("emb", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    val learned = KMeansCodebook.trainMirrored(
+        e.select(col("vec_id").as("id"), col("emb")), 16, 2)
+      .select(col("cent_id"), col("cent_emb"),
+        sqrt(vdot(col("cent_emb"), col("cent_emb"))).as("cent_nrm"))
+    x21With(e, learned)
   }
 }

@@ -1008,7 +1008,8 @@ object OracleSql {
         | ROUND(ln(CAST(c12 * n_total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)), 4) + 0.0 AS pmi
         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
         |WHERE c12 >= 5
-        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
+        |ORDER BY CAST(c12 * n_total AS DOUBLE) / CAST(c1 * c2 AS DOUBLE) DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     "s8_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
@@ -1092,6 +1093,64 @@ object OracleSql {
         | sims AS (SELECT vec_id, cent_id,
         |   ROUND(list_cosine_similarity(emb, cent_emb), 4) + 0.0 AS csim
         |  FROM e, cent),
+        | asgn AS (SELECT vec_id, cent_id AS cell FROM (
+        |   SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn
+        |   FROM sims) r WHERE crn = 1),
+        | pr AS (SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id,
+        |   ROUND(list_cosine_similarity(ea.emb, eb.emb), 4) + 0.0 AS sim
+        |  FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |   JOIN e ea ON a.vec_id = ea.vec_id JOIN e eb ON b.vec_id = eb.vec_id)
+        |SELECT cell, a_id, b_id, sim FROM pr WHERE sim >= 0.35
+        |ORDER BY cell, a_id, b_id""".stripMargin,
+
+    // x21 with a LEARNED codebook: the full 2-iteration Lloyd trainer
+    // (KMeansCodebook.trainMirrored) unrolled as a CTE chain — init = 16
+    // smallest vec_ids; per iteration: 4-dp-rounded squared-L2 argmin
+    // (cent_id tie-break), decimal-exact per-dimension component sums cast
+    // to double BEFORE the count division, empty cells retain their prior
+    // centroid via LEFT JOIN + COALESCE — then x21's cluster-scoped cosine
+    // dedup against the trained centroids.
+    "x21_semdedup_learned" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        | cb0 AS (SELECT vec_id AS cent_id, emb AS cent_emb FROM e ORDER BY vec_id LIMIT 16),
+        | d1 AS (SELECT e.vec_id, c.cent_id,
+        |   ROUND(list_sum(list_transform(range(64),
+        |     i -> (e.emb[i+1] - c.cent_emb[i+1]) * (e.emb[i+1] - c.cent_emb[i+1]))), 4) + 0.0 AS dist2
+        |  FROM e, cb0 c),
+        | a1 AS (SELECT vec_id, cent_id AS cell FROM (
+        |   SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cent_id) AS rn
+        |   FROM d1) t WHERE rn = 1),
+        | m1 AS (SELECT cell, pos,
+        |   CAST(SUM(CAST(v AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT a.cell, i AS pos, e.emb[i+1] AS v
+        |    FROM a1 a JOIN e ON a.vec_id = e.vec_id,
+        |     (SELECT unnest(range(64)) AS i) ii) s
+        |  GROUP BY cell, pos),
+        | n1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS new_emb FROM m1 GROUP BY cell),
+        | cb1 AS (SELECT c.cent_id, COALESCE(n.new_emb, c.cent_emb) AS cent_emb
+        |  FROM cb0 c LEFT JOIN n1 n ON c.cent_id = n.cent_id),
+        | d2 AS (SELECT e.vec_id, c.cent_id,
+        |   ROUND(list_sum(list_transform(range(64),
+        |     i -> (e.emb[i+1] - c.cent_emb[i+1]) * (e.emb[i+1] - c.cent_emb[i+1]))), 4) + 0.0 AS dist2
+        |  FROM e, cb1 c),
+        | a2 AS (SELECT vec_id, cent_id AS cell FROM (
+        |   SELECT vec_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cent_id) AS rn
+        |   FROM d2) t WHERE rn = 1),
+        | m2 AS (SELECT cell, pos,
+        |   CAST(SUM(CAST(v AS DECIMAL(27,14))) AS DOUBLE) / COUNT(*) AS m
+        |  FROM (SELECT a.cell, i AS pos, e.emb[i+1] AS v
+        |    FROM a2 a JOIN e ON a.vec_id = e.vec_id,
+        |     (SELECT unnest(range(64)) AS i) ii) s
+        |  GROUP BY cell, pos),
+        | n2 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS new_emb FROM m2 GROUP BY cell),
+        | cb2 AS (SELECT c.cent_id, COALESCE(n.new_emb, c.cent_emb) AS cent_emb
+        |  FROM cb1 c LEFT JOIN n2 n ON c.cent_id = n.cent_id),
+        | sims AS (SELECT e.vec_id, c.cent_id,
+        |   ROUND(list_cosine_similarity(e.emb, c.cent_emb), 4) + 0.0 AS csim
+        |  FROM e, cb2 c),
         | asgn AS (SELECT vec_id, cent_id AS cell FROM (
         |   SELECT vec_id, cent_id,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crn

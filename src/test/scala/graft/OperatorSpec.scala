@@ -110,7 +110,9 @@ class OperatorSpec extends SparkSpec {
       // round-6 iterative/bucketed/ranked additions
       "x20" -> Pipeline.x20, "x21" -> Pipeline.x21,
       "l8" -> Llm.l8, "x22" -> Pipeline.x22, "a17" -> Aggs.a17,
-      "x23" -> Pipeline.x23
+      "x23" -> Pipeline.x23,
+      // round-7 trained-codebook addition (iterative Lloyd + pair join)
+      "x21_learned" -> Pipeline.x21Learned
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
