@@ -69,6 +69,46 @@ class PlanLintSpec extends SparkSpec {
       s"corpus-sized broadcast hints: ${offenders.mkString(", ")}")
   }
 
+  /** The third classic scale regression (after cartesians and corpus-sized
+    * broadcasts): a literal predicate that silently stops reaching the
+    * parquet scan — e.g. a refactor wrapping the column in a non-pushable
+    * expression — turns a pruned read into a full-table scan that the
+    * query still answers correctly at test SF. Assert the predicate shows
+    * up INSIDE a scan's `PushedFilters: [...]` for every declared query
+    * with a literal predicate on a scanned column (j3's date range lifted
+    * off the scan must fail here).
+    */
+  test("literal predicates reach the parquet scan (PushedFilters non-empty)") {
+    // everything from the marker to the end of the scan node's line (the
+    // filter list itself nests brackets — In(c, [..]) — so no ]-regex)
+    def pushedLists(plan: String): Seq[String] = plan.linesIterator
+      .filter(_.contains("PushedFilters: ["))
+      .map(l => l.substring(l.indexOf("PushedFilters: [")))
+      .toSeq
+    // plan-node metadata strings truncate at 100 chars by default, which
+    // cuts long pushed-filter lists mid-entry (no closing bracket)
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try {
+    val expect = Seq(
+      // query -> fragment that must appear inside some scan's PushedFilters
+      "c2_filter_pred" -> "StringStartsWith(l_returnflag,N)",
+      "j3_star_5way" -> "GreaterThanOrEqual(o_orderdate,",
+      "j6_anti" -> "GreaterThanOrEqual(o_orderdate,",
+      "x9_ann_lsh" -> "LessThan(vec_id,10)",
+      "x11_ann_ivf" -> "LessThan(vec_id,",
+      "l3_cosine_topk" -> "LessThan(vec_id,10)")
+    val bad = expect.flatMap { case (name, frag) =>
+      val plan = SparkEntry.queries(name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      val pushed = pushedLists(plan)
+      if (pushed.exists(_.contains(frag))) None
+      else Some(s"$name: '$frag' not in pushed filters ${pushed.mkString(" | ")}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+  }
+
   test("every declared query's optimized plan builds without error") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val qe = fn(spark, sf001).queryExecution
