@@ -11,20 +11,26 @@ object Profile {
     val reps = args(1).toInt
     val names = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle width decoupled from thread count so partition-scaling
+    // hypotheses are testable (e.g. does a query's super-linear tail at a
+    // synthetic 8x corpus vanish when partitions scale with the data?)
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUF", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.entry(spark).count() // warm
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
+      var rows = 0L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sf).count()
+        rows = fn(spark, sf).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"$name%-22s ${times.min}%6.2f min  ${times.map(x => x).sum / reps}%6.2f avg")
+      println(f"$name%-22s ${times.min}%6.2f min  " +
+        f"${times.map(x => x).sum / reps}%6.2f avg  $rows%d rows")
     }
     spark.stop()
   }

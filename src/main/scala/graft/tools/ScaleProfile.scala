@@ -1,0 +1,97 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-exponent stress profile for the pair-output operators: time each
+  * at 1×/2×/4×/8× the sf0.1 corpus and record the growth curve, so the
+  * "near-linear at 100 TB" claims in the operator docstrings are measured,
+  * not asserted. Run: `sbt 'runMain graft.tools.ScaleProfile'` (optionally
+  * `<srcSfDir> <outBase>`); results land in BASELINE.md's scaling table.
+  *
+  * Synthetic corpora are m re-keyed copies of the fixture (testdata is
+  * read-only, so they are written under /tmp):
+  *  - documents: doc_id offset per copy; for copies > 0 every text token
+  *    gets a `_i` suffix, which keeps each copy's internal near-dup
+  *    structure byte-identical while making copies SHINGLE-DISJOINT —
+  *    cross-copy pairs are impossible, so the true pair output grows
+  *    linearly in m and the timing isolates the engine's scaling rather
+  *    than a quadratic explosion of the answer itself;
+  *  - embeddings: vec_id offset per copy; the vector is rotated by i
+  *    positions (norm-preserving, so no copy is an exact clone). x21's
+  *    DECLARED codebook stays k = 16 regardless of m, so its within-cell
+  *    population grows ∝ m and the pair join ∝ m² — the fixed-k caveat
+  *    x21's docstring declares, quantified here on purpose; the linear
+  *    path is raising k with the corpus (x21With / x21_semdedup_learned's
+  *    trainer at production k).
+  *
+  * Timing protocol: interleaved min-of-3 (BASELINE.md's attribution
+  * protocol — repeats of one cell sit a full pass apart, so a transient
+  * load spike cannot hit all three).
+  */
+object ScaleProfile {
+
+  val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x10_simhash_pairs",
+    "x20_dup_clusters", "x23_containment", "x21_semdedup",
+    "x21_semdedup_learned")
+
+  val Mults = Seq(1, 2, 4, 8)
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val base = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Mults.foreach(m => build(spark, src, s"$base/m$m", m))
+
+    val best = scala.collection.mutable.Map[(String, Int), Double]()
+    (1 to 3).foreach { _ =>
+      Mults.foreach { m =>
+        Queries.foreach { q =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, s"$base/m$m").count()
+          val t = (System.nanoTime() - t0) / 1e9
+          val k = (q, m)
+          best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
+        }
+      }
+    }
+    println("| query | 1x s | 2x s | 4x s | 8x s | 8x/1x |")
+    println("|---|---|---|---|---|---|")
+    Queries.foreach { q =>
+      val ts = Mults.map(m => best((q, m)))
+      println(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f " +
+        f"| ${ts(3)}%.2f | ${ts(3) / ts(0)}%.1f× |")
+    }
+    spark.stop()
+  }
+
+  def build(spark: SparkSession, src: String, dst: String, m: Int): Unit = {
+    if (new java.io.File(s"$dst/embeddings.parquet").exists()) return
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val nd = docs.agg(max("doc_id")).head().getLong(0) + 1
+    (0 until m).map { i =>
+      docs.select(
+        (col("doc_id") + lit(i * nd)).as("doc_id"),
+        (if (i == 0) col("text")
+         else regexp_replace(col("text"), "(\\S+)", "$1_" + i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val ne = emb.agg(max("vec_id")).head().getLong(0) + 1
+    (0 until m).map { i =>
+      emb.select(
+        (col("vec_id") + lit(i * ne)).as("vec_id"),
+        (if (i == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${i + 1}, ${64 - i})," +
+           s" slice(embedding, 1, $i))")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+  }
+}
