@@ -109,6 +109,23 @@ class PlanLintSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
   }
 
+  /** Negative control for the lint above: phrase j3's date range through
+    * an expression Spark cannot push (string-concat over the cast column)
+    * and assert the fragment REALLY disappears from PushedFilters — i.e.
+    * the positive test keys on scan pushdown, not on text that would
+    * appear anywhere (DataFilters, Filter nodes) regardless.
+    */
+  test("pushdown lint control: a lifted predicate leaves PushedFilters") {
+    import org.apache.spark.sql.functions._
+    val lifted = Tables.orders(spark, sf001)
+      .filter(concat(col("o_orderdate").cast("string"), lit("")) >= "1996-01-01")
+      .select("o_orderkey")
+    val plan = lifted.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), "control query must still scan parquet")
+    assert(!plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"lifted range unexpectedly pushed:\n$plan")
+  }
+
   test("every declared query's optimized plan builds without error") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val qe = fn(spark, sf001).queryExecution
