@@ -22,6 +22,17 @@ class DedupClusterSpec extends SparkSpec {
     assert(comp.length === 20)
   }
 
+  test("pointer doubling: a 100-node chain converges in ≤7 rounds (log, not diameter)") {
+    // hook-only propagation moves the min one hop per round — 99 rounds
+    // for this graph, so maxIters = 7 would throw; the shortcut's
+    // coverage recurrence (2, 6, 14, 30, 62, 126 hops) converges by
+    // round 6 and round 7 observes zero changes.
+    val chain = (1L until 100L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = DedupCluster.components(chain, maxIters = 7).collect()
+    assert(comp.length === 100)
+    assert(comp.forall(_.getLong(1) == 1L))
+  }
+
   test("fixture near-dup pairs cluster consistently (l2 at sf0.001)") {
     val pairs = ops.Llm.l2(spark, sf001).select("a_id", "b_id")
     val comp = DedupCluster.components(pairs)
