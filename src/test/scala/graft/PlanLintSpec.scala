@@ -126,6 +126,37 @@ class PlanLintSpec extends SparkSpec {
       s"lifted range unexpectedly pushed:\n$plan")
   }
 
+  /** The custom Catalyst expressions exist to stay INSIDE whole-stage
+    * codegen (their docstrings' whole justification over the composable
+    * HOFs). Two regressions would be silent at runtime: an expression
+    * reworked onto CodegenFallback quietly interprets per row, and a
+    * doGenCode emitting uncompilable Java quietly falls back per stage.
+    * Guard both: the expressions must not be CodegenFallback, and the
+    * queries exercising them must execute with codegen fallback disabled
+    * (compile errors become hard failures instead of silent interpretation).
+    */
+  test("custom expressions stay codegen-capable (no fallback)") {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val exprs = Seq(
+      GraftBridge.expression(graft.functions.DotProduct.dot(col("a"), col("b"))),
+      GraftBridge.expression(graft.functions.NGrams.ngrams(col("a"), 3)),
+      graft.functions.SignBands(GraftBridge.expression(lit(1)), 16, 4))
+    exprs.foreach { e =>
+      assert(!e.isInstanceOf[CodegenFallback],
+        s"${e.getClass.getName} fell back to interpreted eval")
+    }
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("x16_repetition", "l3_cosine_topk", "x2_simhash", "x9_ann_lsh")
+        .foreach { q =>
+          assert(SparkEntry.queries(q)(spark, sf001).count() > 0, q)
+        }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("every declared query's optimized plan builds without error") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val qe = fn(spark, sf001).queryExecution
