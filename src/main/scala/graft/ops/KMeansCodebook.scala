@@ -66,25 +66,32 @@ object KMeansCodebook {
       .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
-      val assigned = assignImpl(vecs, codebook, mirrored)
-      val compSum = sum(col("v").cast("decimal(27,14)"))
-      val mean =
-        if (mirrored) compSum.cast("double") / count(lit(1))
-        else (compSum / count(lit(1))).cast("double")
-      val means = assigned.join(vecs, "id")
-        .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(mean.as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell").as("cent_id"),
-          expr("transform(pm, x -> x.m)").as("new_emb"))
+      val means = meansStep(assignImpl(vecs, codebook, mirrored), vecs, mirrored)
       codebook = codebook.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"),
           coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
         .localCheckpoint()
     }
     codebook
+  }
+
+  /** Per-cell per-dimension centroid means, UN-checkpointed — exposed so
+    * PlanLintSpec can lint the trainer shape the per-iteration checkpoints
+    * hide from whole-query plans. */
+  private[graft] def meansStep(assigned: DataFrame, vecs: DataFrame,
+      mirrored: Boolean): DataFrame = {
+    val compSum = sum(col("v").cast("decimal(27,14)"))
+    val mean =
+      if (mirrored) compSum.cast("double") / count(lit(1))
+      else (compSum / count(lit(1))).cast("double")
+    assigned.join(vecs, "id")
+      .select(col("cell"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(mean.as("m"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(pm, x -> x.m)").as("new_emb"))
   }
 
   /** Nearest-centroid assignment: (id, cell, dist2). Squared L2, broadcast

@@ -833,31 +833,43 @@ object Pipeline {
     */
   val ClusterRounds = 8
 
-  def x20(s: SparkSession, d: String): DataFrame = {
+  /** x20's edge list (bidirected pairs + self-loops), UN-checkpointed —
+    * exposed so PlanLintSpec can lint the plan the checkpoints hide. */
+  private[graft] def x20Edges(s: SparkSession, d: String): DataFrame = {
     val pairs = x10(s, d).select(col("a_id"), col("b_id"))
     val docs = Tables.documents(s, d).select(col("doc_id"))
-    val edges = pairs
+    pairs
       .union(pairs.select(col("b_id"), col("a_id")))
       .union(docs.select(col("doc_id"), col("doc_id"))) // self-loops
       .toDF("src", "dst")
-      .localCheckpoint(true)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+  }
+
+  /** hook: one keyed join + keyed min agg (self-loops fold the node's own
+    * previous label into the same min). No checkpoint — callers
+    * materialize. */
+  private[graft] def x20Hook(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, col("src") === col("doc_id"))
+      .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+      .select(col("dst").as("doc_id"), col("lbl"))
+
+  /** shortcut: labels is total over doc_ids and lbl values ARE doc_ids,
+    * so the lookup join preserves every row; lbl(lbl(v)) ≤ lbl(v) because
+    * lbl(u) ≤ u invariantly (init lbl=id, min only decreases). References
+    * `labels` twice — callers pass a checkpointed frame. */
+  private[graft] def x20Shortcut(labels: DataFrame): DataFrame =
+    labels
+      .join(labels.select(col("doc_id").as("via"), col("lbl").as("lbl2")),
+        col("lbl") === col("via"))
+      .select(col("doc_id"), col("lbl2").as("lbl"))
+
+  def x20(s: SparkSession, d: String): DataFrame = {
+    val edges = x20Edges(s, d).localCheckpoint(true)
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
       .localCheckpoint(true)
     for (_ <- 1 to ClusterRounds) {
-      // hook: one keyed join + keyed min agg (self-loops fold the node's
-      // own previous label into the same min)
-      val hooked = edges.join(labels, col("src") === col("doc_id"))
-        .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
-        .select(col("dst").as("doc_id"), col("lbl"))
-        .localCheckpoint(true)
-      // shortcut: labels is total over doc_ids and lbl values ARE doc_ids,
-      // so the lookup join preserves every row; lbl(lbl(v)) ≤ lbl(v)
-      // because lbl(u) ≤ u invariantly (init lbl=id, min only decreases)
-      labels = hooked
-        .join(hooked.select(col("doc_id").as("via"), col("lbl").as("lbl2")),
-          col("lbl") === col("via"))
-        .select(col("doc_id"), col("lbl2").as("lbl"))
-        .localCheckpoint(true)
+      val hooked = x20Hook(edges, labels).localCheckpoint(true)
+      labels = x20Shortcut(hooked).localCheckpoint(true)
     }
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),

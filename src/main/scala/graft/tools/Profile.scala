@@ -30,7 +30,7 @@ object Profile {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"$name%-22s ${times.min}%6.2f min  " +
-        f"${times.map(x => x).sum / reps}%6.2f avg  $rows%d rows")
+        f"${times.sum / reps}%6.2f avg  $rows%d rows")
     }
     spark.stop()
   }

@@ -71,7 +71,9 @@ object ScaleProfile {
   }
 
   def build(spark: SparkSession, src: String, dst: String, m: Int): Unit = {
-    if (new java.io.File(s"$dst/embeddings.parquet").exists()) return
+    // _SUCCESS is committed last — a bare directory check would silently
+    // reuse the partial output of an interrupted earlier build
+    if (new java.io.File(s"$dst/embeddings.parquet/_SUCCESS").exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nd = docs.agg(max("doc_id")).head().getLong(0) + 1
     (0 until m).map { i =>

@@ -492,7 +492,7 @@ class OperatorSpec extends SparkSpec {
     // must reach the TRUE component min at every fixture SF, so assert
     // equality with the verified-convergent fixpoint path at the smallest
     // AND the largest SF (the one the old bound failed at).
-    Seq(sf001, "/root/testdata/sf0.1").foreach { sf =>
+    Seq(sf001, sf1).foreach { sf =>
       val bounded = Pipeline.x20(spark, sf)
         .select($"doc_id", $"cluster").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -14,11 +14,43 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   test("no declared query plans a CartesianProduct") {
+    // NOTE: x20/x21_semdedup_learned eagerly localCheckpoint their
+    // iteration frames, which truncates those subtrees to RDD scans in
+    // the whole-query plan — their internals are linted separately by the
+    // building-blocks test below.
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
       val plan = fn(spark, sf001).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
+  }
+
+  /** Eager localCheckpoint (x20's rounds, the Lloyd trainer) hides the
+    * checkpointed subtree from the whole-query lint above — the plan just
+    * shows an RDD scan. Lint the UN-checkpointed building blocks directly
+    * so a cartesian regression inside an iteration cannot slip through.
+    */
+  test("checkpointed iteration building blocks plan cartesian-free") {
+    import org.apache.spark.sql.functions._
+    val edges = ops.Pipeline.x20Edges(spark, sf001)
+    val labels0 = Tables.documents(spark, sf001)
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    val vecs = Tables.embeddings(spark, sf001)
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("emb"))
+    val cb = vecs.orderBy("id").limit(16)
+      .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
+    val assigned = ops.KMeansCodebook.assign(vecs, cb)
+    val blocks = Seq(
+      "x20 edges" -> edges,
+      "x20 hook" -> ops.Pipeline.x20Hook(edges, labels0),
+      "x20 shortcut" -> ops.Pipeline.x20Shortcut(labels0),
+      "kmeans assign" -> assigned,
+      "kmeans means" -> ops.KMeansCodebook.meansStep(assigned, vecs, mirrored = true))
+    blocks.foreach { case (n, df) =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
+    }
   }
 
   /** A `broadcast()` hint on a frame whose cardinality grows with the
