@@ -76,6 +76,26 @@ class CapabilitySpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact < 0.15)
   }
 
+  test("approx_percentile within rank tolerance of exact (a10's 100 TB path)") {
+    // a10's exact `percentile` sorts every group member — correct and
+    // oracle-mirrorable, but at 100 TB the sketch (Greenwald-Khanna via
+    // approx_percentile, mergeable partials, bounded memory) is the real
+    // plan. Bound it against the exact answer the a10 shape computes:
+    // with accuracy parameter B the rank error is ≤ n/B, so assert each
+    // approximate quantile lands within the exact p±ε quantile envelope.
+    val docs = Tables.documents(spark, sf001)
+    val eps = 0.02 // rank tolerance: 1/B with B = 50 below... generous 2x
+    Seq(0.5, 0.9).foreach { p =>
+      val Array(lo, hi, approx) = docs
+        .agg(percentile($"n_chars", lit(p - eps)).cast("double"),
+          percentile($"n_chars", lit(p + eps)).cast("double"),
+          approx_percentile($"n_chars", lit(p), lit(100)).cast("double"))
+        .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      assert(approx >= lo && approx <= hi,
+        s"p$p approx $approx outside exact rank envelope [$lo, $hi]")
+    }
+  }
+
   test("runtime bloom-filter join pruning engages on a selective star join") {
     // Spark's InjectRuntimeFilter plants a bloom filter built from the
     // selective dimension side onto the fact scan — at 100 TB this prunes
