@@ -42,6 +42,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal in-memory union-find on random graphs") {
+    // DedupCluster's hook+shortcut fixpoint vs a 20-line reference
+    // union-find — random edge lists, not just chains and fixtures, so a
+    // propagation bug that happens to cancel on structured graphs fails
+    // here (8 graphs ≤ 40 nodes keep the Spark-job count test-friendly).
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 39L), Gen.choose(0L, 39L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    cases(edgeGen, n = 8).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical label = min node id of the component
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.groupBy(find).flatMap { case (_, members) =>
+        val m = members.min
+        members.map(_ -> m)
+      }
+      val got = ops.DedupCluster.components(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges: $edges")
+    }
+  }
+
   test("decimal sum is invariant under repartitioning") {
     cases(Gen.listOfN(50, Gen.choose(-10000, 10000))).foreach { cents =>
       val df = cents.map(c => c / 100.0).toDF("x")
