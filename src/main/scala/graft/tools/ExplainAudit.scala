@@ -20,7 +20,8 @@ object ExplainAudit {
       "a12_stat_moments", "a13_unpivot", "l6_bm25", "x11_ann_ivf",
       "j11_scalar_subquery", "r5_property_path",
       "x14_contamination", "x16_repetition", "x17_cross_source",
-      "x20_dup_clusters", "x21_semdedup", "l8_pmi_colloc", "s8_transitions",
+      "x20_dup_clusters", "x21_semdedup", "x21_semdedup_learned",
+      "j12_lateral_topn", "l8_pmi_colloc", "s8_transitions",
       "a17_regression", "x22_training_manifest", "f11_struct_funcs")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
