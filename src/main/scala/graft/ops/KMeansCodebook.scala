@@ -34,6 +34,16 @@ import graft.functions.DotProduct.{dot => vdot}
   *
   * The driver never materializes vectors — only the k×dims codebook, which
   * is by construction tiny (it is broadcast anyway).
+  *
+  * Scale bound (honest limit): the broadcast-assign shape holds while
+  * k×dims×8B stays broadcast-sized — k up to ~10⁵ at 64 dims (~50 MB).
+  * A 100 TB corpus targeting constant cell populations wants k beyond
+  * that; the standard fix is a TWO-LEVEL codebook (assign to ~10³ coarse
+  * cells by broadcast, then train/assign fine centroids per coarse cell —
+  * each broadcast stays bounded), which composes from this trainer run
+  * per coarse partition. Not implemented here: the fixture k is 16 and
+  * the declared contract (x21_semdedup_learned) exercises the mirrored
+  * math, not the two-level scheduling.
   */
 object KMeansCodebook {
 
