@@ -35,15 +35,15 @@ import graft.functions.DotProduct.{dot => vdot}
   * The driver never materializes vectors — only the k×dims codebook, which
   * is by construction tiny (it is broadcast anyway).
   *
-  * Scale bound (honest limit): the broadcast-assign shape holds while
-  * k×dims×8B stays broadcast-sized — k up to ~10⁵ at 64 dims (~50 MB).
-  * A 100 TB corpus targeting constant cell populations wants k beyond
-  * that; the standard fix is a TWO-LEVEL codebook (assign to ~10³ coarse
-  * cells by broadcast, then train/assign fine centroids per coarse cell —
-  * each broadcast stays bounded), which composes from this trainer run
-  * per coarse partition. Not implemented here: the fixture k is 16 and
-  * the declared contract (x21_semdedup_learned) exercises the mirrored
-  * math, not the two-level scheduling.
+  * Scale bound: the broadcast-assign shape holds while k×dims×8B stays
+  * broadcast-sized — k up to ~10⁵ at 64 dims (~50 MB). A 100 TB corpus
+  * targeting constant cell populations wants k beyond that;
+  * [[trainHierarchical]] is that path — a coarse broadcast level plus a
+  * fine level whose assignment is a KEYED join on the coarse cell, so the
+  * k1×k2 fine codebook is never broadcast and total k scales past the
+  * broadcast limit. The declared contract (x21_semdedup_learned)
+  * exercises the mirrored flat trainer; the hierarchical trainer is the
+  * capability tier above it (KMeansSpec-tested).
   */
 object KMeansCodebook {
 
@@ -128,4 +128,59 @@ object KMeansCodebook {
     */
   def sse(vecs: DataFrame, codebook: DataFrame): Double =
     assign(vecs, codebook).agg(sum(col("dist2"))).head().getDouble(0)
+
+  /** TWO-LEVEL codebook training — the k-beyond-broadcast path. Level 1:
+    * a flat k1-centroid codebook (broadcast assign, k1 small). Level 2:
+    * k2 fine centroids trained WITHIN each coarse cell, all cells in one
+    * distributed pass per iteration:
+    *  - init: the k2 smallest vector ids of each cell (one keyed window);
+    *  - assignment: vectors join the fine centroids OF THEIR OWN COARSE
+    *    CELL — a keyed equi-join on `cell` (never a broadcast of the
+    *    k1×k2 codebook), producing ≤ k2 candidate rows per vector, then
+    *    one keyed argmin (same deterministic struct-min as [[assign]]);
+    *  - update: decimal-exact per-(cell, fine_id, pos) means, empty fine
+    *    cells retain their previous centroid (the [[train]] invariants).
+    *
+    * Returns (cell, fine_id, fine_emb): k2 centroids per coarse cell.
+    * The per-iteration shuffles are all keyed on cell or (cell, fine_id) —
+    * corpus-linear with bounded fan-out k2 — so total k = k1×k2 scales
+    * with executor count, not with what fits in one broadcast.
+    */
+  def trainHierarchical(e: DataFrame, k1: Int, k2: Int,
+      iters: Int): DataFrame = {
+    val coarse = train(e, k1, iters)
+    val withCell = assign(e.select(col("id"), col("emb")), coarse)
+      .select(col("id"), col("cell"))
+      .join(e.select(col("id"), col("emb")), "id")
+      .localCheckpoint()
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("id")
+    var fine = withCell.withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") <= k2)
+      .select(col("cell"), col("id").as("fine_id"), col("emb").as("fine_emb"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      val asgn = withCell.join(fine, "cell") // keyed, NOT broadcast-hinted
+        .withColumn("d", expr("zip_with(emb, fine_emb, (a, b) -> a - b)"))
+        .withColumn("dist2", vdot(col("d"), col("d")))
+        .groupBy(col("id"), col("cell"))
+        .agg(min(struct(col("dist2"), col("fine_id"))).as("best"))
+        .select(col("id"), col("cell"), col("best.fine_id").as("fine_id"))
+      val means = asgn.join(withCell.select(col("id"), col("emb")), "id")
+        .select(col("cell"), col("fine_id"),
+          posexplode(col("emb")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("fine_id"), col("pos"))
+        .agg((sum(col("v").cast("decimal(27,14)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy(col("cell"), col("fine_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), col("fine_id"),
+          expr("transform(pm, x -> x.m)").as("new_emb"))
+      fine = fine.join(means, Seq("cell", "fine_id"), "left")
+        .select(col("cell"), col("fine_id"),
+          coalesce(col("new_emb"), col("fine_emb")).as("fine_emb"))
+        .localCheckpoint()
+    }
+    fine
+  }
 }

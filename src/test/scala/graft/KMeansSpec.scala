@@ -102,6 +102,42 @@ class KMeansSpec extends SparkSpec {
     assert(asgn.select("cell").distinct().count() <= 4)
   }
 
+  test("hierarchical codebook: per-cell shape, determinism, beats flat coarse SSE") {
+    import graft.functions.DotProduct.{dot => vdot}
+    val v = vecs
+    val k1 = 4; val k2 = 4
+    val fine = KMeansCodebook.trainHierarchical(v, k1, k2, 2)
+    val rows = fine.orderBy("cell", "fine_id").collect()
+    // shape: each coarse cell carries min(population, k2) fine centroids
+    val coarse = KMeansCodebook.train(v, k1, 2)
+    val cellPop = KMeansCodebook.assign(v, coarse)
+      .groupBy("cell").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCell = rows.groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.length }
+    cellPop.foreach { case (c, pop) =>
+      assert(perCell(c) === math.min(pop, k2.toLong).toInt, s"cell $c")
+    }
+    rows.foreach(r => assert(r.getSeq[Double](2).length === 64))
+    // deterministic end to end (coarse train, window init, keyed argmin)
+    val again = KMeansCodebook.trainHierarchical(v, k1, k2, 2)
+      .orderBy("cell", "fine_id").collect()
+    assert(rows.toSeq == again.toSeq)
+    // k1*k2 fine centroids beat the k1 flat codebook on the Lloyd
+    // objective (empirical on the fixture, deterministic): each vector
+    // scores against the fine centroids of its own coarse cell — the
+    // keyed-join assignment path, no codebook broadcast anywhere
+    val fineSse = KMeansCodebook.assign(v, coarse)
+      .select(col("id"), col("cell"))
+      .join(v, "id").join(fine, "cell")
+      .withColumn("d", expr("zip_with(emb, fine_emb, (a, b) -> a - b)"))
+      .withColumn("dist2", vdot(col("d"), col("d")))
+      .groupBy("id").agg(min("dist2").as("dist2"))
+      .agg(sum("dist2")).head().getDouble(0)
+    val coarseSse = KMeansCodebook.sse(v, coarse)
+    assert(fineSse < coarseSse,
+      s"fine $fineSse !< coarse $coarseSse")
+  }
+
   test("x21 semdedup accepts a trained codebook transparently (x21With)") {
     // The "k grows with the corpus" contract: clustering granularity is a
     // codebook swap, not a dedup-logic change. Same schema, same pair
