@@ -55,16 +55,24 @@ object Pipeline {
     val t = toks(s, d)
     // MinHash per DISTINCT token (vocabulary × 8 md5s), joined back and
     // min-aggregated per doc — identical minima to hashing inside each doc's
-    // array, at a fraction of the hashing work. The join is keyed on `tok`
-    // with NO broadcast hint: the vocabulary is sublinear but unbounded at
-    // 100 TB (billions of distinct tokens), so the hint would OOM every
-    // executor there; AQE broadcasts on its own when the dictionary is
-    // genuinely small (it is at every test SF).
+    // array, at a fraction of the hashing work. The join strategy is pinned
+    // to SHUFFLE_HASH with the dictionary as build side: left unhinted, the
+    // STATIC planner (this join sits below the first shuffle, so AQE's
+    // runtime stats never see it) trusts the Generate-underestimated size
+    // of the EXPLODED (doc, token) side and broadcasts IT — a corpus-sized
+    // driver-built HashedRelation that is a driver OOM at 100 TB and, at a
+    // synthetic 8× sf0.1, already bimodal 15 s / 70 s depending on driver
+    // heap state (caught by ScaleProfile, pinned by PlanLintSpec's
+    // planner-chosen-broadcast lint). A BROADCAST hint on the dictionary is
+    // wrong for the same reason at 100 TB (vocabulary is sublinear but
+    // unbounded); SHUFFLE_HASH shuffles both sides by token — per-partition
+    // dictionary build stays |vocab|/partitions-sized — and skips the sort
+    // a merge join would impose on the corpus-sized exploded stream.
     val exploded = t.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
     val hashed = exploded.select(col("tok")).distinct()
       .select(Seq(col("tok")) ++ (0 until 8).map(i =>
         md5(concat(lit(s"$i:"), col("tok")).cast("binary")).as(s"h$i")): _*)
-    val sig = exploded.join(hashed, "tok")
+    val sig = exploded.join(hashed.hint("SHUFFLE_HASH"), "tok")
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(col("h0")).as("mh0"), min(col("h1")).as("mh1"),
         min(col("h2")).as("mh2"), min(col("h3")).as("mh3"),
@@ -334,13 +342,20 @@ object Pipeline {
       .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
     val banded = withBandVals(e).select(col("vec_id"), col("label"),
       col("band"), col("bval"))
-    val shufP = s.conf.get("spark.sql.shuffle.partitions").toInt
+    // Both band sides are corpus-sized NARROW frames (SignBands over the
+    // scan, no stage boundary beneath), so an unhinted join let the static
+    // planner broadcast one of them on underestimated stats (the x1
+    // dictionary-join bug class; see the planner-broadcast lint). Pin a
+    // shuffle-merge join: both sides hash by (label, band, bval), a hot
+    // band bucket is an AQE-skew-splittable SMJ partition, and nothing
+    // corpus-sized is ever built or broadcast. (The round-robin
+    // repartition the broadcast shape needed to spread its join output is
+    // gone — SMJ output follows the key partitioning, never 1 task.)
     val a = banded.select(col("vec_id").as("a_id"), col("label"),
-        col("band"), col("bval"))
-      .repartition(shufP)
+      col("band"), col("bval"))
     val b = banded.select(col("vec_id").as("b_id"), col("label").as("label_b"),
       col("band").as("band_b"), col("bval").as("bval_b"))
-    val cand = a.join(b, col("label") === col("label_b")
+    val cand = a.join(b.hint("SHUFFLE_MERGE"), col("label") === col("label_b")
         && col("band") === col("band_b") && col("bval") === col("bval_b")
         && col("a_id") < col("b_id"))
       .select(col("label"), col("a_id"), col("b_id")).distinct()
@@ -348,11 +363,13 @@ object Pipeline {
       col("nrm").as("a_nrm"))
     val eb = e.select(col("vec_id").as("b_id"), col("emb").as("b_emb"),
       col("nrm").as("b_nrm"))
-    // ea/eb are ALL embeddings — corpus-sized — so the verify lookups are
-    // keyed joins on the pair ids, never hinted broadcasts (AQE broadcasts
-    // on its own when a side is genuinely small). Contrast x9, which
-    // broadcasts only its 10-row query side.
-    cand.join(ea, "a_id").join(eb, "b_id")
+    // ea/eb are ALL embeddings — corpus-sized narrow frames — so the
+    // verify lookups pin SHUFFLE_HASH with the embedding side as the
+    // per-partition build (|corpus| / numPartitions rows each): keyed
+    // shuffles on the pair ids, no static-estimate broadcast (same lint
+    // class as above). Contrast x9, which broadcasts only its
+    // probe-bounded side.
+    cand.join(ea.hint("SHUFFLE_HASH"), "a_id").join(eb.hint("SHUFFLE_HASH"), "b_id")
       .withColumn("sim",
         graft.Det.round4nz(vdot(col("a_emb"), col("b_emb")) / (col("a_nrm") * col("b_nrm"))))
       .filter(col("sim") >= 0.4)
@@ -636,7 +653,13 @@ object Pipeline {
     val ce = e.select(col("vec_id").as("c_id"), col("emb").as("c_emb"),
       col("nrm").as("c_nrm"))
     val w = Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))
-    cand.join(broadcast(qe), "q_id").join(ce, "c_id")
+    // ce is the corpus; the probe-bounded candidate list (10 fixed query
+    // ids × their band collisions) is the side that must move. Unhinted,
+    // the static planner broadcast ce — its narrow subtree has no stage
+    // boundary, so the Generate-underestimated size was never rechecked
+    // (the x1 dictionary-join bug class; see the planner-broadcast lint).
+    // Broadcasting the candidate side keeps ce entirely unshuffled.
+    ce.join(broadcast(cand.join(broadcast(qe), "q_id")), "c_id")
       .withColumn("sim",
         graft.Det.round4nz(vdot(col("q_emb"), col("c_emb")) / (col("q_nrm") * col("c_nrm"))))
       .withColumn("rnk", row_number().over(w))
@@ -714,10 +737,16 @@ object Pipeline {
     * low-cardinality keyed rollup. Adds nothing quadratic on top of x1.
     */
   def x17(s: SparkSession, d: String): DataFrame = {
+    // src is one narrow row per document — corpus-sized with no stage
+    // boundary, so unhinted the static planner broadcasts it (the x1
+    // dictionary-join bug class); SHUFFLE_HASH keeps it a keyed shuffle
+    // with a |docs| / numPartitions-bounded per-partition build.
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     x1(s, d)
-      .join(src.select(col("doc_id").as("a_id"), col("source").as("a_src")), "a_id")
-      .join(src.select(col("doc_id").as("b_id"), col("source").as("b_src")), "b_id")
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("a_src"))
+        .hint("SHUFFLE_HASH"), "a_id")
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("b_src"))
+        .hint("SHUFFLE_HASH"), "b_id")
       .select(least(col("a_src"), col("b_src")).as("src1"),
         greatest(col("a_src"), col("b_src")).as("src2"))
       .groupBy(col("src1"), col("src2"))

@@ -25,6 +25,76 @@ class PlanLintSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: ${offenders.mkString(", ")}")
   }
 
+  /** The broadcast-hint lint below catches corpus-sized frames the CODE
+    * hints; this one catches the subtler twin the ScaleProfile run exposed:
+    * a broadcast the STATIC PLANNER chooses on its own. Joins below the
+    * first shuffle are planned from static size estimates, and estimates
+    * through a Generate (explode) are underestimates — so the planner
+    * happily broadcast x1's corpus-sized exploded (doc, token) stream,
+    * which was bimodal 15 s / 70 s at a synthetic 8× sf0.1 (driver-built
+    * multi-million-row HashedRelation, cost dependent on driver heap
+    * state) and a guaranteed driver OOM at 100 TB. The hazard is specific
+    * to NARROW build sides (scan/filter/project/generate only): those have
+    * no shuffle-stage boundary beneath them, so the static estimate is the
+    * only size check that will ever run. A build side containing an
+    * aggregate or join sits above materialized query stages whose REAL
+    * sizes AQE re-optimizes with — it demotes the broadcast if runtime
+    * size is large, so those are left to AQE on purpose (l7/l8/x13's
+    * vocabulary-sized agg joins rely on exactly that). Walk every declared
+    * query's pre-AQE physical plan: no broadcast join may BUILD a narrow
+    * side that scans documents/embeddings without a corpus-reducing step
+    * (global aggregate, limit, or literal-comparison filter).
+    */
+  test("no planner-chosen broadcast of an unreduced corpus frame") {
+    import org.apache.spark.sql.catalyst.expressions.BinaryComparison
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+
+    def corpusScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
+      case f: FileSourceScanExec => f.relation.location.rootPaths.exists { rp =>
+        val s = rp.toString
+        s.contains("documents.parquet") || s.contains("embeddings.parquet")
+      }
+      case _ => false
+    }
+    def reducing(p: SparkPlan): Boolean = p.find {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: CollectLimitExec => true
+      case f: FilterExec => f.condition.exists {
+        case c: BinaryComparison => c.left.foldable || c.right.foldable
+        case _ => false
+      }
+      case _ => false
+    }.isDefined
+    // A keyed aggregate or join below the build implies a materialized
+    // query stage whose real size AQE re-plans with; a narrow subtree has
+    // no such boundary — the static estimate is final.
+    def narrow(p: SparkPlan): Boolean = p.find {
+      case _: HashAggregateExec | _: SortAggregateExec |
+           _: ObjectHashAggregateExec => true
+      case j: SparkPlan if j.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] => true
+      case _ => false
+    }.isEmpty
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf001).queryExecution.sparkPlan
+      val builds = plan.collect {
+        case j: BroadcastHashJoinExec =>
+          j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+        case j: BroadcastNestedLoopJoinExec =>
+          j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+      }
+      if (builds.exists(s => corpusScan(s) && narrow(s) && !reducing(s))) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"planner-chosen corpus broadcasts: ${offenders.mkString(", ")}")
+  }
+
   /** Eager localCheckpoint (x20's rounds, the Lloyd trainer) hides the
     * checkpointed subtree from the whole-query lint above — the plan just
     * shows an RDD scan. Lint the UN-checkpointed building blocks directly
