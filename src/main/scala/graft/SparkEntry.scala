@@ -125,7 +125,8 @@ object SparkEntry {
     "x21_semdedup" -> (Pipeline.x21 _),
     "x21_semdedup_learned" -> (Pipeline.x21Learned _),
     "x22_training_manifest" -> (Pipeline.x22 _),
-    "x23_containment" -> (Pipeline.x23 _)
+    "x23_containment" -> (Pipeline.x23 _),
+    "x24_repeated_spans" -> (Pipeline.x24 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1046,4 +1046,55 @@ object Pipeline {
         sqrt(vdot(col("cent_emb"), col("cent_emb"))).as("cent_nrm"))
     x21With(e, learned)
   }
+
+  /** x24 — cross-document repeated-passage coverage: for each document, the
+    * fraction of its token positions lying inside at least one word 5-gram
+    * that ALSO occurs in a different document. The distributed analog of
+    * suffix-array passage dedup (find exact substrings shared across
+    * documents; cf. "Deduplicating Training Data Makes Language Models
+    * Better", Lee et al. 2022) at fixed passage granularity — distinct from
+    * x16 (repetition WITHIN one doc) and x14 (overlap vs a designated
+    * benchmark split): this scores every doc against the whole corpus.
+    *
+    * Scale shape:
+    *  - grams come from ONE narrow codegen'd [[graft.functions.NGrams]]
+    *    posexplode — no window, no shuffle before the first aggregate;
+    *  - the join key is md5(gram), not the passage text: fixed 32-byte
+    *    shuffle key regardless of passage width;
+    *  - "occurs in ≥2 docs" is `min(doc_id) < max(doc_id)` over one keyed
+    *    hash agg — no count-distinct Expand, and a hot gram (boilerplate
+    *    that appears everywhere) costs ONE index row no matter its
+    *    frequency, the same df-capped-index discipline as x14/x3;
+    *  - the occurrences⟕index join is keyed on the hash; the index side is
+    *    an aggregate output, so AQE sizes it at runtime (broadcast when
+    *    genuinely small — the lint-approved pattern, vs pinning);
+    *  - position expansion is a bounded ×5 narrow explode, then one
+    *    count-distinct keyed by doc_id; the final left join streams the
+    *    narrow corpus side (left-outer probe) against the aggregate.
+    */
+  def x24(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("bigint").as("n_tokens"))
+    val occ = docs
+      .select(col("doc_id"), posexplode(graft.functions.NGrams.ngrams(col("w"), 5)))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col").cast("binary")).as("gh"))
+    val dupIdx = occ.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") < col("mx"))
+      .select(col("gh"))
+    val covered = occ.join(dupIdx, Seq("gh"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("cpos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("cpos")).as("n_covered"))
+    docs.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("n_covered", coalesce(col("n_covered"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("n_covered"),
+        graft.Det.round4nz(
+          col("n_covered").cast("double") / col("n_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy("doc_id")
+  }
 }

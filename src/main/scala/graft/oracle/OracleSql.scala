@@ -900,6 +900,30 @@ object OracleSql {
         |SELECT lang, contained_id, container_id, containment
         |FROM dir ORDER BY lang, contained_id, container_id""".stripMargin,
 
+    // mirrors Pipeline.x24: md5-keyed 5-gram occurrences; a gram is
+    // cross-doc iff MIN(doc_id) < MAX(doc_id); coverage = distinct token
+    // positions under any cross-doc gram / token count (1-based positions
+    // here vs 0-based in Spark — only the COUNT of positions is compared)
+    "x24_repeated_spans" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d),
+        | st AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        | occ AS (SELECT doc_id, pos,
+        |   md5(w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' '
+        |       || w[pos+3] || ' ' || w[pos+4]) AS gh
+        |  FROM st),
+        | dup AS (SELECT gh FROM occ GROUP BY gh
+        |  HAVING MIN(doc_id) < MAX(doc_id)),
+        | cove AS (SELECT doc_id, pos, unnest([0, 1, 2, 3, 4]) AS k
+        |  FROM occ JOIN dup USING (gh)),
+        | agg AS (SELECT doc_id, COUNT(DISTINCT pos + k) AS n_covered
+        |  FROM cove GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens, COALESCE(a.n_covered, 0) AS n_covered,
+        | ROUND(CAST(COALESCE(a.n_covered, 0) AS DOUBLE) / b.n_tokens, 4) + 0.0
+        |  AS coverage
+        |FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+
     "x4_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         | eb AS (SELECT vec_id, label, k AS band,

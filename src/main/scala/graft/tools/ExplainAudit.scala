@@ -22,7 +22,8 @@ object ExplainAudit {
       "x14_contamination", "x16_repetition", "x17_cross_source",
       "x20_dup_clusters", "x21_semdedup", "x21_semdedup_learned",
       "j12_lateral_topn", "l8_pmi_colloc", "s8_transitions",
-      "a17_regression", "x22_training_manifest", "f11_struct_funcs")
+      "a17_regression", "x22_training_manifest", "f11_struct_funcs",
+      "x24_repeated_spans")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

@@ -631,4 +631,54 @@ class OperatorSpec extends SparkSpec {
       assert(cellOf(r.getAs[Long]("b_id")) === cell)
     }
   }
+
+  test("x24 repeated spans: every fixture doc matches a brute-force recomputation") {
+    val rows = Pipeline.x24(spark, sf001).collect()
+    // Oracle-independent ground truth: recompute coverage per doc with
+    // plain in-memory collections (500 docs at sf0.001 — cheap), no Spark
+    // machinery shared with the operator beyond the raw text.
+    val docs = Tables.documents(spark, sf001).select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1))
+    val owners = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Long]]()
+    for ((id, w) <- docs; i <- 0 to w.length - 5)
+      owners.getOrElseUpdate(w.slice(i, i + 5).mkString(" "),
+        scala.collection.mutable.Set[Long]()) += id
+    val expect = docs.map { case (id, w) =>
+      val cov = scala.collection.mutable.Set[Int]()
+      for (i <- 0 to w.length - 5)
+        if (owners(w.slice(i, i + 5).mkString(" ")).size >= 2) cov ++= (i to i + 4)
+      id -> ((w.length.toLong, cov.size.toLong))
+    }.toMap
+    assert(rows.length === docs.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (n, c) = expect(id)
+      assert(r.getAs[Long]("n_tokens") === n)
+      assert(r.getAs[Long]("n_covered") === c, s"doc $id covered-count mismatch")
+      val e = BigDecimal(c.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("coverage") - e) < 1e-9)
+    }
+    assert(rows.exists(r => r.getAs[Long]("n_covered") > 0),
+      "fixture should contain at least one cross-doc repeated span")
+  }
+
+  test("x24 on literal docs: shared 5-gram covers exactly its positions on both sides") {
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s", 0L),
+      (2L, "x y z a b c d e q r", "en", "s", 0L),
+      (3L, "one two three", "en", "s", 0L),
+      (4L, "p q r s t u", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x24-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.x24(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_covered"), r.getAs[Double]("coverage"))).toMap
+    // docs 1/2 share only "a b c d e": 5 positions of 6 resp. 10 tokens
+    assert(m(1L) === ((5L, 0.8333)))
+    assert(m(2L) === ((5L, 0.5)))
+    assert(m(3L) === ((0L, 0.0))) // < 5 tokens: no grams at all
+    assert(m(4L) === ((0L, 0.0))) // no cross-doc gram
+  }
 }
