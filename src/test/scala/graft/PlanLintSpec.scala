@@ -46,6 +46,46 @@ class PlanLintSpec extends SparkSpec {
     * (global aggregate, limit, or literal-comparison filter).
     */
   test("no planner-chosen broadcast of an unreduced corpus frame") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      if (hasCorpusBroadcastBuild(fn(spark, sf001).queryExecution.sparkPlan))
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"planner-chosen corpus broadcasts: ${offenders.mkString(", ")}")
+  }
+
+  /** The whole-surface test above passes vacuously if a Spark upgrade
+    * changes the plan-node classes the detector matches on — these controls
+    * pin the detector itself: a forced broadcast build of an unreduced
+    * corpus explode MUST flag; an aggregated (vocabulary-sized) build and a
+    * limit-reduced build must NOT (those are exactly the AQE-governed /
+    * corpus-reducing shapes the lint exempts on purpose).
+    */
+  test("planner-broadcast lint detector: flags forced corpus build, passes reduced builds") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val probe = Tables.documents(spark, sf001).select(col("doc_id").as("p_id"))
+    val bad = probe.join(broadcast(toks), col("p_id") === col("doc_id"))
+    assert(hasCorpusBroadcastBuild(bad.queryExecution.sparkPlan),
+      "detector must flag a broadcast build of an unreduced corpus explode")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val agg = toks.join(broadcast(vocab), "tok")
+    assert(!hasCorpusBroadcastBuild(agg.queryExecution.sparkPlan),
+      "an aggregated build side is AQE-governed and must not flag")
+    val reduced = probe.join(broadcast(toks.limit(10)), col("p_id") === col("doc_id"))
+    assert(!hasCorpusBroadcastBuild(reduced.queryExecution.sparkPlan),
+      "a limit-reduced build side must not flag")
+  }
+
+  /** Detector for the planner-broadcast lint: does any broadcast join in
+    * this pre-AQE plan BUILD a narrow (scan/filter/project/generate-only)
+    * side that scans documents/embeddings without a corpus-reducing step
+    * (global aggregate, limit, or literal-comparison filter)?
+    */
+  private def hasCorpusBroadcastBuild(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
     import org.apache.spark.sql.catalyst.expressions.BinaryComparison
     import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
     import org.apache.spark.sql.execution._
@@ -80,19 +120,13 @@ class PlanLintSpec extends SparkSpec {
       case j: SparkPlan if j.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] => true
       case _ => false
     }.isEmpty
-    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
-      val plan = fn(spark, sf001).queryExecution.sparkPlan
-      val builds = plan.collect {
-        case j: BroadcastHashJoinExec =>
-          j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
-        case j: BroadcastNestedLoopJoinExec =>
-          j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
-      }
-      if (builds.exists(s => corpusScan(s) && narrow(s) && !reducing(s))) Some(name)
-      else None
+    val builds = plan.collect {
+      case j: BroadcastHashJoinExec =>
+        j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
+      case j: BroadcastNestedLoopJoinExec =>
+        j.buildSide match { case BuildLeft => j.left; case BuildRight => j.right }
     }
-    assert(offenders.isEmpty,
-      s"planner-chosen corpus broadcasts: ${offenders.mkString(", ")}")
+    builds.exists(s => corpusScan(s) && narrow(s) && !reducing(s))
   }
 
   /** Eager localCheckpoint (x20's rounds, the Lloyd trainer) hides the
