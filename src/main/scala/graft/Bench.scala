@@ -1,5 +1,22 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The timed action for every benchmark tool (Bench, Profile, ScaleProfile):
+  * a noop-sink write, which executes the FULL declared plan — every output
+  * column, the final sort, and every outer join. `df.count()` is NOT a
+  * faithful action: Catalyst's count-side pruning may legally skip work the
+  * declared query does — in the extreme, x24's final left-outer join has a
+  * unique right key and contributes no columns to a count, so the optimizer
+  * eliminated the join and, transitively, the entire n-gram/index subtree:
+  * the "benchmark" was a metadata count over the parquet scan (0.2 s warm
+  * vs 2.6 s real at sf0.1). A plan audit found 7/100 declared queries with
+  * count-pruned joins/aggregates (j4, r4, a14, s7, x14, x15, x24).
+  */
+object BenchAction {
+  def exec(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,7 +49,7 @@ object Bench {
     // (a fast crash must not win the min over a slow success).
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      try { BenchAction.exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")

@@ -114,6 +114,13 @@ object Windows {
 
   /** w5 — 7-row moving total over daily order revenue (ROWS frame) plus the
     * RANGE-frame variant over a day index (covers calendar gaps differently).
+    *
+    * The unpartitioned window (Spark WARNs: all rows to one partition) is
+    * deliberate and scale-safe: its input is already aggregated to calendar
+    * DAYS, so the windowed row count is bounded by the date span (~2.4k
+    * rows for 7 years) no matter the corpus size — the corpus-sized work is
+    * the day groupBy above it, which shuffles normally. A global moving
+    * average over a time series has exactly this shape at any scale.
     */
   def w5(s: SparkSession, d: String): DataFrame = {
     // day_total_dec stays DECIMAL through the window sums (exact under any

@@ -23,12 +23,12 @@ object Profile {
     graft.SparkEntry.entry(spark).count() // warm
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
-      var rows = 0L
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        rows = fn(spark, sf).count()
+        graft.BenchAction.exec(fn(spark, sf)) // full plan, not count-pruned
         (System.nanoTime() - t0) / 1e9
       }
+      val rows = fn(spark, sf).count() // untimed, display only
       println(f"$name%-22s ${times.min}%6.2f min  " +
         f"${times.sum / reps}%6.2f avg  $rows%d rows")
     }

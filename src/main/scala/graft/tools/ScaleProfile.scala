@@ -33,7 +33,7 @@ object ScaleProfile {
 
   val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x10_simhash_pairs",
     "x20_dup_clusters", "x23_containment", "x21_semdedup",
-    "x21_semdedup_learned")
+    "x21_semdedup_learned", "x24_repeated_spans")
 
   val Mults = Seq(1, 2, 4, 8)
 
@@ -53,7 +53,7 @@ object ScaleProfile {
       Mults.foreach { m =>
         Queries.foreach { q =>
           val t0 = System.nanoTime()
-          graft.SparkEntry.queries(q)(spark, s"$base/m$m").count()
+          graft.BenchAction.exec(graft.SparkEntry.queries(q)(spark, s"$base/m$m"))
           val t = (System.nanoTime() - t0) / 1e9
           val k = (q, m)
           best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
