@@ -126,7 +126,8 @@ object SparkEntry {
     "x21_semdedup_learned" -> (Pipeline.x21Learned _),
     "x22_training_manifest" -> (Pipeline.x22 _),
     "x23_containment" -> (Pipeline.x23 _),
-    "x24_repeated_spans" -> (Pipeline.x24 _)
+    "x24_repeated_spans" -> (Pipeline.x24 _),
+    "x25_dedup_keep_list" -> (Pipeline.x25 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1097,4 +1097,34 @@ object Pipeline {
           .as("coverage"))
       .orderBy("doc_id")
   }
+
+  /** x25 — the dedup KEEP LIST: turn x20's cluster labels into the
+    * per-document keep/drop decision a training pipeline actually executes.
+    * Within each near-dup cluster the canonical survivor is the
+    * highest-quality document (x6's score; ties broken by min doc_id so the
+    * choice is total and engine-independent — x6's 4-dp rounded score is
+    * already proven bit-identical across engines by its own oracle pass).
+    * Emits every document with its cluster, quality, and keep ∈ {0,1};
+    * singleton clusters keep their only member by construction.
+    *
+    * Scale shape: x20's pair graph + pointer-doubling dominates; on top of
+    * it this adds ONE doc_id-keyed equi-join of two corpus-sized but
+    * NARROW frames (labels are (id, lbl), quality is (id, double) — both
+    * shuffle-hash co-partitioned on doc_id) and ONE window keyed by
+    * cluster. Cluster sizes are near-dup groups — bounded by content
+    * duplication, not corpus size — so the per-cluster sort inside the
+    * window never sees a corpus-scale partition; there is no global sort
+    * except the final presentation ORDER BY shared with every sibling.
+    */
+  def x25(s: SparkSession, d: String): DataFrame = {
+    val clusters = x20(s, d).select(col("doc_id"), col("cluster"))
+    val quality = x6(s, d).select(col("doc_id"), col("quality"))
+    val wCl = Window.partitionBy("cluster")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clusters.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wCl))
+      .select(col("doc_id"), col("cluster"), col("quality"),
+        when(col("rn") === 1, 1).otherwise(0).as("keep"))
+      .orderBy("doc_id")
+  }
 }

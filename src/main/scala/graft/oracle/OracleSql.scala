@@ -1074,6 +1074,49 @@ object OracleSql {
         | CASE WHEN MIN(node) <> root THEN 1 ELSE 0 END AS is_dup
         |FROM reach GROUP BY root ORDER BY doc_id""".stripMargin,
 
+    // mirrors Pipeline.x25: x20's true-CC cluster chain + x6's quality
+    // score, then one window picking the per-cluster canonical survivor
+    // (max quality, ties to min doc_id)
+    "x25_dedup_keep_list" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS t
+        |  FROM documents),
+        | bits AS (SELECT doc_id, lang, pos, md5(t) AS h
+        |  FROM tok, (SELECT unnest(range(16)) AS pos) p),
+        | contrib AS (SELECT doc_id, lang, pos,
+        |   2 * ((strpos('0123456789abcdef', substr(h, CAST(pos + 1 AS INTEGER), 1)) - 1) % 2) - 1 AS c
+        |  FROM bits),
+        | sc AS (SELECT doc_id, lang, pos, SUM(c) AS sc FROM contrib GROUP BY 1, 2, 3),
+        | bt AS (SELECT doc_id, lang, pos, CASE WHEN sc > 0 THEN 1 ELSE 0 END AS bv FROM sc),
+        | sh AS (SELECT doc_id, lang, CAST(SUM(bv * CAST(pow(2, pos) AS BIGINT)) AS BIGINT) AS s
+        |  FROM bt GROUP BY doc_id, lang),
+        | pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.s, b.s)) <= 1),
+        | edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        | reach(root, node) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        | cl AS (SELECT root AS doc_id, MIN(node) AS cluster
+        |  FROM reach GROUP BY root),
+        | w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | cq AS (SELECT doc_id, CAST(len(w) AS INTEGER) AS wc,
+        |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> length(t) <= 2)) AS INTEGER) AS short_cnt
+        |  FROM w),
+        | q AS (SELECT doc_id,
+        |  ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality
+        |  FROM cq),
+        | r AS (SELECT cl.doc_id, cl.cluster, q.quality,
+        |   ROW_NUMBER() OVER (PARTITION BY cl.cluster
+        |     ORDER BY q.quality DESC, cl.doc_id ASC) AS rn
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT doc_id, cluster, quality,
+        | CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "x22_training_manifest" ->
       """WITH base AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w,
         |  md5(lower(trim(text))) AS text_hash,

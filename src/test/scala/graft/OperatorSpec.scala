@@ -663,6 +663,33 @@ class OperatorSpec extends SparkSpec {
       "fixture should contain at least one cross-doc repeated span")
   }
 
+  test("x25 keep list: exactly one keep per cluster, and it is the quality/doc_id argmax") {
+    val rows = Pipeline.x25(spark, sf001).collect()
+    val clusters = Pipeline.x20(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster")).toMap
+    val quality = Pipeline.x6(spark, sf001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality")).toMap
+    assert(rows.length === clusters.size)
+    // cluster and quality columns must agree with the source operators
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cluster") === clusters(id))
+      assert(r.getAs[Double]("quality") === quality(id))
+    }
+    // per cluster: exactly one keep, and it is the (max quality, min doc_id) member
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (cl, members) =>
+      val keeps = members.filter(_.getAs[Int]("keep") === 1)
+      assert(keeps.length === 1, s"cluster $cl must keep exactly one doc")
+      val expected = members.minBy(r =>
+        (-r.getAs[Double]("quality"), r.getAs[Long]("doc_id")))
+      assert(keeps.head.getAs[Long]("doc_id") === expected.getAs[Long]("doc_id"),
+        s"cluster $cl kept the wrong canonical doc")
+    }
+    // the fixture has real multi-doc clusters, so some docs are dropped
+    assert(rows.exists(_.getAs[Int]("keep") === 0),
+      "fixture should contain at least one dropped near-dup")
+  }
+
   test("x24 on literal docs: shared 5-gram covers exactly its positions on both sides") {
     val docs = Seq(
       (1L, "a b c d e f", "en", "s", 0L),
