@@ -51,7 +51,46 @@ object Pipeline {
     * across engines. Candidate recall < 1 by construction (LSH); the oracle
     * mirrors the same banding so outputs match exactly.
     */
+  /** x1's intermediate frames, for stage-attribution probes (ProbeX1):
+    * "cand" = the LSH candidate pairs, "verify_no_inter" = candidates with
+    * both encoded sets joined on but NO intersection computed (isolates
+    * shuffle volume from per-pair intersection CPU). */
+  private[graft] def x1Parts(s: SparkSession, d: String): Map[String, DataFrame] = {
+    val (cand, enc) = x1CandEnc(s, d)
+    Map(
+      "cand" -> cand,
+      "verify_no_inter" -> cand
+        .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+        .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
+        .select(col("lang"), col("a_id"), col("b_id"),
+          col("ea.sz").as("a_sz"), col("eb.sz").as("b_sz")),
+      // sets shuffled through both joins (size() defeats column pruning
+      // but touches each array once, no per-pair set intersection)
+      "verify_sets_no_inter" -> cand
+        .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+        .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
+        .select(col("lang"), col("a_id"), col("b_id"),
+          size(col("ea.set")).as("a_n"), size(col("eb.set")).as("b_n")))
+  }
+
   def x1(s: SparkSession, d: String): DataFrame = {
+    val (cand, enc) = x1CandEnc(s, d)
+    cand
+      .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        col("ea.small").as("small"),
+        col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
+        col("eb.set").as("b_set"), col("eb.sz").as("b_sz"))
+      .withColumn("inter", SetSim.interCol)
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .select(col("lang"), col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  private def x1CandEnc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val t = toks(s, d)
     // MinHash per DISTINCT token (vocabulary × 8 md5s), joined back and
     // min-aggregated per doc — identical minima to hashing inside each doc's
@@ -138,19 +177,7 @@ object Pipeline {
     // ReuseExchange materializes the encoded frame once, not twice.
     val enc = SetSim.tokenSets(t)
       .select(col("doc_id"), col("small"), col("set"), col("sz"))
-    cand
-      .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
-      .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
-      .select(col("lang"), col("a_id"), col("b_id"),
-        col("ea.small").as("small"),
-        col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
-        col("eb.set").as("b_set"), col("eb.sz").as("b_sz"))
-      .withColumn("inter", SetSim.interCol)
-      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
-      .filter(col("inter") * 10 >= col("uni") * 7)
-      .select(col("lang"), col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy("lang", "a_id", "b_id")
+    (cand, enc)
   }
 
   /** 16-bit SimHash signatures: per bit position, majority vote of the low
@@ -1118,7 +1145,15 @@ object Pipeline {
     */
   def x25(s: SparkSession, d: String): DataFrame = {
     val clusters = x20(s, d).select(col("doc_id"), col("cluster"))
+    // The quality side is a narrow scan-projection BELOW the first shuffle
+    // of this join, so the STATIC planner sizes it from the scan estimate
+    // and would broadcast it — one row per document = a corpus-sized
+    // driver-built HashedRelation at 100 TB (the x1-dictionary hazard,
+    // caught by PlanLintSpec's planner-chosen-broadcast lint when this
+    // query was first declared). SHUFFLE_HASH co-partitions both narrow
+    // frames on doc_id instead.
     val quality = x6(s, d).select(col("doc_id"), col("quality"))
+      .hint("SHUFFLE_HASH")
     val wCl = Window.partitionBy("cluster")
       .orderBy(col("quality").desc, col("doc_id").asc)
     clusters.join(quality, Seq("doc_id"))

@@ -53,11 +53,18 @@ private[graft] object SetSim {
       .select(col("doc_id"), col("lang"), col("small"), col("set"), col("sz"))
   }
 
-  /** |A ∩ B| for two encoded sets; `small` is the corpus-wide flag column. */
+  /** |A ∩ B| for two encoded sets; `small` is the corpus-wide flag column.
+    * The hashed branch is a codegen'd single merge pass
+    * ([[graft.functions.SortedIntersectCount]] — the arrays are
+    * sort_array(collect_set(..)) outputs, so sorted + distinct by
+    * construction): `size(array_intersect(..))` builds a hash set and an
+    * output array PER PAIR, which at 10M+ candidates was the dominant cost
+    * of x1's verify (ProbeX1, BASELINE.md round-7 scale table). */
   def interCol: Column =
     when(col("small"),
       expr("cast(bit_count(a_set[0] & b_set[0]) as int)"))
-      .otherwise(size(array_intersect(col("a_set"), col("b_set"))))
+      .otherwise(graft.functions.SortedIntersectCount.sortedIntersectCount(
+        col("a_set"), col("b_set")))
 
   /** Prefix-filtered candidate pairs for a Jaccard threshold num/den
     * (PPJoin-family, EXACT recall — no pair at or above the threshold is

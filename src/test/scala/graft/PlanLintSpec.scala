@@ -278,6 +278,8 @@ class PlanLintSpec extends SparkSpec {
     val exprs = Seq(
       GraftBridge.expression(graft.functions.DotProduct.dot(col("a"), col("b"))),
       GraftBridge.expression(graft.functions.NGrams.ngrams(col("a"), 3)),
+      GraftBridge.expression(graft.functions.SortedIntersectCount
+        .sortedIntersectCount(col("a"), col("b"))),
       graft.functions.SignBands(GraftBridge.expression(lit(1)), 16, 4))
     exprs.foreach { e =>
       assert(!e.isInstanceOf[CodegenFallback],
@@ -286,7 +288,8 @@ class PlanLintSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
-      Seq("x16_repetition", "l3_cosine_topk", "x2_simhash", "x9_ann_lsh")
+      Seq("x16_repetition", "l3_cosine_topk", "x2_simhash", "x9_ann_lsh",
+          "x1_minhash_lsh")
         .foreach { q =>
           assert(SparkEntry.queries(q)(spark, sf001).count() > 0, q)
         }

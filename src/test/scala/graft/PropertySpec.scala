@@ -166,6 +166,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on random sorted distinct arrays") {
+    import org.apache.spark.sql.functions.{array_intersect, size}
+    // draws from a small id pool so overlaps are common; empty arrays and
+    // disjoint / identical pairs all arise across the generated cases
+    val ids = Gen.chooseNum(0L, 40L)
+    val arr = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, ids))
+      .map(_.distinct.sorted)
+    cases(Gen.listOfN(12, Gen.zip(arr, arr))).foreach { pairs =>
+      val df = pairs.zipWithIndex
+        .map { case ((a, b), i) => (i.toLong, a.toArray, b.toArray) }
+        .toDF("id", "a", "b")
+      val got = df.select($"id",
+          graft.functions.SortedIntersectCount
+            .sortedIntersectCount($"a", $"b").as("c"))
+        .orderBy("id").as[(Long, Int)].collect().toSeq
+      val want = df.select($"id", size(array_intersect($"a", $"b")).as("c"))
+        .orderBy("id").as[(Long, Int)].collect().toSeq
+      assert(got == want)
+    }
+  }
+
   test("NGrams(3) codegen expression equals the HOF formulation on random token lists") {
     import org.apache.spark.sql.functions.expr
     val word = Gen.oneOf((0 until 6).map(i => s"w$i"))
