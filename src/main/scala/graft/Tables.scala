@@ -24,15 +24,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` carries nanosecond-precision timestamps, which Spark
-    * 4.x refuses to read unless `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (error `PARQUET_TYPE_ILLEGAL`). With the conf, `ts` reads as `LongType`
-    * epoch-nanoseconds; all event-time math is integer math on those longs
-    * and the DuckDB oracle mirrors it via `epoch_ns(ts)` (SURVEY.md §2.0 D3).
-    * The conf is runtime-settable and must precede the read.
+  /** `events.ts` is normalized to `LongType` epoch-NANOSECONDS regardless of
+    * how the fixture generation stored it, so every downstream event-time
+    * operator does exact integer math on one canonical unit:
+    *
+    *  - nanosecond fixtures (rounds 1-6): parquet `TIMESTAMP(NANOS)`, which
+    *    Spark 4.x refuses to read unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (`PARQUET_TYPE_ILLEGAL`);
+    *    with the conf `ts` already reads as epoch-ns longs — passthrough.
+    *  - microsecond fixtures (round-7 driver regeneration): `ts` reads as
+    *    `TIMESTAMP_NTZ`; convert via UTC-cast `unix_micros * 1000` (the
+    *    session timezone is pinned to UTC by every entrypoint, so the
+    *    NTZ→instant cast is the identity on the stored value).
+    *
+    * The DuckDB oracle mirrors the same unit via `epoch_ns(ts)` /
+    * `epoch_us(ts)*1000`, which DuckDB evaluates identically for either
+    * physical type (SURVEY.md §2.0 D3). The conf is runtime-settable and
+    * must precede the read.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events")
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * CAST(1000 AS BIGINT)"))
+    }
   }
 }

@@ -47,11 +47,12 @@ class CapabilitySpec extends SparkSpec {
   }
 
   test("file-source streaming: readStream over the events parquet equals batch") {
-    val batch = Tables.events(spark, sf001) // also sets nanosAsLong
-    // the file stream source wants a directory; stage the single fixture file
+    val batch = Tables.events(spark, sf001) // ts normalized to epoch-ns longs
+    // the file stream source wants a directory; stage the NORMALIZED frame
+    // (the raw fixture may store ts as TIMESTAMP — the loader owns that
+    // conversion, and a file stream reads with the post-normalization schema)
     val dir = tmp("graft-stream")
-    Files.copy(java.nio.file.Paths.get(s"$sf001/events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    batch.coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(batch.schema).parquet(dir)
     val q = graft.streaming.StreamTwins.tumbling(stream)
       .writeStream.format("memory").queryName("filestream")
