@@ -66,6 +66,7 @@ object SparkEntry {
     "r4_optional_bgp" -> (Rdf.r4 _),
     "r5_property_path" -> (Rdf.r5 _),
     "r6_degree_dist" -> (Rdf.r6 _),
+    "r7_pagerank" -> (Rdf.r7 _),
     // §2.5 scalar functions
     "f1_string" -> (Scalars.f1 _),
     "f2_date" -> (Scalars.f2 _),
@@ -127,7 +128,10 @@ object SparkEntry {
     "x22_training_manifest" -> (Pipeline.x22 _),
     "x23_containment" -> (Pipeline.x23 _),
     "x24_repeated_spans" -> (Pipeline.x24 _),
-    "x25_dedup_keep_list" -> (Pipeline.x25 _)
+    "x25_dedup_keep_list" -> (Pipeline.x25 _),
+    "x26_vocab_coverage" -> (Pipeline.x26 _),
+    "x27_shard_pack" -> (Pipeline.x27 _),
+    "x28_mixture_weights" -> (Pipeline.x28 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1162,4 +1162,99 @@ object Pipeline {
         when(col("rn") === 1, 1).otherwise(0).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** x26 — VOCABULARY COVERAGE (the Zipf head audit run before training a
+    * tokenizer): top-50 corpus tokens by frequency with rank and CUMULATIVE
+    * corpus share — "how much of the token stream do the k most frequent
+    * types cover". The heavy work is one explode + one keyed count (map-side
+    * partial, vocabulary-sized output); the global top-50 plans as
+    * TakeOrderedAndProject (bounded heap per partition), and the ONLY
+    * unpartitioned window runs over the 50 surviving rows — never over the
+    * vocabulary, never over the corpus. Cumulative share is well-defined on
+    * the truncated frame because every token ranked above a top-50 token is
+    * itself in the top 50. Counts are exact longs < 2^53, so the share
+    * division is one correctly-rounded double op on both engines (D4).
+    */
+  def x26(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val tot = cnt.agg(sum(col("cnt")).as("total"))
+    val wTop = Window.orderBy(col("cnt").desc, col("token"))
+    cnt.orderBy(col("cnt").desc, col("token")).limit(50)
+      .crossJoin(broadcast(tot))
+      .withColumn("rnk", row_number().over(wTop))
+      .withColumn("cum", sum(col("cnt")).over(
+        wTop.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("token"), col("rnk"), col("cnt"),
+        graft.Det.round4nz(
+          col("cum").cast("double") / col("total").cast("double"))
+          .as("cum_share"))
+      .orderBy("rnk")
+  }
+
+  /** Token budget per training shard in [[x27]] (mirrored in the oracle). */
+  val ShardTokens = 2500L
+
+  /** x27 — SHARD PACKING: lay the corpus out in curriculum order
+    * (quality-descending, doc_id tie-break — x6's engine-exact score) and
+    * cut it into fixed-token-budget training shards; a doc's shard is the
+    * one containing its FIRST token. This is the manifest step that turns
+    * a filtered corpus into the ordered shard files a trainer streams.
+    *
+    * The naive plan is ONE global ordered window (running sum over the
+    * whole corpus) — a single-partition sort at 100 TB. This implements
+    * the distributed two-phase prefix sum instead: (1) partial running
+    * sums WITHIN each quality value (keyed window, corpus-parallel);
+    * (2) per-quality totals rolled into exclusive offsets by a tiny
+    * ordered window over the DISTINCT quality values — bounded by 4-dp
+    * rounding at ≤ 10^4 rows forever, regardless of corpus size; (3) one
+    * keyed join adds offset + partial. Shard math is integer floor
+    * division on exact long sums (D-rules; `DIV` ≡ DuckDB `//` on
+    * non-negatives).
+    */
+  def x27(s: SparkSession, d: String): DataFrame = {
+    val base = x6(s, d).select(col("doc_id"), col("wc").cast("bigint").as("wc"),
+      col("quality"))
+    val wIn = Window.partitionBy("quality").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base.withColumn("cum_in", sum(col("wc")).over(wIn))
+    val wOff = Window.orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = base.groupBy("quality").agg(sum(col("wc")).as("btot"))
+      .withColumn("off", sum(col("btot")).over(wOff) - col("btot"))
+      .select(col("quality"), col("off"))
+    within.join(offsets, Seq("quality"))
+      .withColumn("cum_tokens", col("off") + col("cum_in"))
+      .select(col("doc_id"), col("quality"), col("wc"), col("cum_tokens"),
+        expr(s"(cum_tokens - wc) DIV ${ShardTokens}").as("shard"))
+      .orderBy("doc_id")
+  }
+
+  /** x28 — SOURCE MIXTURE WEIGHTS: the per-source resampling factors that
+    * rebalance the corpus toward a uniform source mixture (the knob every
+    * data recipe turns: weight = target_share / actual_share, here with a
+    * uniform 1/n_sources target). Emits per-source doc and token mass,
+    * actual share, and the weight a sampler would apply. ONE keyed agg over
+    * the corpus plus a single-row broadcast of the totals; all divisions
+    * are one correctly-rounded double op on exact longs (D4). Source count
+    * is computed, not hard-coded — the weight definition tracks the
+    * catalog at any scale.
+    */
+  def x28(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("bigint").as("wc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("wc")).as("tokens"))
+    val tot = per.agg(sum(col("docs")).as("total_docs"),
+      count(lit(1)).as("n_src"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("docs"), col("tokens"),
+        graft.Det.round4nz(
+          col("docs").cast("double") / col("total_docs").cast("double"))
+          .as("share"),
+        graft.Det.round4nz(col("total_docs").cast("double") /
+          (col("n_src") * col("docs")).cast("double")).as("weight"))
+      .orderBy("source")
+  }
 }

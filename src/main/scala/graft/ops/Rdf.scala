@@ -156,4 +156,157 @@ object Rdf {
       .agg(count(lit(1)).as("n_objects"))
       .orderBy("p", "degree")
   }
+
+  /** Number of unrolled PageRank iterations in [[r7]] (mirrored by the
+    * oracle's CTE chain — keep the two in sync). */
+  val PageRankIters = 3
+
+  /** r7 — PageRank over the fixture's FK link graph, the canonical
+    * "entity importance" iteration a triple store runs over its
+    * subject→object links [RECON: the reference's data model IS such a
+    * link graph; the tree was empty at build time, SURVEY §0].
+    *
+    * Graph: namespaced string nodes ("l:" lineitem, "o:" order,
+    * "c:" customer, "s:" supplier, "p:" part, "n:" nation, "r:" region);
+    * one directed edge per FK reference (lineitem→{order,part,supplier},
+    * order→customer, customer→nation, supplier→nation, nation→region).
+    * Node set = edge endpoints. [[PageRankIters]] damped iterations,
+    *   pr'(v) = 0.15·S + 0.85·Σ_{u→v} pr(u)/outdeg(u),
+    * with dangling mass dropped (parts/regions have no out-edges) — the
+    * declared semantics, documented rather than redistributed.
+    *
+    * Determinism (D-rules): ranks are SCALED INTEGERS (S = 10^12), every
+    * step is integer math — `pr DIV deg` per contribution, `(Σ·17) DIV 20`
+    * for the 0.85 damping (17/20 keeps the multiplicand small), floor
+    * division on non-negative values is identical on both engines, and
+    * bigint sums are order-independent. Headroom: the largest iteration-3
+    * sum at sf0.1 is ~2·10^16 (nation/region hubs), ×17 ≈ 4·10^17, a 20×
+    * margin under Long.Max; at 100 TB the multiplier math moves to
+    * DECIMAL(38,0) unchanged in shape.
+    *
+    * Scale shape: per iteration ONE keyed equi-join (edges ⨝ ranks on src,
+    * both corpus-sized — shuffle-hash, nothing broadcast) and ONE keyed
+    * sum on dst, exactly the x20 hook plan. The edge+outdeg frame and the
+    * node set are materialized ONCE via eager localCheckpoint (x20's plan
+    * discipline): each of the [[PageRankIters]] unrolled rounds references
+    * them, and without materialization every round re-derives the 7-scan
+    * union/agg/join base subtree — measured 10.1 s → ~2 s at sf0.1
+    * local[32]. Both frames are narrow (3 resp. 1 columns); on a
+    * multi-executor cluster swap localCheckpoint for a reliable
+    * checkpoint dir. Top-25 presentation plans as TakeOrderedAndProject —
+    * bounded heap per partition, no global sort.
+    */
+  def r7(s: SparkSession, d: String): DataFrame = {
+    val ed = r7Edges(s, d).localCheckpoint(true)
+    // The rank frame carries ONLY nodes with in-edges: a node nobody links
+    // to holds the constant base rank (init 10^12 in round 1, 0.15·10^12
+    // after), so it rides as the per-round COALESCE default on the
+    // contribution join instead of a nodes ⨝ ranks left join every round —
+    // one keyed join per round total, and round 1 needs no join at all
+    // (every contribution is init DIV d straight off the edge scan).
+    var pr: Option[DataFrame] = None
+    for (i <- 1 to PageRankIters)
+      pr = Some(r7Step(ed, pr.map((_, defaultRank(i - 1)))))
+    // fold the dangling/base-only nodes back in once, decode the packed id
+    // to the declared string form BEFORE the ordering (ties in pr break on
+    // the STRING node id, exactly the oracle's ORDER BY), then top-25
+    val nodes = ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct()
+    nodes.join(pr.get.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .select(r7Decode(col("node")).as("node"),
+        coalesce(col("pr"), lit(defaultRank(PageRankIters))).as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(25)
+      .select(col("node"), col("pr").as("rank"))
+  }
+
+  /** Rank held by any node with no in-edges after `i` rounds (the COALESCE
+    * default): the init value before round 1, the undamped base after. */
+  private[graft] def defaultRank(i: Int): Long =
+    if (i == 0) 1000000000000L else 150000000000L
+
+  /** Packed long node id: entity tag in the high byte, key payload below
+    * (lineitem pays orderkey·8 + linenumber; linenumber < 8 by TPC-H
+    * construction, asserted by the fixture contract). The ITERATION runs
+    * entirely on these longs — an 8-byte fixed-width shuffle key instead
+    * of a ~10-char string on every hot join/agg (measured 6.3 s → ~2 s at
+    * sf0.1) — and the injective decode back to the declared "c:123" form
+    * happens once, corpus-wide, before the final presentation sort. 56
+    * payload bits hold orderkey·8 at any conceivable SF.
+    */
+  private def r7Id(tag: Long, key: org.apache.spark.sql.Column) =
+    (lit(tag << 56) + key.cast("bigint")).cast("bigint")
+
+  private def r7Decode(id: org.apache.spark.sql.Column) = {
+    val tag = shiftright(id, 56)
+    val pay = id.bitwiseAND(lit((1L << 56) - 1))
+    when(tag === 1, concat(lit("l:"), shiftright(pay, 3).cast("string"),
+        lit(":"), pay.bitwiseAND(lit(7L)).cast("string")))
+      .when(tag === 2, concat(lit("o:"), pay.cast("string")))
+      .when(tag === 3, concat(lit("c:"), pay.cast("string")))
+      .when(tag === 4, concat(lit("s:"), pay.cast("string")))
+      .when(tag === 5, concat(lit("p:"), pay.cast("string")))
+      .when(tag === 6, concat(lit("n:"), pay.cast("string")))
+      .otherwise(concat(lit("r:"), pay.cast("string")))
+  }
+
+  /** r7's edge list with outdeg riding along ((src, dst, d) — one row per
+    * FK reference), UN-checkpointed so PlanLintSpec can lint the plan the
+    * checkpoint hides.
+    *
+    * deg(src) is computed PER SOURCE TABLE before the dst fan-out, not by
+    * the generic `groupBy(src)` over the assembled edge list: node ids are
+    * tag-disjoint across tables and every row of a table emits a fixed
+    * number of out-edges, so deg(src) = (rows sharing the table's source
+    * key) × (dst columns per row) — EXACTLY the generic out-degree, at the
+    * cost of one keyed count over each source table (lineitem 600k rows)
+    * instead of a groupBy + rejoin over the full edge multiset (2.4M rows,
+    * two extra corpus-wide shuffles; measured: the generic path more than
+    * doubled the edge-materialization phase at sf0.1). The per-table
+    * multiplicity handles non-unique keys ((l_orderkey, l_linenumber) IS
+    * non-unique in the fixture) without assuming any PK constraint.
+    */
+  private[graft] def r7Edges(s: SparkSession, d: String): DataFrame = {
+    def part(df: DataFrame, keys: Seq[String],
+             src: org.apache.spark.sql.Column,
+             dsts: Seq[org.apache.spark.sql.Column]): DataFrame = {
+      val m = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("mult"))
+      df.join(m, keys)
+        .select(src.as("src"), explode(array(dsts: _*)).as("dst"),
+          (col("mult") * dsts.length).cast("bigint").as("d"))
+    }
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    part(li, Seq("l_orderkey", "l_linenumber"),
+        r7Id(1, col("l_orderkey") * 8 + col("l_linenumber")),
+        Seq(r7Id(2, col("l_orderkey")), r7Id(5, col("l_partkey")),
+          r7Id(4, col("l_suppkey"))))
+      .union(part(Tables.orders(s, d), Seq("o_orderkey"),
+        r7Id(2, col("o_orderkey")), Seq(r7Id(3, col("o_custkey")))))
+      .union(part(Tables.customer(s, d), Seq("c_custkey"),
+        r7Id(3, col("c_custkey")), Seq(r7Id(6, col("c_nationkey")))))
+      .union(part(Tables.supplier(s, d), Seq("s_suppkey"),
+        r7Id(4, col("s_suppkey")), Seq(r7Id(6, col("s_nationkey")))))
+      .union(part(Tables.nation(s, d), Seq("n_nationkey"),
+        r7Id(6, col("n_nationkey")), Seq(r7Id(7, col("n_regionkey")))))
+  }
+
+  /** One damped PageRank round over the in-edge-bearing rank frame
+    * ((dst, pr); see [[r7]]): a left contribution join — absent src ranks
+    * coalesce to the round's constant default — and one keyed sum. Round 1
+    * passes `pr = None`: every rank is the init constant, so contributions
+    * come straight off the edge scan with NO join. All integer math
+    * (see [[r7]]); using-column joins keep the shared-lineage
+    * self-references unambiguous. UN-checkpointed — callers materialize. */
+  private[graft] def r7Step(ed: DataFrame, pr: Option[(DataFrame, Long)]): DataFrame = {
+    val contribs = pr match {
+      case None =>
+        ed.select(col("dst"), expr(s"${defaultRank(0)} DIV d").as("contrib"))
+      case Some((p, dflt)) =>
+        ed.join(p.withColumnRenamed("dst", "src"), Seq("src"), "left")
+          .select(col("dst"),
+            expr(s"COALESCE(pr, CAST($dflt AS BIGINT)) DIV d").as("contrib"))
+    }
+    contribs.groupBy("dst").agg(
+      expr("CAST(150000000000 + SUM(contrib) * 17 DIV 20 AS BIGINT)").as("pr"))
+  }
 }

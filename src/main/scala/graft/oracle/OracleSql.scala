@@ -723,6 +723,35 @@ object OracleSql {
         |SELECT p, degree, COUNT(*) AS n_objects
         |FROM deg GROUP BY p, degree ORDER BY p, degree""".stripMargin,
 
+    // mirrors Rdf.r7: scaled-integer PageRank, 3 unrolled iterations over
+    // the FK link graph; all steps integer (floor division, bigint sums)
+    "r7_pagerank" ->
+      """WITH edges AS (
+        |  SELECT 'l:'||l_orderkey||':'||l_linenumber AS src, 'o:'||l_orderkey AS dst FROM lineitem
+        |  UNION ALL SELECT 'l:'||l_orderkey||':'||l_linenumber, 'p:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l:'||l_orderkey||':'||l_linenumber, 's:'||l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'o:'||o_orderkey, 'c:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 's:'||s_suppkey, 'n:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+        | nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        | deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        | ed AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+        | r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+        | s1 AS (SELECT ed.dst, SUM(r0.pr // ed.d) AS sm
+        |  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+        | r1 AS (SELECT n.node, CAST(150000000000 + COALESCE(s1.sm, 0) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
+        | s2 AS (SELECT ed.dst, SUM(r1.pr // ed.d) AS sm
+        |  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+        | r2 AS (SELECT n.node, CAST(150000000000 + COALESCE(s2.sm, 0) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
+        | s3 AS (SELECT ed.dst, SUM(r2.pr // ed.d) AS sm
+        |  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst),
+        | r3 AS (SELECT n.node, CAST(150000000000 + COALESCE(s3.sm, 0) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
+        |SELECT node, pr AS "rank" FROM r3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
+
     "l7_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
@@ -1116,6 +1145,52 @@ object OracleSql {
         |SELECT doc_id, cluster, quality,
         | CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // mirrors Pipeline.x26: top-50 Zipf head with cumulative corpus share
+    "x26_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        | cnt AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM cnt),
+        | top AS (SELECT token, cnt FROM cnt ORDER BY cnt DESC, token LIMIT 50)
+        |SELECT token,
+        | CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS rnk,
+        | cnt,
+        | ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |   / CAST(total AS DOUBLE), 4) + 0.0 AS cum_share
+        |FROM top, tot ORDER BY rnk""".stripMargin,
+
+    // mirrors Pipeline.x27: curriculum order (x6 quality desc, doc_id) cut
+    // into fixed-token shards; the oracle states the SINGLE global running
+    // sum the Spark side computes as a distributed two-phase prefix sum
+    "x27_shard_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS wc,
+        |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> length(t) <= 2)) AS INTEGER) AS short_cnt
+        |  FROM w),
+        | q AS (SELECT doc_id, wc,
+        |  ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality
+        |  FROM c),
+        | cs AS (SELECT doc_id, quality, wc,
+        |  CAST(SUM(wc) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, quality, wc, cum_tokens,
+        | (cum_tokens - wc) // 2500 AS shard
+        |FROM cs ORDER BY doc_id""".stripMargin,
+
+    // mirrors Pipeline.x28: per-source doc/token mass and the uniform-target
+    // resampling weight (target_share / actual_share, n_src computed)
+    "x28_mixture_weights" ->
+      """WITH per AS (SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY source),
+        | tot AS (SELECT CAST(SUM(docs) AS BIGINT) AS total_docs, COUNT(*) AS n_src FROM per)
+        |SELECT source, docs, tokens,
+        | ROUND(CAST(docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 4) + 0.0 AS share,
+        | ROUND(CAST(total_docs AS DOUBLE) / CAST(n_src * docs AS DOUBLE), 4) + 0.0 AS weight
+        |FROM per, tot ORDER BY source""".stripMargin,
 
     "x22_training_manifest" ->
       """WITH base AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w,

@@ -33,7 +33,8 @@ object ScaleProfile {
 
   val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x10_simhash_pairs",
     "x20_dup_clusters", "x23_containment", "x21_semdedup",
-    "x21_semdedup_learned", "x24_repeated_spans")
+    "x21_semdedup_learned", "x24_repeated_spans", "x25_dedup_keep_list",
+    "x27_shard_pack", "r7_pagerank")
 
   val Mults = Seq(1, 2, 4, 8)
 
@@ -71,9 +72,9 @@ object ScaleProfile {
   }
 
   def build(spark: SparkSession, src: String, dst: String, m: Int): Unit = {
-    // _SUCCESS is committed last — a bare directory check would silently
-    // reuse the partial output of an interrupted earlier build
-    if (new java.io.File(s"$dst/embeddings.parquet/_SUCCESS").exists()) return
+    // _SUCCESS of the LAST-written table — a bare directory check would
+    // silently reuse the partial output of an interrupted earlier build
+    if (new java.io.File(s"$dst/region.parquet/_SUCCESS").exists()) return
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val nd = docs.agg(max("doc_id")).head().getLong(0) + 1
     (0 until m).map { i =>
@@ -95,5 +96,28 @@ object ScaleProfile {
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // star-schema copies for the graph/relational heavies (r7): every key
+    // column is offset by i·(max+1) per copy, so each copy is a DISJOINT
+    // subgraph — r7's true answer grows linearly in m and the timing
+    // isolates the engine's iterative-join scaling.
+    def copyKeyed(name: String, keyCols: Seq[String]): Unit = {
+      val t = spark.read.parquet(s"$src/$name.parquet")
+      val offs = keyCols.map(k =>
+        k -> (t.agg(max(col(k).cast("bigint"))).head().getLong(0) + 1)).toMap
+      (0 until m).map { i =>
+        t.select(t.columns.map { c =>
+          if (keyCols.contains(c))
+            (col(c).cast("bigint") + lit(i * offs(c))).as(c)
+          else col(c)
+        }: _*)
+      }.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    }
+    copyKeyed("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    copyKeyed("orders", Seq("o_orderkey", "o_custkey"))
+    copyKeyed("customer", Seq("c_custkey", "c_nationkey"))
+    copyKeyed("supplier", Seq("s_suppkey", "s_nationkey"))
+    copyKeyed("nation", Seq("n_nationkey", "n_regionkey"))
+    copyKeyed("region", Seq("r_regionkey"))
   }
 }

@@ -42,4 +42,10 @@ class FixtureContractSpec extends SparkSpec {
       .groupBy("l_orderkey", "l_linenumber").count().filter("count > 1").count()
     assert(dups > 0)
   }
+
+  test("l_linenumber fits 3 bits — guards r7's packed node-id encoding") {
+    val r = Tables.lineitem(spark, sf001)
+      .selectExpr("min(l_linenumber)", "max(l_linenumber)").head()
+    assert(r.getInt(0) >= 0 && r.getInt(1) <= 7)
+  }
 }

@@ -708,4 +708,112 @@ class OperatorSpec extends SparkSpec {
     assert(m(3L) === ((0L, 0.0))) // < 5 tokens: no grams at all
     assert(m(4L) === ((0L, 0.0))) // no cross-doc gram
   }
+
+  test("r7 pagerank: matches an in-memory scaled-integer iteration exactly") {
+    val rows = Rdf.r7(spark, sf001).collect()
+    // ground truth: same edge construction, plain Scala Long math
+    def s(v: Any): String = String.valueOf(v)
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey").collect()
+    val edges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    li.foreach { r =>
+      val src = s"l:${s(r.get(0))}:${s(r.get(1))}"
+      edges += ((src, s"o:${s(r.get(0))}"))
+      edges += ((src, s"p:${s(r.get(2))}"))
+      edges += ((src, s"s:${s(r.get(3))}"))
+    }
+    Tables.orders(spark, sf001).select($"o_orderkey", $"o_custkey").collect()
+      .foreach(r => edges += ((s"o:${s(r.get(0))}", s"c:${s(r.get(1))}")))
+    Tables.customer(spark, sf001).select($"c_custkey", $"c_nationkey").collect()
+      .foreach(r => edges += ((s"c:${s(r.get(0))}", s"n:${s(r.get(1))}")))
+    Tables.supplier(spark, sf001).select($"s_suppkey", $"s_nationkey").collect()
+      .foreach(r => edges += ((s"s:${s(r.get(0))}", s"n:${s(r.get(1))}")))
+    Tables.nation(spark, sf001).select($"n_nationkey", $"n_regionkey").collect()
+      .foreach(r => edges += ((s"n:${s(r.get(0))}", s"r:${s(r.get(1))}")))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var pr = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to Rdf.PageRankIters) {
+      val sums = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edges.foreach { case (src, dst) => sums(dst) += pr(src) / deg(src) }
+      pr = nodes.map(n => n -> (150000000000L + sums(n) * 17L / 20L)).toMap
+    }
+    val expect = pr.toSeq.sortBy { case (n, r) => (-r, n) }.take(25)
+    assert(rows.length === 25)
+    rows.zip(expect).foreach { case (row, (n, r)) =>
+      assert(row.getAs[String]("node") === n)
+      assert(row.getAs[Long]("rank") === r)
+    }
+    // hubs must outrank leaves: the top node is an aggregator, not a lineitem
+    assert(!rows.head.getAs[String]("node").startsWith("l:"))
+  }
+
+  test("x26 vocab coverage: matches brute-force counts; cum_share monotone to 1-ish") {
+    val rows = Pipeline.x26(spark, sf001).collect()
+    val toks = Tables.documents(spark, sf001).select($"text").collect()
+      .flatMap(_.getString(0).split(" ", -1))
+    val cnt = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val top = cnt.toSeq.sortBy { case (t, c) => (-c, t) }.take(50)
+    assert(rows.length === math.min(50, cnt.size))
+    var cum = 0L
+    rows.zip(top).zipWithIndex.foreach { case ((row, (t, c)), i) =>
+      assert(row.getAs[String]("token") === t)
+      assert(row.getAs[Int]("rnk") === i + 1)
+      assert(row.getAs[Long]("cnt") === c)
+      cum += c
+      val e = BigDecimal(cum.toDouble / toks.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(row.getAs[Double]("cum_share") - e) < 1e-9)
+    }
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("x27 shard pack: two-phase prefix sum equals the global running sum") {
+    val rows = Pipeline.x27(spark, sf001).collect()
+    val base = Pipeline.x6(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("wc").toLong,
+        r.getAs[Double]("quality")))
+    // in-memory global running sum in curriculum order
+    var cum = 0L
+    val expect = base.sortBy { case (id, _, q) => (-q, id) }.map { case (id, wc, q) =>
+      cum += wc
+      id -> ((q, wc, cum, (cum - wc) / Pipeline.ShardTokens))
+    }.toMap
+    assert(rows.length === base.length)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (q, wc, c, shard) = expect(id)
+      assert(r.getAs[Double]("quality") === q)
+      assert(r.getAs[Long]("wc") === wc)
+      assert(r.getAs[Long]("cum_tokens") === c, s"doc $id cum mismatch")
+      assert(r.getAs[Long]("shard") === shard)
+    }
+    // shards are contiguous 0..max with no holes
+    val shards = rows.map(_.getAs[Long]("shard")).distinct.sorted.toSeq
+    assert(shards === (0L to shards.max))
+  }
+
+  test("x28 mixture weights: shares sum to ~1 and weight inverts the share") {
+    val rows = Pipeline.x28(spark, sf001).collect()
+    val docs = Tables.documents(spark, sf001)
+      .select($"source", $"text").collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length === bySrc.size)
+    val nSrc = bySrc.size.toLong
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val docsN = bySrc(src).length.toLong
+      assert(r.getAs[Long]("docs") === docsN)
+      assert(r.getAs[Long]("tokens") === bySrc(src).map(_._2).sum)
+      val share = BigDecimal(docsN.toDouble / docs.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("share") - share) < 1e-9)
+      val w = BigDecimal(docs.length.toDouble / (nSrc * docsN))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("weight") - w) < 1e-9)
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
+  }
 }

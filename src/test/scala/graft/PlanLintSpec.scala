@@ -145,12 +145,17 @@ class PlanLintSpec extends SparkSpec {
     val cb = vecs.orderBy("id").limit(16)
       .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
     val assigned = ops.KMeansCodebook.assign(vecs, cb)
+    val ed = ops.Rdf.r7Edges(spark, sf001)
+    val pr0 = ops.Rdf.r7Step(ed, None)
     val blocks = Seq(
       "x20 edges" -> edges,
       "x20 hook" -> ops.Pipeline.x20Hook(edges, labels0),
       "x20 shortcut" -> ops.Pipeline.x20Shortcut(labels0),
       "kmeans assign" -> assigned,
-      "kmeans means" -> ops.KMeansCodebook.meansStep(assigned, vecs, mirrored = true))
+      "kmeans means" -> ops.KMeansCodebook.meansStep(assigned, vecs, mirrored = true),
+      "r7 edges" -> ed,
+      "r7 step0" -> pr0,
+      "r7 step" -> ops.Rdf.r7Step(ed, Some((pr0, ops.Rdf.defaultRank(1)))))
     blocks.foreach { case (n, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
