@@ -26,6 +26,26 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bench JSON line fits the driver's 2000-char stdout tail at worst-case precision") {
+    // Bench's last-resort fallback demotes every per-query value to integer
+    // seconds; if even THAT line exceeds 1,999 chars the driver's bounded
+    // stdout tail truncates the line's HEAD and the round records
+    // parsed:null. This guard fails at ADD-QUERY time instead: worst case
+    // modeled as every value 2 chars (a -1 failure sentinel or a 10-99 s
+    // heavy) for the 12 slowest-key slots and 1 char elsewhere, plus a
+    // 5-char total. Adding a 106th query should trip this — resolve by
+    // shortening keys (board-wide, keeping CORRECTNESS/BENCH key identity)
+    // or widening the driver tail, NOT by dropping keys from the map.
+    val keys = SparkEntry.queries.keySet.toSeq.sorted
+    val wide = keys.take(12).toSet // any 12 may be 2-char; rest 1-char
+    val qs = keys.map(k => "\"" + k + "\":" + (if (wide(k)) "99" else "9"))
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":999.9,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
+    assert(line.length <= 1999,
+      s"worst-case bench line is ${line.length} chars (> 1999): the key set " +
+        "has outgrown the driver's stdout tail — shorten query keys")
+  }
+
   test("oracle SQL contains no tab/CR characters (Verify JSON escaping)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains("\t") && !sql.contains("\r"), s"$k has tab/CR")

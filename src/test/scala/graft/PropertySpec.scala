@@ -72,6 +72,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("r7's PageRank rounds equal in-memory integer iteration on random cyclic graphs") {
+    // The fixture FK graph is ACYCLIC (layered l→o→c→n→r), so cycles,
+    // self-loops, and rank feedback never exercise the declared query's
+    // machinery. Random directed multigraphs here include all three; the
+    // reference is a 15-line Long-arithmetic loop (6 graphs ≤ 20 nodes
+    // keep the 3-round × 2-join Spark-job count test-friendly).
+    val edgeGen = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+      .suchThat(_.nonEmpty)
+    cases(edgeGen, n = 6).foreach { edges =>
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val ed = edges.map { case (s, t) => (s, t, deg(s)) }.toDF("src", "dst", "d")
+      var prDf: Option[org.apache.spark.sql.DataFrame] = None
+      (1 to ops.Rdf.PageRankIters).foreach { i =>
+        prDf = Some(ops.Rdf.r7Step(ed, prDf.map((_, ops.Rdf.defaultRank(i - 1)))))
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val got = nodes.toDF("node")
+        .join(prDf.get.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          coalesce($"pr", lit(ops.Rdf.defaultRank(ops.Rdf.PageRankIters))).as("pr"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var pr = nodes.map(_ -> ops.Rdf.defaultRank(0)).toMap
+      (1 to ops.Rdf.PageRankIters).foreach { _ =>
+        val sums = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, t) => sums(t) += pr(s) / deg(s) }
+        pr = nodes.map(n => n ->
+          (if (sums.contains(n)) 150000000000L + sums(n) * 17L / 20L
+           else 150000000000L)).toMap
+      }
+      // round 1 in-memory uses init for all; later rounds base for no-in-edge
+      // nodes — both encoded above exactly as the COALESCE defaults
+      assert(got === pr, s"edges: $edges")
+    }
+  }
+
   test("decimal sum is invariant under repartitioning") {
     cases(Gen.listOfN(50, Gen.choose(-10000, 10000))).foreach { cents =>
       val df = cents.map(c => c / 100.0).toDF("x")
