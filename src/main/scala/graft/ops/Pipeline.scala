@@ -1204,32 +1204,41 @@ object Pipeline {
     *
     * The naive plan is ONE global ordered window (running sum over the
     * whole corpus) — a single-partition sort at 100 TB. This implements
-    * the distributed two-phase prefix sum instead: (1) partial running
-    * sums WITHIN each quality value (keyed window, corpus-parallel);
-    * (2) per-quality totals rolled into exclusive offsets by a tiny
-    * ordered window over the DISTINCT quality values — bounded by 4-dp
-    * rounding at ≤ 10^4 rows forever, regardless of corpus size; (3) one
-    * keyed join adds offset + partial. Shard math is integer floor
-    * division on exact long sums (D-rules; `DIV` ≡ DuckDB `//` on
-    * non-negatives).
+    * the distributed two-phase prefix sum instead, partitioned by
+    * (quality, doc_id DIV [[ShardChunk]]): (1) partial running sums
+    * WITHIN each (quality, chunk) cell — every cell holds ≤ [[ShardChunk]]
+    * rows UNCONDITIONALLY, so even a degenerate corpus where every doc
+    * shares one quality value never re-creates the corpus-sized window
+    * partition; (2) per-cell totals rolled into exclusive offsets by one
+    * ordered window over the cell keys — ≤ corpus/[[ShardChunk]] rows
+    * (10^4 at 10^10 docs), and chunk-asc inside quality-desc equals the
+    * global (quality desc, doc_id) curriculum order because chunk is
+    * monotone in doc_id; (3) one keyed join adds offset + partial. Shard
+    * math is integer floor division on exact long sums (D-rules; `DIV` ≡
+    * DuckDB `//` on non-negatives).
     */
   def x27(s: SparkSession, d: String): DataFrame = {
     val base = x6(s, d).select(col("doc_id"), col("wc").cast("bigint").as("wc"),
       col("quality"))
-    val wIn = Window.partitionBy("quality").orderBy("doc_id")
+      .withColumn("chunk", expr(s"doc_id DIV ${ShardChunk}"))
+    val wIn = Window.partitionBy("quality", "chunk").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = base.withColumn("cum_in", sum(col("wc")).over(wIn))
-    val wOff = Window.orderBy(col("quality").desc)
+    val wOff = Window.orderBy(col("quality").desc, col("chunk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = base.groupBy("quality").agg(sum(col("wc")).as("btot"))
+    val offsets = base.groupBy("quality", "chunk").agg(sum(col("wc")).as("btot"))
       .withColumn("off", sum(col("btot")).over(wOff) - col("btot"))
-      .select(col("quality"), col("off"))
-    within.join(offsets, Seq("quality"))
+      .select(col("quality"), col("chunk"), col("off"))
+    within.join(offsets, Seq("quality", "chunk"))
       .withColumn("cum_tokens", col("off") + col("cum_in"))
       .select(col("doc_id"), col("quality"), col("wc"), col("cum_tokens"),
         expr(s"(cum_tokens - wc) DIV ${ShardTokens}").as("shard"))
       .orderBy("doc_id")
   }
+
+  /** Row bound per prefix-sum window cell in [[x27]] (an engine-side
+    * partitioning knob, invisible to the declared result). */
+  val ShardChunk = 65536L
 
   /** x28 — SOURCE MIXTURE WEIGHTS: the per-source resampling factors that
     * rebalance the corpus toward a uniform source mixture (the knob every
