@@ -1204,41 +1204,56 @@ object Pipeline {
     *
     * The naive plan is ONE global ordered window (running sum over the
     * whole corpus) — a single-partition sort at 100 TB. This implements
-    * the distributed two-phase prefix sum instead, partitioned by
-    * (quality, doc_id DIV [[ShardChunk]]): (1) partial running sums
-    * WITHIN each (quality, chunk) cell — every cell holds ≤ [[ShardChunk]]
-    * rows UNCONDITIONALLY, so even a degenerate corpus where every doc
-    * shares one quality value never re-creates the corpus-sized window
-    * partition; (2) per-cell totals rolled into exclusive offsets by one
-    * ordered window over the cell keys — ≤ corpus/[[ShardChunk]] rows
-    * (10^4 at 10^10 docs), and chunk-asc inside quality-desc equals the
-    * global (quality desc, doc_id) curriculum order because chunk is
-    * monotone in doc_id; (3) one keyed join adds offset + partial. Shard
+    * the canonical distributed prefix sum instead: (1) RANGE-partition on
+    * the full curriculum sort key (quality desc, doc_id) — the sampled
+    * range boundaries keep cells balanced even on a degenerate corpus
+    * where every doc shares one quality (doc_id in the key breaks the
+    * tie), and cell COUNT equals the configured shuffle parallelism, not
+    * any data statistic; (2) partial running sums within each range cell
+    * (`spark_partition_id()` as the window key — the id is assigned AFTER
+    * the range exchange, and since range cells tile the global order,
+    * cell-id order ≡ global curriculum order); (3) the P per-cell totals
+    * roll into exclusive offsets via one ordered window over P rows, and
+    * one keyed join adds offset + partial. The emitted cum is
+    * boundary-invariant — where the sampler cuts the ranges cannot change
+    * a prefix sum — so the result stays byte-deterministic across any
+    * parallelism (DeterminismSpec's cross-width pass covers it). Shard
     * math is integer floor division on exact long sums (D-rules; `DIV` ≡
     * DuckDB `//` on non-negatives).
     */
-  def x27(s: SparkSession, d: String): DataFrame = {
-    val base = x6(s, d).select(col("doc_id"), col("wc").cast("bigint").as("wc"),
+  def x27(s: SparkSession, d: String): DataFrame =
+    // the cell assignment comes from a SAMPLED range partitioner, and both
+    // the window and the offsets subtree read it — materialize ONE
+    // assignment (x20/r7's checkpoint discipline) so the two consumers can
+    // never observe different samplings; the narrow 4-column frame makes
+    // the materialization corpus-linear and cheap
+    x27On(x27Cells(s, d).localCheckpoint(true))
+
+  /** x27's range-partitioned, cell-tagged base frame — UN-checkpointed so
+    * PlanLintSpec can lint the plan the checkpoint hides. */
+  private[graft] def x27Cells(s: SparkSession, d: String): DataFrame =
+    x6(s, d).select(col("doc_id"), col("wc").cast("bigint").as("wc"),
       col("quality"))
-      .withColumn("chunk", expr(s"doc_id DIV ${ShardChunk}"))
-    val wIn = Window.partitionBy("quality", "chunk").orderBy("doc_id")
+      .repartitionByRange(col("quality").desc, col("doc_id"))
+      .withColumn("cell", spark_partition_id())
+
+  /** x27's prefix-sum body over a materialized cell-tagged frame. */
+  private[graft] def x27On(base: DataFrame): DataFrame = {
+    val wIn = Window.partitionBy("cell")
+      .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val within = base.withColumn("cum_in", sum(col("wc")).over(wIn))
-    val wOff = Window.orderBy(col("quality").desc, col("chunk"))
+    val wOff = Window.orderBy(col("cell"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offsets = base.groupBy("quality", "chunk").agg(sum(col("wc")).as("btot"))
+    val offsets = base.groupBy("cell").agg(sum(col("wc")).as("btot"))
       .withColumn("off", sum(col("btot")).over(wOff) - col("btot"))
-      .select(col("quality"), col("chunk"), col("off"))
-    within.join(offsets, Seq("quality", "chunk"))
+      .select(col("cell"), col("off"))
+    within.join(offsets, Seq("cell"))
       .withColumn("cum_tokens", col("off") + col("cum_in"))
       .select(col("doc_id"), col("quality"), col("wc"), col("cum_tokens"),
         expr(s"(cum_tokens - wc) DIV ${ShardTokens}").as("shard"))
       .orderBy("doc_id")
   }
-
-  /** Row bound per prefix-sum window cell in [[x27]] (an engine-side
-    * partitioning knob, invisible to the declared result). */
-  val ShardChunk = 65536L
 
   /** x28 — SOURCE MIXTURE WEIGHTS: the per-source resampling factors that
     * rebalance the corpus toward a uniform source mixture (the knob every

@@ -23,7 +23,8 @@ object ExplainAudit {
       "x20_dup_clusters", "x21_semdedup", "x21_semdedup_learned",
       "j12_lateral_topn", "l8_pmi_colloc", "s8_transitions",
       "a17_regression", "x22_training_manifest", "f11_struct_funcs",
-      "x24_repeated_spans")
+      "x24_repeated_spans", "x25_dedup_keep_list", "r7_pagerank",
+      "x26_vocab_coverage", "x27_shard_pack", "x28_mixture_weights")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

@@ -155,7 +155,8 @@ class PlanLintSpec extends SparkSpec {
       "kmeans means" -> ops.KMeansCodebook.meansStep(assigned, vecs, mirrored = true),
       "r7 edges" -> ed,
       "r7 step0" -> pr0,
-      "r7 step" -> ops.Rdf.r7Step(ed, Some((pr0, ops.Rdf.defaultRank(1)))))
+      "r7 step" -> ops.Rdf.r7Step(ed, Some((pr0, ops.Rdf.defaultRank(1)))),
+      "x27 body" -> ops.Pipeline.x27On(ops.Pipeline.x27Cells(spark, sf001)))
     blocks.foreach { case (n, df) =>
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian:\n$p")
