@@ -112,7 +112,12 @@ class OperatorSpec extends SparkSpec {
       "l8" -> Llm.l8, "x22" -> Pipeline.x22, "a17" -> Aggs.a17,
       "x23" -> Pipeline.x23,
       // round-7 trained-codebook addition (iterative Lloyd + pair join)
-      "x21_learned" -> Pipeline.x21Learned
+      "x21_learned" -> Pipeline.x21Learned,
+      // round-7 iterative / sampled-partitioning additions: r7 rebuilds a
+      // localCheckpoint chain per run; x27's cell assignment comes from a
+      // SAMPLED range partitioner, so the double-run proves the emitted
+      // cum is boundary-invariant run-to-run, not just width-to-width
+      "r7" -> Rdf.r7, "x27" -> Pipeline.x27
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq
