@@ -52,7 +52,7 @@ object Llm {
     SetSim.pairs(enc, blocks = 16)
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("lang"), col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+        graft.Det.round4fast(col("inter").cast("double") / col("uni")).as("jaccard"))
       .orderBy("lang", "a_id", "b_id")
   }
 

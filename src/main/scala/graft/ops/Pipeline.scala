@@ -86,7 +86,7 @@ object Pipeline {
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * 7)
       .select(col("lang"), col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+        graft.Det.round4fast(col("inter").cast("double") / col("uni")).as("jaccard"))
       .orderBy("lang", "a_id", "b_id")
   }
 
@@ -298,7 +298,7 @@ object Pipeline {
       .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
       .filter(col("inter") * 5 >= col("uni"))
       .select(col("lang"), col("a_id"), col("b_id"),
-        round(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+        graft.Det.round4fast(col("inter").cast("double") / col("uni")).as("jaccard"))
       .orderBy("lang", "a_id", "b_id")
   }
 

@@ -50,14 +50,14 @@ object Scalars {
       .select(col("l_orderkey"), col("l_linenumber"),
         // *0.01 keeps the true value at exactly 4 dp → round(,4) is tie-free
         // (with *0.001, 2-dp prices put half the rows ON the boundary).
-        round(col("l_extendedprice") * 0.01, 4).as("price_k"),
+        graft.Det.round4fast(col("l_extendedprice") * 0.01).as("price_k"),
         floor(col("l_quantity")).as("qty_floor"),
         ceil(col("l_quantity")).as("qty_ceil"),
-        round(abs(col("l_discount") - 0.05), 4).as("disc_dev"),
-        round(sqrt(col("l_quantity")), 4).as("qty_sqrt"),
-        round(log(col("l_extendedprice")), 4).as("price_ln"),
-        round(exp(col("l_discount")), 4).as("disc_exp"),
-        round(pow(col("l_tax") + 1.0, 2.0), 4).as("tax_sq"),
+        graft.Det.round4fast(abs(col("l_discount") - 0.05)).as("disc_dev"),
+        graft.Det.round4fast(sqrt(col("l_quantity"))).as("qty_sqrt"),
+        graft.Det.round4fast(log(col("l_extendedprice"))).as("price_ln"),
+        graft.Det.round4fast(exp(col("l_discount"))).as("disc_exp"),
+        graft.Det.round4fast(pow(col("l_tax") + 1.0, 2.0)).as("tax_sq"),
         (col("l_orderkey") % 7).as("okey_mod"))
       // (okey, lnum) not unique: extend the sort with columns that pin down
       // the base (price, qty, discount, tax) so the order is total.

@@ -86,8 +86,8 @@ object Windows {
     Tables.customer(s, d)
       .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 4).as("pct_rank"),
-        round(cume_dist().over(w), 4).as("cdist"))
+        graft.Det.round4fast(percent_rank().over(w)).as("pct_rank"),
+        graft.Det.round4fast(cume_dist().over(w)).as("cdist"))
       .orderBy("c_mktsegment", "c_custkey")
   }
 

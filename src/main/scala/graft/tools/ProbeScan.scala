@@ -34,6 +34,24 @@ object ProbeScan {
       graft.BenchAction.exec(graft.ops.Scalars.f3(spark, sf).sortWithinPartitions("l_orderkey"))
     }
     t("scan all cols noop") { graft.BenchAction.exec(li) }
+    // attribution: f3's projection with builtin round vs a float-math round
+    val raw = li.select(col("l_orderkey"), col("l_linenumber"),
+      (col("l_extendedprice") * 0.01).as("a"),
+      sqrt(col("l_quantity")).as("b"),
+      abs(col("l_discount") - 0.05).as("c"),
+      log(col("l_extendedprice")).as("d"),
+      exp(col("l_discount")).as("e"))
+    t("proj no round") { graft.BenchAction.exec(raw) }
+    t("proj builtin round x5") { graft.BenchAction.exec(
+      raw.select(round(col("a"), 4), round(col("b"), 4), round(col("c"), 4),
+        round(col("d"), 4), round(col("e"), 4))) }
+    def fastR(c: org.apache.spark.sql.Column) = {
+      val w = abs(c) * lit(10000.0)
+      floor(w + lit(0.5)).cast("double") / lit(10000.0) * signum(c)
+    }
+    t("proj float round x5") { graft.BenchAction.exec(
+      raw.select(fastR(col("a")), fastR(col("b")), fastR(col("c")),
+        fastR(col("d")), fastR(col("e")))) }
     spark.stop()
   }
 }

@@ -107,6 +107,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("round4fast is bit-identical to builtin round(,4) on random and adversarial doubles") {
+    // the fast path must NEVER flip a value vs Spark's BigDecimal round —
+    // fuzz across magnitudes plus hand-built adversaries: exact .00005
+    // ties (k odd / 2·10⁴), ±1-ulp nudges around them, ±0, subnormal-ish,
+    // beyond-long-floor magnitudes, NaN/±Inf, and the classic 2.675
+    // shortest-repr case
+    val magGen = Gen.oneOf(1e-6, 1e-3, 1.0, 1e3, 1e7, 1e11)
+    val rGen = Gen.listOfN(2000,
+      Gen.zip(Gen.choose(-1.0, 1.0), magGen).map { case (x, m) => x * m })
+    val adversarial: Seq[Double] = Seq(1L, 3L, 12345L, 99999L, 1000001L)
+      .flatMap { k =>
+        val v = k / 2e4
+        Seq(v, -v, Math.nextUp(v), Math.nextDown(v),
+          -Math.nextUp(v), -Math.nextDown(v))
+      } ++ Seq(0.0, -0.0, 1e-300, -1e-300, 1e15, -1e15, 2.675, -2.675,
+        Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+    cases(rGen, n = 5).foreach { xs =>
+      val all = xs ++ adversarial
+      val rows = all.toDF("x")
+        .select($"x", Det.round4fast($"x").as("f"), round($"x", 4).as("b"))
+        .collect()
+      rows.foreach { r =>
+        val (x, f, b) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+        assert(java.lang.Double.doubleToLongBits(f) ===
+          java.lang.Double.doubleToLongBits(b), s"x=$x fast=$f builtin=$b")
+      }
+    }
+  }
+
   test("decimal sum is invariant under repartitioning") {
     cases(Gen.listOfN(50, Gen.choose(-10000, 10000))).foreach { cents =>
       val df = cents.map(c => c / 100.0).toDF("x")
