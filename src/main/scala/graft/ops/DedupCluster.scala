@@ -40,15 +40,15 @@ object DedupCluster {
       val proposals = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
-      // localCheckpoint truncates the growing iteration lineage (otherwise
-      // round N's plan contains all prior rounds and optimization blows up
+      // Ckpt truncates the growing iteration lineage (otherwise round
+      // N's plan contains all prior rounds and optimization blows up
       // exponentially) and lets the shortcut reference the hooked frame
-      // twice without doubling its subtree; on a cluster use a reliable
-      // checkpoint dir instead.
+      // twice without doubling its subtree; reliable checkpoint when a
+      // checkpoint dir is configured, localCheckpoint otherwise.
       val hooked = labels.select(col("id"), col("label"))
         .union(proposals)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Ckpt.apply)
       // shortcut (pointer doubling): lbl ← lbl(lbl). Labels name nodes
       // that carry labels themselves (they are ids seen in the edge list),
       // so the lookup join preserves every row; lbl(u) ≤ u invariantly,
@@ -57,7 +57,7 @@ object DedupCluster {
         .join(hooked.select(col("id").as("via"), col("label").as("l2")),
           col("label") === col("via"))
         .select(col("id"), col("l2").as("label"))
-        .localCheckpoint(true)
+        .transform(graft.Ckpt.apply)
       val changed = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.label") =!= col("o.label")).count()
       labels = next

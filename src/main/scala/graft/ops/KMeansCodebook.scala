@@ -29,8 +29,8 @@ import graft.functions.DotProduct.{dot => vdot}
   *  - a cell that receives no vectors this round RETAINS its previous
   *    centroid (left join + coalesce onto the prior codebook), so train()
   *    always returns exactly k centroids;
-  *  - the per-iteration centroid frame is `localCheckpoint`ed to truncate
-  *    the growing lineage (same idiom as [[DedupCluster]]).
+  *  - the per-iteration centroid frame is materialized via [[graft.Ckpt]]
+  *    to truncate the growing lineage (same idiom as [[DedupCluster]]).
   *
   * The driver never materializes vectors — only the k×dims codebook, which
   * is by construction tiny (it is broadcast anyway).
@@ -72,15 +72,13 @@ object KMeansCodebook {
   private def trainImpl(e: DataFrame, k: Int, iters: Int,
       mirrored: Boolean): DataFrame = {
     val vecs = e.select(col("id"), col("emb"))
-    var codebook = vecs.orderBy("id").limit(k)
-      .select(col("id").as("cent_id"), col("emb").as("cent_emb"))
-      .localCheckpoint()
+    var codebook = graft.Ckpt(vecs.orderBy("id").limit(k)
+      .select(col("id").as("cent_id"), col("emb").as("cent_emb")))
     (0 until iters).foreach { _ =>
       val means = meansStep(assignImpl(vecs, codebook, mirrored), vecs, mirrored)
-      codebook = codebook.join(means, Seq("cent_id"), "left")
+      codebook = graft.Ckpt(codebook.join(means, Seq("cent_id"), "left")
         .select(col("cent_id"),
-          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb"))
-        .localCheckpoint()
+          coalesce(col("new_emb"), col("cent_emb")).as("cent_emb")))
     }
     codebook
   }
@@ -149,16 +147,14 @@ object KMeansCodebook {
   def trainHierarchical(e: DataFrame, k1: Int, k2: Int,
       iters: Int): DataFrame = {
     val coarse = train(e, k1, iters)
-    val withCell = assign(e.select(col("id"), col("emb")), coarse)
+    val withCell = graft.Ckpt(assign(e.select(col("id"), col("emb")), coarse)
       .select(col("id"), col("cell"))
-      .join(e.select(col("id"), col("emb")), "id")
-      .localCheckpoint()
+      .join(e.select(col("id"), col("emb")), "id"))
     val wCell = org.apache.spark.sql.expressions.Window
       .partitionBy("cell").orderBy("id")
-    var fine = withCell.withColumn("rn", row_number().over(wCell))
+    var fine = graft.Ckpt(withCell.withColumn("rn", row_number().over(wCell))
       .filter(col("rn") <= k2)
-      .select(col("cell"), col("id").as("fine_id"), col("emb").as("fine_emb"))
-      .localCheckpoint()
+      .select(col("cell"), col("id").as("fine_id"), col("emb").as("fine_emb")))
     (0 until iters).foreach { _ =>
       val asgn = withCell.join(fine, "cell") // keyed, NOT broadcast-hinted
         .withColumn("d", expr("zip_with(emb, fine_emb, (a, b) -> a - b)"))
@@ -176,10 +172,9 @@ object KMeansCodebook {
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), col("fine_id"),
           expr("transform(pm, x -> x.m)").as("new_emb"))
-      fine = fine.join(means, Seq("cell", "fine_id"), "left")
+      fine = graft.Ckpt(fine.join(means, Seq("cell", "fine_id"), "left")
         .select(col("cell"), col("fine_id"),
-          coalesce(col("new_emb"), col("fine_emb")).as("fine_emb"))
-        .localCheckpoint()
+          coalesce(col("new_emb"), col("fine_emb")).as("fine_emb")))
     }
     fine
   }

@@ -879,9 +879,10 @@ object Pipeline {
     * dedup 8 re-plans), and the shortcut's TWO references to the hooked
     * labels read one materialized RDD instead of doubling the unrolled
     * subtree per round (the exponential-lineage blowup DedupCluster's
-    * checkpoint exists to cut). On a multi-executor cluster swap
-    * localCheckpoint for a reliable checkpoint dir (executor loss drops
-    * local checkpoints); labels are one slim (id, lbl) row per document,
+    * checkpoint exists to cut). Materialization goes through [[graft.Ckpt]]:
+    * reliable checkpoint when a checkpoint dir is configured (cluster —
+    * executor loss drops local checkpoints), localCheckpoint otherwise;
+    * labels are one slim (id, lbl) row per document,
     * so the per-round materialization is corpus-linear and tiny next to
     * the pair graph itself. Emits every document's cluster label (min
     * doc_id of its component) + is_dup — the survivor/victim decision the
@@ -919,13 +920,12 @@ object Pipeline {
       .select(col("doc_id"), col("lbl2").as("lbl"))
 
   def x20(s: SparkSession, d: String): DataFrame = {
-    val edges = x20Edges(s, d).localCheckpoint(true)
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("lbl"))
-      .localCheckpoint(true)
+    val edges = graft.Ckpt(x20Edges(s, d))
+    var labels = graft.Ckpt(Tables.documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("lbl")))
     for (_ <- 1 to ClusterRounds) {
-      val hooked = x20Hook(edges, labels).localCheckpoint(true)
-      labels = x20Shortcut(hooked).localCheckpoint(true)
+      val hooked = graft.Ckpt(x20Hook(edges, labels))
+      labels = graft.Ckpt(x20Shortcut(hooked))
     }
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),
@@ -1227,7 +1227,7 @@ object Pipeline {
     // assignment (x20/r7's checkpoint discipline) so the two consumers can
     // never observe different samplings; the narrow 4-column frame makes
     // the materialization corpus-linear and cheap
-    x27On(x27Cells(s, d).localCheckpoint(true))
+    x27On(graft.Ckpt(x27Cells(s, d)))
 
   /** x27's range-partitioned, cell-tagged base frame — UN-checkpointed so
     * PlanLintSpec can lint the plan the checkpoint hides. */

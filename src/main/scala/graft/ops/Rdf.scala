@@ -191,13 +191,14 @@ object Rdf {
     * discipline): each of the [[PageRankIters]] unrolled rounds references
     * them, and without materialization every round re-derives the 7-scan
     * union/agg/join base subtree — measured 10.1 s → ~2 s at sf0.1
-    * local[32]. Both frames are narrow (3 resp. 1 columns); on a
-    * multi-executor cluster swap localCheckpoint for a reliable
-    * checkpoint dir. Top-25 presentation plans as TakeOrderedAndProject —
+    * local[32]. Both frames are narrow (3 resp. 1 columns); materialization
+    * goes through [[graft.Ckpt]] (reliable checkpoint under a configured
+    * checkpoint dir, localCheckpoint otherwise).
+    * Top-25 presentation plans as TakeOrderedAndProject —
     * bounded heap per partition, no global sort.
     */
   def r7(s: SparkSession, d: String): DataFrame = {
-    val ed = r7Edges(s, d).localCheckpoint(true)
+    val ed = graft.Ckpt(r7Edges(s, d))
     // The rank frame carries ONLY nodes with in-edges: a node nobody links
     // to holds the constant base rank (init 10^12 in round 1, 0.15·10^12
     // after), so it rides as the per-round COALESCE default on the

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** [[Ckpt]] strategy selection: every iterative query must produce
+  * byte-identical results whether lineage truncation goes through
+  * localCheckpoint (no checkpoint dir — the local[*] default) or a
+  * reliable checkpoint dir (the cluster configuration). The dir is set
+  * only inside this suite and cleared in a finally, so the rest of the
+  * test run keeps the default local path.
+  */
+class CkptSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def withCheckpointDir[A](body: => A): A = {
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "expected no checkpoint dir at entry")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    sc.setCheckpointDir(dir)
+    try body
+    finally sc.setCheckpointDir(null) // Option(null) => None, clears it
+  }
+
+  test("Ckpt picks reliable checkpoint when a dir is configured") {
+    import spark.implicits._
+    val local = Ckpt(Seq(1, 2, 3).toDF("v"))
+    assert(local.queryExecution.analyzed.toString.contains("LogicalRDD"))
+    withCheckpointDir {
+      assert(spark.sparkContext.getCheckpointDir.isDefined)
+      val reliable = Ckpt(Seq(1, 2, 3).toDF("v"))
+      assert(rows(reliable.orderBy("v")) === rows(local.orderBy("v")))
+    }
+    assert(spark.sparkContext.getCheckpointDir.isEmpty)
+  }
+
+  test("iterative queries are identical under a reliable checkpoint dir") {
+    // The queries whose declared plans route through Ckpt: x20 (CC
+    // rounds), x25 (x20 + keep list), x27 (sampled range cells),
+    // x21_semdedup_learned (Lloyd trainer), r7 (edge frame).
+    val qs = Seq("x20_dup_clusters", "x27_shard_pack",
+      "x21_semdedup_learned", "r7_pagerank")
+    val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
+    withCheckpointDir {
+      qs.foreach { q =>
+        assert(rows(SparkEntry.queries(q)(spark, sf001)) === before(q),
+          s"$q diverged under reliable checkpoint")
+      }
+    }
+  }
+
+  test("DedupCluster fixpoint loop runs under a reliable checkpoint dir") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val expect = Seq("[1,1]", "[2,1]", "[3,1]", "[10,10]", "[11,10]")
+    assert(rows(ops.DedupCluster.components(pairs)) === expect)
+    withCheckpointDir {
+      assert(rows(ops.DedupCluster.components(pairs)) === expect)
+    }
+  }
+}
