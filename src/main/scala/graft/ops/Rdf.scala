@@ -291,6 +291,49 @@ object Rdf {
         r7Id(6, col("n_nationkey")), Seq(r7Id(7, col("n_regionkey")))))
   }
 
+  /** r7 variant with REDISTRIBUTED dangling mass — the standard PageRank
+    * formulation (capability tier above the declared r7, which DROPS the
+    * mass leaving out-degree-less nodes — parts/regions):
+    *   pr'(v) = 0.15·S + 0.85·(Σ_{u→v} pr(u) DIV deg(u) + dangling DIV N)
+    * where `dangling` = Σ pr over nodes with no out-edges and N = |nodes|.
+    * Same scaled-integer determinism discipline as [[r7]] (S = 10^12,
+    * ·17 DIV 20 damping, bigint sums).
+    *
+    * Scale shape: per round the declared r7's ONE keyed contribution join
+    * + ONE keyed sum, plus (a) one SCALAR aggregation over the rank frame
+    * restricted to the dangling set — a driver-side single long, folded
+    * into the round's damping constant (never a per-row join), and (b) one
+    * nodes⟕sums left join so share reaches no-in-edge nodes too (their
+    * rank is now round-varying, so the COALESCE-default trick r7 uses does
+    * not apply). The dangling id set is a one-time left_anti of two narrow
+    * key frames, checkpointed alongside the edges.
+    */
+  def r7Redistributed(s: SparkSession, d: String): DataFrame = {
+    val ed = graft.Ckpt(r7Edges(s, d))
+    val nodes = graft.Ckpt(ed.select(col("src").as("node"))
+      .union(ed.select(col("dst").as("node"))).distinct())
+    val n = nodes.count()
+    val dangling = graft.Ckpt(nodes.join(
+      ed.select(col("src").as("node")).distinct(), Seq("node"), "left_anti"))
+    var pr = graft.Ckpt(nodes.select(col("node"),
+      lit(1000000000000L).as("pr")))
+    for (_ <- 1 to PageRankIters) {
+      val dRow = dangling.join(pr, "node").agg(sum("pr")).head()
+      val share = (if (dRow.isNullAt(0)) 0L else dRow.getLong(0)) / n
+      val sums = ed.join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("pr DIV d").as("contrib"))
+        .groupBy("dst").agg(sum("contrib").as("contrib_sum"))
+      pr = graft.Ckpt(nodes
+        .join(sums.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"), expr(
+          s"CAST(150000000000 + (COALESCE(contrib_sum, CAST(0 AS BIGINT))" +
+            s" + CAST($share AS BIGINT)) * 17 DIV 20 AS BIGINT)").as("pr")))
+    }
+    pr.select(r7Decode(col("node")).as("node"), col("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(25)
+      .select(col("node"), col("pr").as("rank"))
+  }
+
   /** One damped PageRank round over the in-edge-bearing rank frame
     * ((dst, pr); see [[r7]]): a left contribution join — absent src ranks
     * coalesce to the round's constant default — and one keyed sum. Round 1

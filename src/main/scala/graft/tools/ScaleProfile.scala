@@ -97,27 +97,48 @@ object ScaleProfile {
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     // star-schema copies for the graph/relational heavies (r7): every key
-    // column is offset by i·(max+1) per copy, so each copy is a DISJOINT
-    // subgraph — r7's true answer grows linearly in m and the timing
-    // isolates the engine's iterative-join scaling.
-    def copyKeyed(name: String, keyCols: Seq[String]): Unit = {
+    // column is offset by i·(domainMax+1) per copy, so each copy is a
+    // DISJOINT subgraph — r7's true answer grows linearly in m and the
+    // timing isolates the engine's iterative-join scaling. The offset is
+    // ONE PER KEY DOMAIN, computed from the domain's OWNING (PK-side)
+    // table and reused for every referencing column: per-table maxima
+    // would keep FK/PK copies aligned only while max(FK) == max(PK)
+    // happens to hold in the fixture (e.g. an order referencing the
+    // top customer) — a regenerated fixture where the top dimension row
+    // is unreferenced would silently break the disjoint-subgraph property.
+    def domMax(name: String, k: String): Long =
+      spark.read.parquet(s"$src/$name.parquet")
+        .agg(max(col(k).cast("bigint"))).head().getLong(0) + 1
+    val dom = Map(
+      "orderkey" -> domMax("orders", "o_orderkey"),
+      "custkey" -> domMax("customer", "c_custkey"),
+      "suppkey" -> domMax("supplier", "s_suppkey"),
+      "partkey" -> domMax("part", "p_partkey"),
+      "nationkey" -> domMax("nation", "n_nationkey"),
+      "regionkey" -> domMax("region", "r_regionkey"))
+    def copyKeyed(name: String, keyCols: Map[String, String]): Unit = {
       val t = spark.read.parquet(s"$src/$name.parquet")
-      val offs = keyCols.map(k =>
-        k -> (t.agg(max(col(k).cast("bigint"))).head().getLong(0) + 1)).toMap
       (0 until m).map { i =>
         t.select(t.columns.map { c =>
-          if (keyCols.contains(c))
-            (col(c).cast("bigint") + lit(i * offs(c))).as(c)
-          else col(c)
+          keyCols.get(c) match {
+            case Some(d) =>
+              (col(c).cast("bigint") + lit(i * dom(d))).as(c)
+            case None => col(c)
+          }
         }: _*)
       }.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dst/$name.parquet")
     }
-    copyKeyed("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
-    copyKeyed("orders", Seq("o_orderkey", "o_custkey"))
-    copyKeyed("customer", Seq("c_custkey", "c_nationkey"))
-    copyKeyed("supplier", Seq("s_suppkey", "s_nationkey"))
-    copyKeyed("nation", Seq("n_nationkey", "n_regionkey"))
-    copyKeyed("region", Seq("r_regionkey"))
+    copyKeyed("lineitem", Map("l_orderkey" -> "orderkey",
+      "l_partkey" -> "partkey", "l_suppkey" -> "suppkey"))
+    copyKeyed("orders", Map("o_orderkey" -> "orderkey",
+      "o_custkey" -> "custkey"))
+    copyKeyed("customer", Map("c_custkey" -> "custkey",
+      "c_nationkey" -> "nationkey"))
+    copyKeyed("supplier", Map("s_suppkey" -> "suppkey",
+      "s_nationkey" -> "nationkey"))
+    copyKeyed("nation", Map("n_nationkey" -> "nationkey",
+      "n_regionkey" -> "regionkey"))
+    copyKeyed("region", Map("r_regionkey" -> "regionkey"))
   }
 }

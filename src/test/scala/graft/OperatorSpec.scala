@@ -753,6 +753,70 @@ class OperatorSpec extends SparkSpec {
     assert(!rows.head.getAs[String]("node").startsWith("l:"))
   }
 
+  test("r7Redistributed: dangling mass fed back, matches in-memory reference") {
+    val rows = Rdf.r7Redistributed(spark, sf001).collect()
+    def s(v: Any): String = String.valueOf(v)
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey").collect()
+    val edges = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    li.foreach { r =>
+      val src = s"l:${s(r.get(0))}:${s(r.get(1))}"
+      edges += ((src, s"o:${s(r.get(0))}"))
+      edges += ((src, s"p:${s(r.get(2))}"))
+      edges += ((src, s"s:${s(r.get(3))}"))
+    }
+    Tables.orders(spark, sf001).select($"o_orderkey", $"o_custkey").collect()
+      .foreach(r => edges += ((s"o:${s(r.get(0))}", s"c:${s(r.get(1))}")))
+    Tables.customer(spark, sf001).select($"c_custkey", $"c_nationkey").collect()
+      .foreach(r => edges += ((s"c:${s(r.get(0))}", s"n:${s(r.get(1))}")))
+    Tables.supplier(spark, sf001).select($"s_suppkey", $"s_nationkey").collect()
+      .foreach(r => edges += ((s"s:${s(r.get(0))}", s"n:${s(r.get(1))}")))
+    Tables.nation(spark, sf001).select($"n_nationkey", $"n_regionkey").collect()
+      .foreach(r => edges += ((s"n:${s(r.get(0))}", s"r:${s(r.get(1))}")))
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).toSet
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val dangling = nodes.filterNot(deg.contains)
+    assert(dangling.nonEmpty && dangling.forall(n =>
+      n.startsWith("p:") || n.startsWith("r:"))) // parts + regions only
+    var pr = nodes.map(_ -> 1000000000000L).toMap
+    for (_ <- 1 to Rdf.PageRankIters) {
+      val share = dangling.iterator.map(pr).sum / nodes.size
+      val sums = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      edges.foreach { case (src, dst) => sums(dst) += pr(src) / deg(src) }
+      pr = nodes.map(n => n -> (150000000000L + (sums(n) + share) * 17L / 20L)).toMap
+    }
+    val expect = pr.toSeq.sortBy { case (n, r) => (-r, n) }.take(25)
+    assert(rows.length === 25)
+    rows.zip(expect).foreach { case (row, (n, r)) =>
+      assert(row.getAs[String]("node") === n)
+      assert(row.getAs[Long]("rank") === r)
+    }
+    // redistribution strictly raises the total recirculating mass vs r7's
+    // drop semantics: the top rank must not fall below the declared r7's
+    val dropTop = Rdf.r7(spark, sf001).collect().head.getAs[Long]("rank")
+    assert(rows.head.getAs[Long]("rank") >= dropTop)
+  }
+
+  test("r7 integer headroom: the *17 damping multiplicand keeps >=10x margin at sf0.1") {
+    // r7Step sums contributions as BIGINT (non-ANSI: wraps, not errors) and
+    // the oracle sums in HUGEINT — beyond the documented headroom the two
+    // sides would diverge silently. This pins the headroom claim with a
+    // measured bound: one extra round's per-node contribution sums at the
+    // largest fixture must clear the *17 multiply with >=10x margin.
+    val ed = Rdf.r7Edges(spark, sf1)
+    var pr: Option[org.apache.spark.sql.DataFrame] = None
+    for (i <- 1 to Rdf.PageRankIters)
+      pr = Some(Rdf.r7Step(ed, pr.map((_, Rdf.defaultRank(i - 1)))))
+    val maxSum = ed
+      .join(pr.get.withColumnRenamed("dst", "src"), Seq("src"), "left")
+      .select($"dst", expr(
+        s"COALESCE(pr, CAST(${Rdf.defaultRank(Rdf.PageRankIters)} AS BIGINT))" +
+          " DIV d").as("contrib"))
+      .groupBy("dst").agg(sum($"contrib").as("s"))
+      .agg(max($"s")).head().getLong(0)
+    assert(maxSum < Long.MaxValue / 17 / 10)
+  }
+
   test("x26 vocab coverage: matches brute-force counts; cum_share monotone to 1-ish") {
     val rows = Pipeline.x26(spark, sf001).collect()
     val toks = Tables.documents(spark, sf001).select($"text").collect()
