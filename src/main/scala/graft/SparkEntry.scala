@@ -131,7 +131,10 @@ object SparkEntry {
     "x25_dedup_keep_list" -> (Pipeline.x25 _),
     "x26_vocab_coverage" -> (Pipeline.x26 _),
     "x27_shard_pack" -> (Pipeline.x27 _),
-    "x28_mixture_weights" -> (Pipeline.x28 _)
+    "x28_mixture_weights" -> (Pipeline.x28 _),
+    "x29_chunk_dedup" -> (Pipeline.x29 _),
+    "x30_token_entropy" -> (Pipeline.x30 _),
+    "s9_rate_window" -> (Events.s9 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -168,4 +168,35 @@ object Events {
           .as("prob"))
       .orderBy("prev_type", "next_type")
   }
+
+  /** s9 — per-event trailing-1-hour rate (burst / rate-limit detection —
+    * the per-entity sliding statistic s2's fixed grid can't give you): for
+    * every event, the count and decimal-exact value sum of the SAME user's
+    * events in [ts − 1 h, ts]. This is the RANGE frame (w5's day-index
+    * variant is an aggregated series; here the frame slides per raw event
+    * over the physical time axis).
+    *
+    * Determinism: the frame is defined by the µs time VALUE, not row
+    * position, so tied timestamps share one frame regardless of sort-order
+    * tie-breaks; the frame SUM is over DECIMAL(12,2) (exact, order-free —
+    * D2) and out-cast to double once. Scale shape: ONE keyed window
+    * (shuffle on user_id, sort within partition) — no self-join, no
+    * explode; Spark evaluates the sliding frame incrementally per
+    * partition. A user's history must fit an executor's window buffer —
+    * true of any per-entity window at any corpus size (entity skew, not
+    * corpus size, is the limit; a pathological single-entity firehose
+    * would salt the entity key by coarse time first).
+    */
+  def s9(s: SparkSession, d: String): DataFrame = {
+    val usPerHour = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(-usPerHour, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        count(lit(1)).over(w).as("cnt_1h"),
+        sum(col("value").cast("decimal(12,2)")).over(w)
+          .cast("double").as("val_1h"))
+      .orderBy("event_id")
+  }
 }

@@ -1021,14 +1021,7 @@ object Pipeline {
     * bigger k only shrinks the cells. KMeansSpec exercises the swap.
     */
   def x21With(e: DataFrame, cent: DataFrame): DataFrame = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cent_id"))
-    val assign = e.crossJoin(broadcast(cent))
-      .withColumn("csim", graft.Det.round4nz(
-        vdot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"), col("emb"), col("nrm"))
+    val assign = x21Assign(e, cent)
     val B = 8
     val a = assign.select(col("cell"), col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("nrm").as("a_nrm"))
@@ -1043,6 +1036,21 @@ object Pipeline {
       .filter(col("sim") >= 0.35)
       .select(col("cell"), col("a_id"), col("b_id"), col("sim"))
       .orderBy("cell", "a_id", "b_id")
+  }
+
+  /** x21's cell assignment ((vec_id, cell, emb, nrm) — nearest centroid by
+    * rounded cosine, cent_id tie-break), exposed so the SemDedup scale
+    * harness ([[graft.tools.SemDedupScale]]) can read cell populations
+    * without re-deriving the argmax semantics. */
+  private[graft] def x21Assign(e: DataFrame, cent: DataFrame): DataFrame = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cent_id"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("csim", graft.Det.round4nz(
+        vdot(col("emb"), col("cent_emb")) / (col("nrm") * col("cent_nrm"))))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"), col("emb"), col("nrm"))
   }
 
   /** x21_semdedup_learned — x21's SemDedup with a TRAINED codebook: the
@@ -1280,5 +1288,82 @@ object Pipeline {
         graft.Det.round4nz(col("total_docs").cast("double") /
           (col("n_src") * col("docs")).cast("double")).as("weight"))
       .orderBy("source")
+  }
+
+  /** Tokens per chunk in [[x29]] (mirrored in the oracle). */
+  val ChunkTokens = 10
+
+  /** x29 — sub-document CHUNK dedup (the C4/RefinedWeb line-dedup stage at
+    * fixed granularity): each doc's token stream is cut into consecutive
+    * [[ChunkTokens]]-token chunks; a chunk is KEPT iff this (doc, position)
+    * is the corpus-wide canonical first occurrence of its content
+    * (lexicographic min (doc_id, idx) per md5). Emits per-doc chunk counts
+    * and the kept fraction — the rewrite decision boundary a sub-document
+    * dedup pass executes (x24 is the complementary SCORE of cross-doc span
+    * coverage; this one picks the surviving copy).
+    *
+    * Scale shape (x24/x14's index discipline):
+    *  - chunking is NARROW — `transform(sequence(...))` + `slice` builds
+    *    the chunk list inside the row, one bounded posexplode, no window
+    *    and no shuffle before the first aggregate;
+    *  - the survivor index is ONE keyed agg on md5(chunk) (fixed 32-byte
+    *    shuffle key; `min(struct(doc_id, idx))` — a boilerplate chunk
+    *    costs ONE index row at any frequency, no count-distinct Expand);
+    *  - chunks⟕index is a keyed join on the hash (index side is an
+    *    aggregate output — AQE sizes it); then one doc_id-keyed rollup.
+    */
+  def x29(s: SparkSession, d: String): DataFrame = {
+    val C = ChunkTokens
+    val chunks = Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ch", expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $C), " +
+          s"i -> array_join(slice(toks, i * $C + 1, $C), ' '))"))
+      .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "chunk")))
+      .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"))
+    val keep = chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.idx").as("ki"))
+    chunks.join(keep, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("doc_id") === col("kd")
+          && col("idx") === col("ki"), 1)).as("kept_chunks"))
+      .withColumn("kept_frac", graft.Det.round4nz(
+        col("kept_chunks").cast("double") / col("n_chunks").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** x30 — per-document token-distribution ENTROPY (the gibberish /
+    * degenerate-repetition signal quality filters threshold on, cf. the
+    * Gopher/RefinedWeb rule families; complements x16's trigram repetition
+    * with a distribution-level statistic): Shannon entropy of the doc's
+    * word frequencies via H = ln n − (Σ c·ln c)/n, plus the
+    * ln(distinct)-normalized variant in [0, 1].
+    *
+    * Determinism (D2/D4): each c·ln c term is 9-dp-quantized to
+    * DECIMAL(18,9) BEFORE the sum (x13's discipline — the decimal sum is
+    * exact under any partitioning; ln on an integral-valued double is the
+    * same libm-family call both engines make, and 9-dp quantization
+    * absorbs any last-ulp daylight), the two emitted entropies are one
+    * correctly-rounded double expression over (n, distinct, Σ) each,
+    * 4-dp-rounded. Scale: one narrow explode + two keyed aggs — l5's
+    * shape; nothing corpus-quadratic.
+    */
+  def x30(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val hExpr = "ln(CAST(n AS DOUBLE)) " +
+      "- CAST(sclnc AS DOUBLE) / CAST(n AS DOUBLE)"
+    counts.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("distinct_toks"),
+        sum(expr("CAST(round(c * ln(c), 9) AS DECIMAL(18,9))")).as("sclnc"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("distinct_toks"),
+        graft.Det.round4nz(expr(hExpr)).as("entropy"),
+        when(col("distinct_toks") > 1, graft.Det.round4nz(
+          expr(s"($hExpr) / ln(CAST(distinct_toks AS DOUBLE))")))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+      .orderBy("doc_id")
   }
 }

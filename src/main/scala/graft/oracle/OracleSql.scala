@@ -1192,6 +1192,56 @@ object OracleSql {
         | ROUND(CAST(total_docs AS DOUBLE) / CAST(n_src * docs AS DOUBLE), 4) + 0.0 AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
 
+    // x29: chunk list built with zipped parallel unnests (l8's idiom);
+    // survivor = lexicographic min (doc_id, idx) per chunk hash, expressed
+    // as the two-step min-doc-then-min-idx rule (equal to Spark's
+    // min(struct)); kept = this row holds the survivor position
+    "x29_chunk_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | ch AS (SELECT doc_id,
+        |   unnest(range((len(t) - 1) // 10 + 1)) AS idx,
+        |   unnest(list_transform(range((len(t) - 1) // 10 + 1),
+        |     i -> md5(array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' ')))) AS h
+        |  FROM toks),
+        | k1 AS (SELECT h, MIN(doc_id) AS kd FROM ch GROUP BY h),
+        | keep AS (SELECT c.h, c.doc_id AS kd, MIN(c.idx) AS ki
+        |  FROM ch c JOIN k1 ON c.h = k1.h AND c.doc_id = k1.kd
+        |  GROUP BY c.h, c.doc_id)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        | COUNT(*) FILTER (WHERE c.doc_id = k.kd AND c.idx = k.ki) AS kept_chunks,
+        | ROUND(CAST(COUNT(*) FILTER (WHERE c.doc_id = k.kd AND c.idx = k.ki) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS kept_frac
+        |FROM ch c JOIN keep k USING (h)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
+    // x30: H = ln n - (sum c*ln c)/n with each term 9-dp-quantized to
+    // DECIMAL before the sum (x13's discipline)
+    "x30_token_entropy" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        | c AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2),
+        | agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |   COUNT(*) AS distinct_toks,
+        |   SUM(CAST(ROUND(c * ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS sclnc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n AS n_tokens, distinct_toks,
+        | ROUND(ln(CAST(n AS DOUBLE)) - CAST(sclnc AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0 AS entropy,
+        | CASE WHEN distinct_toks > 1 THEN
+        |   ROUND((ln(CAST(n AS DOUBLE)) - CAST(sclnc AS DOUBLE) / CAST(n AS DOUBLE))
+        |     / ln(CAST(distinct_toks AS DOUBLE)), 4) + 0.0
+        |  ELSE 0.0 END AS norm_entropy
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // s9: RANGE frame over the µs time value — tied timestamps share one
+    // frame, so no ordering tie-break is needed; decimal-exact value sum
+    "s9_rate_window" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        | COUNT(*) OVER w AS cnt_1h,
+        | CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS val_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
     "x22_training_manifest" ->
       """WITH base AS (SELECT doc_id, lang, source, string_split(text, ' ') AS w,
         |  md5(lower(trim(text))) AS text_hash,

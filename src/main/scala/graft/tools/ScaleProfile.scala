@@ -31,16 +31,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProfile {
 
-  val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x10_simhash_pairs",
-    "x20_dup_clusters", "x23_containment", "x21_semdedup",
-    "x21_semdedup_learned", "x24_repeated_spans", "x25_dedup_keep_list",
-    "x27_shard_pack", "r7_pagerank")
+  val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
+    "x10_simhash_pairs", "x20_dup_clusters", "x23_containment",
+    "x21_semdedup", "x21_semdedup_learned", "x24_repeated_spans",
+    "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank")
 
   val Mults = Seq(1, 2, 4, 8)
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val base = if (args.length > 1) args(1) else "/tmp/graft-scale"
+    // optional trailing args: restrict to a query subset (re-profiling one
+    // operator without paying for the whole suite)
+    val qs = if (args.length > 2) args.drop(2).toSeq else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +55,7 @@ object ScaleProfile {
     val best = scala.collection.mutable.Map[(String, Int), Double]()
     (1 to 3).foreach { _ =>
       Mults.foreach { m =>
-        Queries.foreach { q =>
+        qs.foreach { q =>
           val t0 = System.nanoTime()
           graft.BenchAction.exec(graft.SparkEntry.queries(q)(spark, s"$base/m$m"))
           val t = (System.nanoTime() - t0) / 1e9
@@ -63,7 +66,7 @@ object ScaleProfile {
     }
     println("| query | 1x s | 2x s | 4x s | 8x s | 8x/1x |")
     println("|---|---|---|---|---|---|")
-    Queries.foreach { q =>
+    qs.foreach { q =>
       val ts = Mults.map(m => best((q, m)))
       println(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f " +
         f"| ${ts(3)}%.2f | ${ts(3) / ts(0)}%.1f× |")
