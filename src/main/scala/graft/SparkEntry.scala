@@ -34,6 +34,7 @@ object SparkEntry {
     "j10_cross" -> (Joins.j10 _),
     "j11_scalar_subquery" -> (Joins.j11 _),
     "j12_lateral_topn" -> (Joins.j12 _),
+    "j13_salted_skew" -> (Joins.j13 _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
     "a2_distinct_agg" -> (Aggs.a2 _),
@@ -134,6 +135,7 @@ object SparkEntry {
     "x28_mixture_weights" -> (Pipeline.x28 _),
     "x29_chunk_dedup" -> (Pipeline.x29 _),
     "x30_token_entropy" -> (Pipeline.x30 _),
+    "x31_bpe_pairs" -> (Pipeline.x31 _),
     "s9_rate_window" -> (Events.s9 _)
   )
 

@@ -189,4 +189,29 @@ object Joins {
              ORDER BY n_name, t.c_custkey""")
     finally { s.catalog.dropTempView(nv); s.catalog.dropTempView(cv) }
   }
+
+  /** j13 — SALTED skew join, declared: per-nation supplier revenue through
+    * [[Skew.saltedJoin]] (lineitem ⋈ supplier on suppkey, salt derived
+    * from l_orderkey, dim replicated ×8). The salting is a PLAN property —
+    * the result is identical to the plain equi-join, which is exactly what
+    * the oracle states — so this query pins the skew-mitigation machinery
+    * to the correctness gate: a salting bug (NULL salt drop, uneven
+    * replica, residue mismatch) breaks the hash compare instead of hiding
+    * in a capability test. At 100 TB this is the shape for a single
+    * dominant key that AQE's split-partition remedy can't spread (every
+    * split still holds only that key): the hot key's rows land on 8 tasks
+    * keyed by (suppkey, salt) while the dim side pays ×8 rows — dim-sized,
+    * not corpus-sized. Decimal revenue sum (D2), one keyed rollup above
+    * the join.
+    */
+  def j13(s: SparkSession, d: String): DataFrame =
+    Skew.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_suppkey"), col("l_orderkey"),
+          col("l_extendedprice")),
+        Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+        "l_suppkey", "s_suppkey", col("l_orderkey"), 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("line_cnt"),
+        out2(sum(dec2(col("l_extendedprice")))).as("revenue"))
+      .orderBy("s_nationkey")
 }

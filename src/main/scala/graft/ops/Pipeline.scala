@@ -1366,4 +1366,32 @@ object Pipeline {
           .otherwise(lit(0.0)).as("norm_entropy"))
       .orderBy("doc_id")
   }
+
+  /** x31 — BPE merge-pair statistic (the tokenizer-training inner loop):
+    * the top-50 adjacent CHARACTER pairs by corpus frequency, where a
+    * word's pairs are weighted by the word's corpus count — exactly the
+    * count a byte-pair-encoding trainer maximizes to pick its next merge
+    * (Sennrich et al. 2016). Complements x26 (which audits the existing
+    * token head; this drives NEW vocabulary construction).
+    *
+    * Scale shape — the BPE-trainer discipline: pair generation runs over
+    * the VOCABULARY with term frequencies, never the corpus. One corpus
+    * explode feeds one keyed word count; the per-word char-pair explode is
+    * then bounded by Σ|w| over DISTINCT words (vocabulary mass — millions
+    * of short strings at web scale, vs trillions of corpus tokens), and
+    * the pair rollup sums the precomputed word counts. Top-50 plans as
+    * TakeOrderedAndProject (bounded per-partition heap, no global sort).
+    * Counts are exact longs; (cnt desc, pair) ordering is total (D6).
+    */
+  def x31(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+    tf.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(50)
+  }
 }

@@ -1192,6 +1192,24 @@ object OracleSql {
         | ROUND(CAST(total_docs AS DOUBLE) / CAST(n_src * docs AS DOUBLE), 4) + 0.0 AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
 
+    // j13: the salting is a PLAN property — the oracle states the plain
+    // equi-join the salted result must equal
+    "j13_salted_skew" ->
+      """SELECT s_nationkey, COUNT(*) AS line_cnt,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+
+    "x31_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        | tf AS (SELECT w, COUNT(*) AS wc FROM w GROUP BY w),
+        | p AS (SELECT wc,
+        |   unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM tf WHERE length(w) >= 2)
+        |SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt
+        |FROM p GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
+
     // x29: chunk list built with zipped parallel unnests (l8's idiom);
     // survivor = lexicographic min (doc_id, idx) per chunk hash, expressed
     // as the two-step min-doc-then-min-idx rule (equal to Spark's

@@ -283,6 +283,49 @@ object StreamTwins {
       }
   }
 
+  /** s9 twin — streaming per-event trailing-1-hour rate via
+    * flatMapGroupsWithState: per-user state is the buffer of (µs ts, value
+    * cents) inside the trailing hour; each arriving event emits its
+    * [ts − 1 h, ts] count and value sum, then entries older than the
+    * event's frame are evicted — so state is bounded by one hour of a
+    * user's events (the same per-entity bound as the batch RANGE frame's
+    * window buffer), not their history. Values ride as exact integer CENTS
+    * (the fixture's 2-dp doubles), so the emitted sum equals batch s9's
+    * DECIMAL(12,2)-sum-cast-to-double bit-for-bit. Within a micro-batch
+    * rows are ordered by (µs ts, event_id); feeding batches split on event
+    * time reproduces the batch result exactly (asserted in
+    * StreamTwinsSpec) — under out-of-order arrival an event is scored
+    * against the state that has arrived, the usual streaming caveat the
+    * watermark bounds.
+    */
+  case class RateRow(event_id: Long, user_id: Long, ts_us: Long,
+    cnt_1h: Long, val_1h: Double)
+  case class RateState(entries: List[(Long, Long)])
+
+  def rateWindow(events: Dataset[Event]): Dataset[RateRow] = {
+    import events.sparkSession.implicits._
+    val h = 3600L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, RateRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[RateState]) =>
+          var buf = state.getOption.map(_.entries).getOrElse(Nil)
+          val ordered = rows.toSeq.sortBy(e => (e.ts / 1000, e.event_id))
+          val out = Seq.newBuilder[RateRow]
+          ordered.foreach { e =>
+            val ts = e.ts / 1000
+            val cents = math.round(e.value * 100)
+            buf = (buf :+ ((ts, cents))).filter(_._1 >= ts - h)
+            val frame = buf.filter(p => p._1 >= ts - h && p._1 <= ts)
+            out += RateRow(e.event_id, user, ts, frame.size,
+              frame.iterator.map(_._2).sum / 100.0)
+          }
+          state.update(RateState(buf))
+          out.result().iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

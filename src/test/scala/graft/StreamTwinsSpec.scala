@@ -226,6 +226,27 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming rate window equals batch s9 across event-time-split batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.rateWindow(stream.toDS())
+      .writeStream.format("memory").queryName("rate_window")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("rate_window")
+        .orderBy("event_id").collect().toSeq
+      val batch = ops.Events.s9(spark, sf001)
+        .orderBy("event_id").collect().toSeq
+      assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming as-of join equals batch j9 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     // split on event time so cross-batch per-user order is preserved — the
