@@ -136,6 +136,7 @@ object SparkEntry {
     "x29_chunk_dedup" -> (Pipeline.x29 _),
     "x30_token_entropy" -> (Pipeline.x30 _),
     "x31_bpe_pairs" -> (Pipeline.x31 _),
+    "x32_chunk_rewrite" -> (Pipeline.x32 _),
     "s9_rate_window" -> (Events.s9 _)
   )
 

@@ -1313,24 +1313,63 @@ object Pipeline {
     *    aggregate output — AQE sizes it); then one doc_id-keyed rollup.
     */
   def x29(s: SparkSession, d: String): DataFrame = {
-    val C = ChunkTokens
-    val chunks = Tables.documents(s, d)
-      .withColumn("toks", split(col("text"), " "))
-      .withColumn("ch", expr(
-        s"transform(sequence(0, (size(toks) - 1) DIV $C), " +
-          s"i -> array_join(slice(toks, i * $C + 1, $C), ' '))"))
-      .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "chunk")))
-      .select(col("doc_id"), col("idx"), md5(col("chunk")).as("h"))
-    val keep = chunks.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
-      .select(col("h"), col("k.doc_id").as("kd"), col("k.idx").as("ki"))
-    chunks.join(keep, Seq("h"))
+    val chunks = x29Chunks(s, d).select("doc_id", "idx", "h")
+    chunks.join(x29Keep(chunks), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
         count(when(col("doc_id") === col("kd")
           && col("idx") === col("ki"), 1)).as("kept_chunks"))
       .withColumn("kept_frac", graft.Det.round4nz(
         col("kept_chunks").cast("double") / col("n_chunks").cast("double")))
+      .orderBy("doc_id")
+  }
+
+  /** x29/x32's chunk rows ((doc_id, idx, chunk, h) — in-row chunking, one
+    * bounded posexplode; see [[x29]]'s scale notes). */
+  private[graft] def x29Chunks(s: SparkSession, d: String): DataFrame = {
+    val C = ChunkTokens
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ch", expr(
+        s"transform(sequence(0, (size(toks) - 1) DIV $C), " +
+          s"i -> array_join(slice(toks, i * $C + 1, $C), ' '))"))
+      .select(col("doc_id"), posexplode(col("ch")).as(Seq("idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+  }
+
+  /** x29/x32's survivor index ((h, kd, ki) — corpus-wide lexicographic-min
+    * (doc_id, idx) per chunk hash; ONE keyed agg, one row per distinct
+    * chunk at any frequency). */
+  private[graft] def x29Keep(chunks: DataFrame): DataFrame =
+    chunks.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .select(col("h"), col("k.doc_id").as("kd"), col("k.idx").as("ki"))
+
+  /** x32 — the chunk-dedup REWRITE (x29 decides, this one produces the
+    * cleaned corpus): per document, the text with every non-surviving
+    * chunk REMOVED — surviving chunks re-joined in position order. This is
+    * the C4-style materialized output a training pipeline actually ships;
+    * a doc whose every chunk lost to an earlier doc comes out empty (and
+    * carries kept_chunks = 0 for the downstream length filter).
+    *
+    * Scale shape: x29's chunk/index machinery verbatim (shared helpers —
+    * the two declared queries can never drift), plus ONE doc_id-keyed
+    * reassembly agg: `collect_list` of the kept (idx, chunk) structs
+    * sorted in-row by the unique idx (deterministic total order, D6) and
+    * array_join'ed — per-doc state is the doc's own kept chunks, bounded
+    * by document length, never corpus-sized.
+    */
+  def x32(s: SparkSession, d: String): DataFrame = {
+    val chunks = x29Chunks(s, d)
+    chunks.join(x29Keep(chunks.select("doc_id", "idx", "h")), Seq("h"))
+      .withColumn("kept",
+        col("doc_id") === col("kd") && col("idx") === col("ki"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("kept"), 1)).as("kept_chunks"),
+        array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN kept THEN " +
+            "struct(idx, chunk) END)), x -> x.chunk)"), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 

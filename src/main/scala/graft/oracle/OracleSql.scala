@@ -1210,6 +1210,27 @@ object OracleSql {
         |FROM p GROUP BY pair
         |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
+    // x32: x29's chunk CTEs + ordered FILTER'd string_agg reassembly;
+    // a fully-deduped doc reassembles to the empty string (COALESCE)
+    "x32_chunk_rewrite" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        | ch AS (SELECT doc_id,
+        |   unnest(range((len(t) - 1) // 10 + 1)) AS idx,
+        |   unnest(list_transform(range((len(t) - 1) // 10 + 1),
+        |     i -> array_to_string(list_slice(t, i * 10 + 1, i * 10 + 10), ' '))) AS chunk
+        |  FROM toks),
+        | chh AS (SELECT doc_id, idx, chunk, md5(chunk) AS h FROM ch),
+        | k1 AS (SELECT h, MIN(doc_id) AS kd FROM chh GROUP BY h),
+        | keep AS (SELECT c.h, c.doc_id AS kd, MIN(c.idx) AS ki
+        |  FROM chh c JOIN k1 ON c.h = k1.h AND c.doc_id = k1.kd
+        |  GROUP BY c.h, c.doc_id)
+        |SELECT c.doc_id, COUNT(*) AS n_chunks,
+        | COUNT(*) FILTER (WHERE c.doc_id = k.kd AND c.idx = k.ki) AS kept_chunks,
+        | COALESCE(string_agg(c.chunk, ' ' ORDER BY c.idx)
+        |   FILTER (WHERE c.doc_id = k.kd AND c.idx = k.ki), '') AS clean_text
+        |FROM chh c JOIN keep k USING (h)
+        |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin,
+
     // x29: chunk list built with zipped parallel unnests (l8's idiom);
     // survivor = lexicographic min (doc_id, idx) per chunk hash, expressed
     // as the two-step min-doc-then-min-idx rule (equal to Spark's

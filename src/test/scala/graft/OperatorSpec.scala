@@ -714,6 +714,33 @@ class OperatorSpec extends SparkSpec {
     assert(m(4L) === ((0L, 0.0))) // no cross-doc gram
   }
 
+  test("x32 chunk rewrite: duplicate chunks removed, survivor order preserved") {
+    // 12-token docs → chunks of 10 + tail; doc 1 owns both its chunks;
+    // doc 2 repeats doc 1's first 10 tokens exactly (loses that chunk) but
+    // keeps its distinct tail; doc 3 is doc 1 verbatim (fully deduped
+    // except nothing: doc 3's chunks are doc 1's chunks → all lost)
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 10).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base t1 t2", "en", "s", 0L),
+      (2L, s"$base u1 u2", "en", "s", 0L),
+      (3L, s"$base t1 t2", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x32-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.x32(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("kept_chunks"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(m(1L) === ((2L, 2L, s"$base t1 t2")))   // canonical: all kept
+    assert(m(2L) === ((2L, 1L, "u1 u2")))          // shared head removed
+    assert(m(3L) === ((2L, 0L, "")))               // verbatim dup → empty
+    // x29's kept counts agree with the rewrite's
+    val d29 = Pipeline.x29(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("kept_chunks")).toMap
+    assert(d29 === m.view.mapValues(_._2).toMap)
+  }
+
   test("r7 pagerank: matches an in-memory scaled-integer iteration exactly") {
     val rows = Rdf.r7(spark, sf001).collect()
     // ground truth: same edge construction, plain Scala Long math
