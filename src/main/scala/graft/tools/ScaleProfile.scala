@@ -34,7 +34,8 @@ object ScaleProfile {
   val Queries = Seq("x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
     "x10_simhash_pairs", "x20_dup_clusters", "x23_containment",
     "x21_semdedup", "x21_semdedup_learned", "x24_repeated_spans",
-    "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank")
+    "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank",
+    "x29_chunk_dedup", "x32_chunk_rewrite")
 
   val Mults = Seq(1, 2, 4, 8)
 
@@ -75,6 +76,8 @@ object ScaleProfile {
   }
 
   def build(spark: SparkSession, src: String, dst: String, m: Int): Unit = {
+    buildEvents(spark, src, dst, m) // additive (own sentinel): older cached
+    // corpus dirs predate the events table and must not be rebuilt for it
     // _SUCCESS of the LAST-written table — a bare directory check would
     // silently reuse the partial output of an interrupted earlier build
     if (new java.io.File(s"$dst/region.parquet/_SUCCESS").exists()) return
@@ -143,5 +146,27 @@ object ScaleProfile {
     copyKeyed("nation", Map("n_nationkey" -> "nationkey",
       "n_regionkey" -> "regionkey"))
     copyKeyed("region", Map("r_regionkey" -> "regionkey"))
+  }
+
+  /** Events copies for the s-group windows: event_id and user_id offset
+    * per copy (disjoint user populations — each copy's per-user windows
+    * replicate copy 0 exactly, so s9's true output grows linearly in m
+    * and the timing isolates the keyed-window scaling); ts/type/value
+    * ride through unchanged.
+    */
+  private def buildEvents(spark: SparkSession, src: String, dst: String,
+      m: Int): Unit = {
+    if (new java.io.File(s"$dst/events.parquet/_SUCCESS").exists()) return
+    val ev = spark.read.parquet(s"$src/events.parquet")
+    val neId = ev.agg(max("event_id")).head().getLong(0) + 1
+    val nuId = ev.agg(max("user_id")).head().getLong(0) + 1
+    (0 until m).map { i =>
+      ev.select(((col("event_id") + lit(i * neId)).as("event_id")
+        +: ev.columns.filter(_ != "event_id").map {
+          case "user_id" => (col("user_id") + lit(i * nuId)).as("user_id")
+          case c => col(c)
+        }.toSeq): _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
   }
 }
