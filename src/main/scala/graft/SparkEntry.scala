@@ -35,6 +35,7 @@ object SparkEntry {
     "j11_scalar_subquery" -> (Joins.j11 _),
     "j12_lateral_topn" -> (Joins.j12 _),
     "j13_salted_skew" -> (Joins.j13 _),
+    "r8_pagerank_redist" -> (Rdf.r7Redistributed _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
     "a2_distinct_agg" -> (Aggs.a2 _),

@@ -752,6 +752,43 @@ object OracleSql {
         |  FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
         |SELECT node, pr AS "rank" FROM r3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
 
+    // r8: r7's chain + per-round dangling-mass share (scalar subquery d_i)
+    // folded into the damping constant — the standard redistributed form
+    "r8_pagerank_redist" ->
+      """WITH edges AS (
+        |  SELECT 'l:'||l_orderkey||':'||l_linenumber AS src, 'o:'||l_orderkey AS dst FROM lineitem
+        |  UNION ALL SELECT 'l:'||l_orderkey||':'||l_linenumber, 'p:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'l:'||l_orderkey||':'||l_linenumber, 's:'||l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'o:'||o_orderkey, 'c:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'c:'||c_custkey, 'n:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 's:'||s_suppkey, 'n:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'n:'||n_nationkey, 'r:'||n_regionkey FROM nation),
+        | nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        | deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+        | ed AS (SELECT e.src, e.dst, dg.d FROM edges e JOIN deg dg ON e.src = dg.src),
+        | dangl AS (SELECT node FROM nodes EXCEPT SELECT DISTINCT src FROM edges),
+        | nn AS (SELECT COUNT(*) AS n FROM nodes),
+        | r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr FROM nodes),
+        | d0 AS (SELECT CAST(COALESCE(SUM(r0.pr), 0) // MAX(nn.n) AS BIGINT) AS sh
+        |  FROM r0 JOIN dangl USING (node), nn),
+        | s1 AS (SELECT ed.dst, SUM(r0.pr // ed.d) AS sm
+        |  FROM ed JOIN r0 ON ed.src = r0.node GROUP BY ed.dst),
+        | r1 AS (SELECT n.node, CAST(150000000000 + (COALESCE(s1.sm, 0) + (SELECT sh FROM d0)) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s1 ON n.node = s1.dst),
+        | d1 AS (SELECT CAST(COALESCE(SUM(r1.pr), 0) // MAX(nn.n) AS BIGINT) AS sh
+        |  FROM r1 JOIN dangl USING (node), nn),
+        | s2 AS (SELECT ed.dst, SUM(r1.pr // ed.d) AS sm
+        |  FROM ed JOIN r1 ON ed.src = r1.node GROUP BY ed.dst),
+        | r2 AS (SELECT n.node, CAST(150000000000 + (COALESCE(s2.sm, 0) + (SELECT sh FROM d1)) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s2 ON n.node = s2.dst),
+        | d2 AS (SELECT CAST(COALESCE(SUM(r2.pr), 0) // MAX(nn.n) AS BIGINT) AS sh
+        |  FROM r2 JOIN dangl USING (node), nn),
+        | s3 AS (SELECT ed.dst, SUM(r2.pr // ed.d) AS sm
+        |  FROM ed JOIN r2 ON ed.src = r2.node GROUP BY ed.dst),
+        | r3 AS (SELECT n.node, CAST(150000000000 + (COALESCE(s3.sm, 0) + (SELECT sh FROM d2)) * 17 // 20 AS BIGINT) AS pr
+        |  FROM nodes n LEFT JOIN s3 ON n.node = s3.dst)
+        |SELECT node, pr AS "rank" FROM r3 ORDER BY pr DESC, node LIMIT 25""".stripMargin,
+
     "l7_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
         | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
