@@ -95,6 +95,7 @@ object SparkEntry {
     "u2_udaf_wavg" -> (Udfs.u2 _),
     "u3_generator" -> (Udfs.u3 _),
     "u4_posexplode_outer" -> (Udfs.u4 _),
+    "u5_sql_udf" -> (Udfs.u5 _),
     // §2.8 LLM-pipeline ops
     "l1_dedup_exact" -> (Llm.l1 _),
     "l2_neardup_jaccard" -> (Llm.l2 _),

@@ -89,4 +89,31 @@ object Udfs {
       .select(col("p_partkey"), col("pos").cast("bigint").as("pos"),
         col("col").as("word"))
       .orderBy("p_partkey", "pos")
+
+  /** Monotone suffix for per-call temp-view names (u5) — same discipline
+    * as Joins.viewSeq. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** u5 — SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    * expr`): the catalog-function tier of the UDF surface — the function
+    * body is a SQL EXPRESSION, so Catalyst inlines it into the plan and it
+    * stays inside whole-stage codegen (no JVM-closure serialization, no
+    * codegen break — the reason to prefer SQL UDFs over u1's scala `udf`
+    * whenever the logic is expressible). The oracle states the inlined
+    * expression directly, which is exactly what the optimizer sees.
+    * Decimal quantization before the sum (a1's D2 discipline).
+    */
+  def u5(s: SparkSession, d: String): DataFrame = {
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(" +
+      "p DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - disc)")
+    val lv = s"lineitem_u5_${viewSeq.incrementAndGet()}"
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    try s.sql(
+      s"""SELECT l_returnflag,
+         | CAST(CAST(SUM(CAST(graft_disc_price(l_extendedprice, l_discount)
+         |   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
+         | COUNT(*) AS cnt
+         |FROM $lv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    finally s.catalog.dropTempView(lv)
+  }
 }

@@ -1229,6 +1229,14 @@ object OracleSql {
         | ROUND(CAST(total_docs AS DOUBLE) / CAST(n_src * docs AS DOUBLE), 4) + 0.0 AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
 
+    // u5: the SQL-function body inlined — exactly what Catalyst sees
+    "u5_sql_udf" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |   AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc,
+        | COUNT(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     // j13: the salting is a PLAN property — the oracle states the plain
     // equi-join the salted result must equal
     "j13_salted_skew" ->
