@@ -35,7 +35,8 @@ object ScaleProfile {
     "x10_simhash_pairs", "x20_dup_clusters", "x23_containment",
     "x21_semdedup", "x21_semdedup_learned", "x24_repeated_spans",
     "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank",
-    "x29_chunk_dedup", "x32_chunk_rewrite")
+    "x29_chunk_dedup", "x32_chunk_rewrite", "r8_pagerank_redist",
+    "s9_rate_window")
 
   val Mults = Seq(1, 2, 4, 8)
 

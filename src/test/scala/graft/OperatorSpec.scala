@@ -117,7 +117,13 @@ class OperatorSpec extends SparkSpec {
       // localCheckpoint chain per run; x27's cell assignment comes from a
       // SAMPLED range partitioner, so the double-run proves the emitted
       // cum is boundary-invariant run-to-run, not just width-to-width
-      "r7" -> Rdf.r7, "x27" -> Pipeline.x27
+      "r7" -> Rdf.r7, "x27" -> Pipeline.x27,
+      // round-8 iterative/survivor-indexed additions: r8 threads three
+      // driver-side dangling scalars between rounds; x29/x32 hang on the
+      // min(struct) survivor index; x21's assign window tie-break covers
+      // the scaled-k path too
+      "r8" -> Rdf.r7Redistributed, "x29" -> Pipeline.x29,
+      "x32" -> Pipeline.x32
     ).foreach { case (name, q) =>
       val a = q(spark, sf001).collect().toSeq
       val b = q(spark, sf001).collect().toSeq

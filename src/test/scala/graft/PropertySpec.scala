@@ -314,6 +314,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("x30 entropy matches in-memory formula and information-theory bounds on random docs") {
+    val wordGen: Gen[List[String]] =
+      Gen.listOfN(40, Gen.oneOf("a", "b", "c", "dd", "ee", "fff"))
+    val docsWords = cases(wordGen, 8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-x30p-").toString
+    docsWords.map { case (id, ws) => (id, ws.mkString(" "), "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = ops.Pipeline.x30(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy"))).toMap
+    def q9(x: Double) = BigDecimal(x)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docsWords.foreach { case (id, ws) =>
+      val counts = ws.groupBy(identity).map(_._2.length.toLong)
+      val n = ws.length.toLong
+      val sclnc = counts.map(c => q9(c * math.log(c.toDouble))).sum
+      val h = math.log(n.toDouble) - sclnc.toDouble / n
+      assert(got(id)._1 === r4(h), s"doc $id entropy")
+      val d = counts.size
+      val expNorm = if (d > 1) r4(h / math.log(d.toDouble)) else 0.0
+      assert(got(id)._2 === expNorm, s"doc $id norm_entropy")
+      // bounds: 0 <= H <= ln(distinct) (+rounding slack), norm in [0, 1]
+      assert(got(id)._1 >= -1e-4 && got(id)._1 <= math.log(d.toDouble) + 1e-4)
+      assert(got(id)._2 >= 0.0 && got(id)._2 <= 1.0 + 1e-9)
+    }
+  }
+
   test("session-window invariant on fixture: events conserved, gaps ≥ 30 min") {
     val s3 = ops.Events.s3(spark, sf001)
     val total = s3.agg(sum("cnt")).head().getLong(0)
