@@ -139,6 +139,7 @@ object SparkEntry {
     "x30_token_entropy" -> (Pipeline.x30 _),
     "x31_bpe_pairs" -> (Pipeline.x31 _),
     "x32_chunk_rewrite" -> (Pipeline.x32 _),
+    "x33_ppl_bucket" -> (Pipeline.x33 _),
     "s9_rate_window" -> (Events.s9 _)
   )
 

@@ -1406,6 +1406,37 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x33 — perplexity BUCKETING (the CCNet recipe: partition the corpus
+    * into head/middle/tail quality tiers by LM score, then weight or drop
+    * tiers downstream): x13's per-doc bigram-LM score bucketed by FIXED
+    * thresholds (−3.37 / −3.40 — constants of the declared contract,
+    * mirrored in the oracle; a production run re-derives them as corpus
+    * quantiles per language) and rolled up per (bucket, lang) with doc
+    * count, token mass, and the mean score.
+    *
+    * Determinism: the thresholds compare x13's already-4-dp-ROUNDED score
+    * (D4 — both engines bucket the same value); the mean is an exact
+    * DECIMAL(9,4) sum divided once (D2). Scale: x13's chain + one keyed
+    * doc join + one low-cardinality rollup — nothing new that is not
+    * corpus-linear.
+    */
+  def x33(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("wc"))
+    x13(s, d).select(col("doc_id"), col("avg_logp"))
+      .join(docs, Seq("doc_id"))
+      .withColumn("bucket",
+        when(col("avg_logp") >= -3.37, "head")
+          .when(col("avg_logp") >= -3.40, "middle")
+          .otherwise("tail"))
+      .groupBy("bucket", "lang")
+      .agg(count(lit(1)).as("docs"), sum("wc").as("tokens"),
+        graft.Det.round4nz(
+          sum(col("avg_logp").cast("decimal(9,4)")).cast("double")
+            / count(lit(1)).cast("double")).as("mean_logp"))
+      .orderBy("bucket", "lang")
+  }
+
   /** x31 — BPE merge-pair statistic (the tokenizer-training inner loop):
     * the top-50 adjacent CHARACTER pairs by corpus frequency, where a
     * word's pairs are weighted by the word's corpus count — exactly the

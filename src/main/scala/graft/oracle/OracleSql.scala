@@ -35,6 +35,26 @@ object OracleSql {
       |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.pos = b.pos
       |   AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** x13's scoring CTE chain (through a per-doc `scored` frame), shared
+    * verbatim by x33's bucketing rollup so the two oracles cannot drift.
+    */
+  private val x13Ctes =
+    """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      | bi AS (SELECT doc_id,
+      |   unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+      |   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+      |  FROM sp),
+      | c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+      | c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
+      | v AS (SELECT COUNT(DISTINCT w) AS vocab
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+      | sc AS (SELECT doc_id,
+      |   CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + vocab)), 9) AS DECIMAL(18,9)) AS logp
+      |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+      | scored AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS avg_logp
+      |  FROM sc GROUP BY doc_id)""".stripMargin
+
   val sql: Map[String, String] = Map(
 
     "c1_scan_project" ->
@@ -668,22 +688,27 @@ object OracleSql {
         | FROM scored) t
         |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
 
-    "x13_lm_score" ->
-      """WITH sp AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        | bi AS (SELECT doc_id,
-        |   unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
-        |   unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
-        |  FROM sp),
-        | c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
-        | c1 AS (SELECT w1, COUNT(*) AS c1 FROM bi GROUP BY 1),
-        | v AS (SELECT COUNT(DISTINCT w) AS vocab
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
-        | sc AS (SELECT doc_id,
-        |   CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + vocab)), 9) AS DECIMAL(18,9)) AS logp
-        |  FROM bi JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        | ROUND(CAST(SUM(logp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS avg_logp
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "x13_lm_score" -> (x13Ctes +
+      """
+        |SELECT doc_id, n_bigrams, avg_logp FROM scored ORDER BY doc_id""".stripMargin),
+
+    // x33: x13's CTE chain verbatim (shared `x13Ctes` — the paired oracles
+    // cannot drift) + fixed-threshold CCNet-style bucketing and rollup
+    "x33_ppl_bucket" -> (x13Ctes +
+      """,
+        | docs AS (SELECT doc_id, lang,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS wc FROM documents),
+        | bucketed AS (SELECT
+        |   CASE WHEN s.avg_logp >= -3.37 THEN 'head'
+        |        WHEN s.avg_logp >= -3.40 THEN 'middle'
+        |        ELSE 'tail' END AS bucket,
+        |   d.lang, d.wc, s.avg_logp
+        |  FROM scored s JOIN docs d USING (doc_id))
+        |SELECT bucket, lang, COUNT(*) AS docs,
+        | CAST(SUM(wc) AS BIGINT) AS tokens,
+        | ROUND(CAST(SUM(CAST(avg_logp AS DECIMAL(9,4))) AS DOUBLE)
+        |   / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS mean_logp
+        |FROM bucketed GROUP BY bucket, lang ORDER BY bucket, lang""".stripMargin),
 
 
     "a14_pivot" ->
