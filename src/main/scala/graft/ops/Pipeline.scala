@@ -1423,8 +1423,13 @@ object Pipeline {
   def x33(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("bigint").as("wc"))
+    // SHUFFLE_HASH pinned: both sides are corpus-sized and the docs side is
+    // an UNREDUCED corpus projection — the static planner would broadcast
+    // it off the toy-SF size estimate (driver-OOM class at 100 TB; caught
+    // by PlanLintSpec's planner-chosen-broadcast lint, the same hazard the
+    // round-7 scale profile proved real on x1)
     x13(s, d).select(col("doc_id"), col("avg_logp"))
-      .join(docs, Seq("doc_id"))
+      .join(docs.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .withColumn("bucket",
         when(col("avg_logp") >= -3.37, "head")
           .when(col("avg_logp") >= -3.40, "middle")
