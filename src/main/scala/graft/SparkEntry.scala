@@ -140,6 +140,7 @@ object SparkEntry {
     "x31_bpe_pairs" -> (Pipeline.x31 _),
     "x32_chunk_rewrite" -> (Pipeline.x32 _),
     "x33_ppl_bucket" -> (Pipeline.x33 _),
+    "x34_winnow" -> (Pipeline.x34 _),
     "s9_rate_window" -> (Events.s9 _)
   )
 

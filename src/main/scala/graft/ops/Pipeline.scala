@@ -1442,6 +1442,67 @@ object Pipeline {
       .orderBy("bucket", "lang")
   }
 
+  /** x34 — WINNOWING document fingerprints (Schleimer et al. 2003 — the
+    * MOSS algorithm): per sliding window of [[WinnowW]] consecutive 5-gram
+    * hashes, select the minimum hash (RIGHTMOST position on ties — the
+    * robust-winnowing rule); the distinct selected (hash, pos) pairs are
+    * the doc's fingerprints. Guarantees every shared run of ≥ w+k−1 tokens
+    * yields ≥ 1 shared fingerprint while storing only ~2/(w+1) of the
+    * grams — positional plagiarism/copy detection at a fraction of x24's
+    * full-index cost. Emits per-doc gram/fingerprint counts, the count of
+    * fingerprints shared with ANY other doc, and selection density.
+    *
+    * Determinism/mirroring: the windowed argmin is ONE string MIN over
+    * `h || lpad(inverted_pos)` — min hash then max position, identical
+    * lexicographic semantics on both engines (Spark's 0-based positions
+    * and the oracle's 1-based ones produce the SAME inverted string:
+    * 99999999 − p₀ = 100000000 − (p₀+1)). Scale shape: one narrow codegen
+    * NGrams explode, ONE keyed window (doc-partitioned — bounded by doc
+    * length), a distinct on (doc, fh), and x24's min<max shared-index
+    * discipline (one index row per fingerprint at any frequency).
+    */
+  def x34(s: SparkSession, d: String): DataFrame = {
+    val W = WinnowW
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    val base = docs.select(col("doc_id"),
+        greatest(size(col("w")) - 4, lit(0)).cast("bigint").as("n_grams"))
+      .withColumn("n_windows", greatest(col("n_grams") - (W - 1), lit(0L)))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.NGrams.ngrams(col("w"), 5)))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col").cast("binary")).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(W - 1), 0)
+    val fps = occ.withColumn("sel",
+        min(concat(col("h"),
+          lpad((lit(99999999) - col("pos")).cast("string"), 8, "0"))).over(win))
+      .filter(col("pos") >= W - 1) // full windows only (standard winnowing)
+      .select(col("doc_id"), substring(col("sel"), 1, 32).as("fh"))
+      .distinct()
+    val shared = fps.groupBy("fh")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      .filter(col("mn") < col("mx")).select(col("fh"))
+    val perDoc = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val sharedDoc = fps.join(shared, Seq("fh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("shared_fp"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .join(sharedDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+        coalesce(col("shared_fp"), lit(0L)).as("shared_fp"),
+        when(col("n_windows") > 0, graft.Det.round4nz(
+          coalesce(col("n_fp"), lit(0L)).cast("double")
+            / col("n_windows").cast("double")))
+          .otherwise(lit(0.0)).as("density"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing window width (hash count per selection window) in [[x34]],
+    * mirrored in the oracle. */
+  val WinnowW = 4
+
   /** x31 — BPE merge-pair statistic (the tokenizer-training inner loop):
     * the top-50 adjacent CHARACTER pairs by corpus frequency, where a
     * word's pairs are weighted by the word's corpus count — exactly the

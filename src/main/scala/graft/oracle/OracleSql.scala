@@ -995,6 +995,41 @@ object OracleSql {
     // cross-doc iff MIN(doc_id) < MAX(doc_id); coverage = distinct token
     // positions under any cross-doc gram / token count (1-based positions
     // here vs 0-based in Spark — only the COUNT of positions is compared)
+    // x34: windowed argmin = ONE string MIN over h || lpad(inverted pos);
+    // DuckDB's 1-based pos gives the same inverted string as Spark's
+    // 0-based (100000000 - (p+1) = 99999999 - p)
+    "x34_winnow" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | base AS (SELECT doc_id,
+        |   CAST(GREATEST(len(w) - 4, 0) AS BIGINT) AS n_grams,
+        |   CAST(GREATEST(len(w) - 7, 0) AS BIGINT) AS n_windows FROM d),
+        | st AS (SELECT doc_id, unnest(range(1, len(w) - 3)) AS pos, w
+        |  FROM d WHERE len(w) >= 5),
+        | occ AS (SELECT doc_id, pos,
+        |   md5(w[pos] || ' ' || w[pos+1] || ' ' || w[pos+2] || ' '
+        |       || w[pos+3] || ' ' || w[pos+4]) AS h
+        |  FROM st),
+        | selw AS (SELECT doc_id, pos,
+        |   MIN(h || lpad(CAST(100000000 - pos AS VARCHAR), 8, '0'))
+        |     OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel
+        |  FROM occ),
+        | fps AS (SELECT DISTINCT doc_id, substr(sel, 1, 32) AS fh
+        |  FROM selw WHERE pos >= 4),
+        | shared AS (SELECT fh FROM fps GROUP BY fh
+        |  HAVING MIN(doc_id) < MAX(doc_id)),
+        | perdoc AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY doc_id),
+        | shdoc AS (SELECT doc_id, COUNT(*) AS shared_fp
+        |  FROM fps JOIN shared USING (fh) GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_grams, COALESCE(p.n_fp, 0) AS n_fp,
+        | COALESCE(sd.shared_fp, 0) AS shared_fp,
+        | CASE WHEN b.n_windows > 0 THEN
+        |   ROUND(CAST(COALESCE(p.n_fp, 0) AS DOUBLE) / b.n_windows, 4) + 0.0
+        |  ELSE 0.0 END AS density
+        |FROM base b LEFT JOIN perdoc p USING (doc_id)
+        | LEFT JOIN shdoc sd USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
+
     "x24_repeated_spans" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         | base AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM d),

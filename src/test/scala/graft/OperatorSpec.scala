@@ -747,6 +747,32 @@ class OperatorSpec extends SparkSpec {
     assert(d29 === m.view.mapValues(_._2).toMap)
   }
 
+  test("x34 winnow: shared long run guarantees a shared fingerprint; disjoint docs share none") {
+    import org.apache.spark.sql.functions.col
+    // winnowing guarantee: any shared token run of length >= w + k - 1
+    // (= 4 + 5 - 1 = 8) must produce >= 1 shared fingerprint
+    val run = (1 to 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $run a4 a5", "en", "s", 0L),   // shares `run` with 2
+      (2L, s"b1 b2 $run b3 b4 b5", "en", "s", 0L),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10", "en", "s", 0L), // disjoint
+      (4L, "d1 d2 d3", "en", "s", 0L)                 // < 5 tokens: no grams
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft-x34-").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val m = Pipeline.x34(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_fp"),
+          r.getAs[Long]("shared_fp"))).toMap
+    assert(m(1L)._3 >= 1L, "docs 1/2 share an 8-token run -> shared fp")
+    assert(m(2L)._3 >= 1L)
+    assert(m(3L)._3 === 0L, "disjoint doc must share nothing")
+    assert(m(4L) === ((0L, 0L, 0L)), "sub-k doc: no grams, no fingerprints")
+    // density bound: winnowing selects at most one fp per window
+    m.values.foreach { case (_, nFp, _) => assert(nFp >= 0L) }
+    assert(m(3L)._2 >= 1L && m(3L)._2 <= 6L) // 10 tokens -> 6 grams, 3 windows
+  }
+
   test("r7 pagerank: matches an in-memory scaled-integer iteration exactly") {
     val rows = Rdf.r7(spark, sf001).collect()
     // ground truth: same edge construction, plain Scala Long math
