@@ -54,6 +54,7 @@ object SparkEntry {
     "a15_histogram" -> (Aggs.a15 _),
     "a16_listagg" -> (Aggs.a16 _),
     "a17_regression" -> (Aggs.a17 _),
+    "a18_calendar_fill" -> (Aggs.a18 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),

@@ -233,4 +233,38 @@ object Aggs {
           / ((nd * sxx - sx * sx) * (nd * syy - sy * sy))).as("r2"))
       .orderBy("c_mktsegment")
   }
+
+  /** Monotone suffix for per-call temp-view names (a18). */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** a18 — RECURSIVE-CTE calendar gap fill (Spark 4 `WITH RECURSIVE`,
+    * executed as a distributed union loop): generate every day of 1995-Q1
+    * by recursion, left-join daily order counts, flag the gap days — the
+    * canonical dense-time-axis repair every reporting stack needs before
+    * a window over days is trustworthy (w5's moving averages note exactly
+    * this calendar-gap caveat). Recursion depth 90 sits far under Spark's
+    * recursion level limit; each step is one narrow row, the join is one
+    * keyed left join against the day-aggregated orders — the recursion
+    * NEVER touches corpus-sized data.
+    */
+  def a18(s: SparkSession, d: String): DataFrame = {
+    val ov = s"orders_a18_${viewSeq.incrementAndGet()}"
+    Tables.orders(s, d).createOrReplaceTempView(ov)
+    try s.sql(
+      s"""WITH RECURSIVE days(day) AS (
+         |  SELECT DATE '1995-01-01'
+         |  UNION ALL SELECT date_add(day, 1) FROM days
+         |  WHERE day < DATE '1995-03-31'),
+         | daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    COUNT(*) AS n_orders
+         |   FROM $ov
+         |   WHERE CAST(o_orderdate AS DATE)
+         |     BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+         |   GROUP BY 1)
+         |SELECT days.day, COALESCE(daily.n_orders, 0) AS n_orders,
+         | CAST(daily.day IS NULL AS INT) AS is_gap
+         |FROM days LEFT JOIN daily ON days.day = daily.day
+         |ORDER BY days.day""".stripMargin)
+    finally s.catalog.dropTempView(ov)
+  }
 }

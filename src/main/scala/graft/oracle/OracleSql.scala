@@ -1289,6 +1289,22 @@ object OracleSql {
         | ROUND(CAST(total_docs AS DOUBLE) / CAST(n_src * docs AS DOUBLE), 4) + 0.0 AS weight
         |FROM per, tot ORDER BY source""".stripMargin,
 
+    // a18: same WITH RECURSIVE chain; DuckDB date+int ≡ Spark date_add
+    "a18_calendar_fill" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT day + 1 FROM days WHERE day < DATE '1995-03-31'),
+        | daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    COUNT(*) AS n_orders
+        |   FROM orders
+        |   WHERE CAST(o_orderdate AS DATE)
+        |     BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |   GROUP BY 1)
+        |SELECT days.day, COALESCE(daily.n_orders, 0) AS n_orders,
+        | CAST(daily.day IS NULL AS INT) AS is_gap
+        |FROM days LEFT JOIN daily ON days.day = daily.day
+        |ORDER BY days.day""".stripMargin,
+
     // u5: the SQL-function body inlined — exactly what Catalyst sees
     "u5_sql_udf" ->
       """SELECT l_returnflag,

@@ -190,4 +190,30 @@ class CapabilitySpec extends SparkSpec {
       .agg(sum(Det.dec2($"l_extendedprice"))).head().getDecimal(0)
     assert(typedSum === BigDecimal(untypedSum))
   }
+
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats") {
+    // whole-table MIN/MAX/COUNT never needs to scan rows — parquet footers
+    // carry the stats. At 100 TB this is the difference between a metadata
+    // read and a full-table scan for the "how big is this table" class of
+    // query. Requires the DSv2 parquet reader (v1 list cleared) plus the
+    // pushdown flag; both restored after.
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      val df = spark.read.parquet(s"$sf001/lineitem.parquet")
+        .agg(min($"l_orderkey"), max($"l_orderkey"), count(lit(1)))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"aggregation not pushed to the scan:\n$plan")
+      val pushed = df.head()
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val exact = spark.read.parquet(s"$sf001/lineitem.parquet")
+        .agg(min($"l_orderkey"), max($"l_orderkey"), count(lit(1))).head()
+      assert(pushed === exact)
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
 }
