@@ -36,7 +36,7 @@ object ScaleProfile {
     "x21_semdedup", "x21_semdedup_learned", "x24_repeated_spans",
     "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank",
     "x29_chunk_dedup", "x32_chunk_rewrite", "r8_pagerank_redist",
-    "s9_rate_window")
+    "s9_rate_window", "x33_ppl_bucket", "x34_winnow")
 
   val Mults = Seq(1, 2, 4, 8)
 
