@@ -35,6 +35,8 @@ object SparkEntry {
     "j11_scalar_subquery" -> (Joins.j11 _),
     "j12_lateral_topn" -> (Joins.j12 _),
     "j13_salted_skew" -> (Joins.j13 _),
+    "j14_fuzzy_join" -> (Joins.j14 _),
+    "j15_interval_overlap" -> (Joins.j15 _),
     "r8_pagerank_redist" -> (Rdf.r7Redistributed _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
@@ -55,6 +57,7 @@ object SparkEntry {
     "a16_listagg" -> (Aggs.a16 _),
     "a17_regression" -> (Aggs.a17 _),
     "a18_calendar_fill" -> (Aggs.a18 _),
+    "a19_interp_fill" -> (Aggs.a19 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),
@@ -63,6 +66,7 @@ object SparkEntry {
     "w5_moving_avg" -> (Windows.w5 _),
     "w6_rank_stats" -> (Windows.w6 _),
     "w7_value_picks" -> (Windows.w7 _),
+    "w8_ntile_spend" -> (Windows.w8 _),
     "r1_triples_view" -> (Rdf.r1 _),
     "r2_star_bgp" -> (Rdf.r2 _),
     "r3_path_join" -> (Rdf.r3 _),
@@ -70,6 +74,8 @@ object SparkEntry {
     "r5_property_path" -> (Rdf.r5 _),
     "r6_degree_dist" -> (Rdf.r6 _),
     "r7_pagerank" -> (Rdf.r7 _),
+    "r9_triangles" -> (Rdf.r9 _),
+    "r10_bipartite_proj" -> (Rdf.r10 _),
     // §2.5 scalar functions
     "f1_string" -> (Scalars.f1 _),
     "f2_date" -> (Scalars.f2 _),

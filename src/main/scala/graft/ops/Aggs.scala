@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Det._
@@ -266,5 +267,60 @@ object Aggs {
          |FROM days LEFT JOIN daily ON days.day = daily.day
          |ORDER BY days.day""".stripMargin)
     finally s.catalog.dropTempView(ov)
+  }
+
+  /** a19 — gap-fill with LINEAR INTERPOLATION (a18 fills gaps with zeros;
+    * this is the time-series variant a metrics/feature pipeline actually
+    * wants): the Q1-1995 daily revenue series on a dense calendar grid, gap
+    * days filled by linearly interpolating between the nearest observed
+    * neighbors (leading/trailing gaps carry the nearest single neighbor).
+    * The prev/next carries are `last(…, ignoreNulls) OVER rows-preceding` /
+    * `first(…, ignoreNulls) OVER rows-following` — the j9 as-of idiom run in
+    * both directions, no self-join.
+    *
+    * Determinism (D2/D4): daily totals aggregate as DECIMAL(18,2) (exact),
+    * convert to double once, and the interpolation is ONE fixed-shape IEEE
+    * expression — `pv + (nv - pv) * (i - pi) / (ni - pi)` with identical
+    * association in the oracle text — rounded 4-dp with -0 normalized.
+    * Scale: the corpus-sized work is the day groupBy; the windows run over
+    * the bounded calendar grid (w5's note — 90 rows here, ~2.5k for 7
+    * years), so the partition-less frames are safe at any corpus size. A
+    * per-key variant adds the key to `partitionBy` and stays unbounded.
+    */
+  def a19(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .filter(col("o_orderdate").cast("date")
+        .between(lit("1995-01-01").cast("date"), lit("1995-03-31").cast("date")))
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec2(col("o_totalprice"))).as("v"))
+    val grid = s.range(1).select(explode(expr(
+      "sequence(DATE'1995-01-01', DATE'1995-03-31')")).as("day"))
+    val wPrev = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val vd = col("v").cast("double")
+    val e = grid.join(daily, Seq("day"), "left_outer")
+      .withColumn("i", datediff(col("day"), lit("1995-01-01").cast("date"))
+        .cast("double"))
+      .withColumn("pv", last(when(col("v").isNotNull, vd), ignoreNulls = true)
+        .over(wPrev))
+      .withColumn("pi", last(when(col("v").isNotNull, col("i")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(when(col("v").isNotNull, vd), ignoreNulls = true)
+        .over(wNext))
+      .withColumn("ni", first(when(col("v").isNotNull, col("i")),
+        ignoreNulls = true).over(wNext))
+    e.select(col("day"),
+      when(col("v").isNotNull, 1).otherwise(0).cast("int").as("obs"),
+      round4nz(
+        when(col("v").isNotNull, vd)
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            col("pv") + (col("nv") - col("pv")) * (col("i") - col("pi"))
+              / (col("ni") - col("pi")))
+          .when(col("pv").isNotNull, col("pv"))
+          .when(col("nv").isNotNull, col("nv"))
+          .otherwise(lit(0.0))).as("filled"))
+      .orderBy("day")
   }
 }

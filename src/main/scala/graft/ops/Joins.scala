@@ -214,4 +214,83 @@ object Joins {
       .agg(count(lit(1)).as("line_cnt"),
         out2(sum(dec2(col("l_extendedprice")))).as("revenue"))
       .orderBy("s_nationkey")
+
+  /** j14 — blocked EDIT-DISTANCE fuzzy join: per part, the count of same-
+    * brand parts whose name is within Levenshtein distance 3 (and not
+    * byte-equal), plus the closest distance — the fuzzy-matching primitive
+    * of entity resolution / catalog dedup. Never all-pairs: candidates are
+    * generated by an equi-join on the BLOCKING KEY (`p_brand` — the
+    * Ed-Join-family discipline; swap in a q-gram or length-band key for
+    * unblocked corpora), and the O(len²) DP only runs after the cheap
+    * length prefilter `|len(a)−len(b)| ≤ 3` (an edit distance is at least
+    * the length gap, so the filter is exact, not a heuristic). Levenshtein
+    * is Spark's codegen'd builtin — unit-cost DP, same contract as the
+    * oracle's `levenshtein`. Output is per-part (corpus-linear), not the
+    * pair set.
+    */
+  def j14(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val b = p.select(col("p_brand").as("b2"), col("p_partkey").as("k2"),
+      col("p_name").as("n2"))
+    p.join(b, col("p_brand") === col("b2") && col("p_partkey") =!= col("k2"))
+      .filter(abs(length(col("p_name")) - length(col("n2"))) <= 3
+        && col("p_name") =!= col("n2"))
+      .withColumn("dist", levenshtein(col("p_name"), col("n2")))
+      .filter(col("dist") <= 3)
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("n_sim"), min(col("dist")).cast("int").as("min_dist"))
+      .orderBy("p_partkey")
+  }
+
+  /** [[j15]]'s time-axis bin width in days. Must exceed the max interval
+    * length (50: `l_quantity` ≤ 50 days) so every interval spans ≤ 2 bins
+    * and the explode is O(1) per row; mirrored nowhere — the oracle states
+    * the plain overlap predicate and binning is pure plan strategy.
+    */
+  val IntervalBinDays = 64
+
+  /** j15 — INTERVAL OVERLAP self-join: per part, how many pairs of
+    * shipments from DIFFERENT suppliers had overlapping transit windows
+    * `[shipdate, shipdate + quantity days]` — the range-join shape (event
+    * intervals, validity windows, genomic ranges) Spark has no native
+    * operator for. The naive formulation is a theta-join (quadratic per
+    * part); instead the time axis is cut into [[IntervalBinDays]]-day bins,
+    * each interval is exploded to the ≤2 bins it touches, candidates meet
+    * in an EQUI-join on (part, bin), and a pair is counted only in the bin
+    * owning `max(start₁, start₂)` — both intervals of an overlapping pair
+    * provably cover that point, so the ownership test deduplicates without
+    * a DISTINCT (x1's first-collision discipline). Shuffle volume is
+    * corpus-linear at any scale; per-(part, bin) group size is bounded by
+    * shipment density per part-bin, not corpus size. Oracle states the
+    * plain overlap theta-join.
+    */
+  def j15(s: SparkSession, d: String): DataFrame = {
+    val B = IntervalBinDays
+    val li = Tables.lineitem(s, d).select(
+      col("l_partkey").as("pk"), col("l_orderkey").as("ok"),
+      col("l_linenumber").as("ln"), col("l_suppkey").as("sk"),
+      datediff(col("l_shipdate").cast("date"), lit("1992-01-01").cast("date"))
+        .as("st"),
+      col("l_quantity").cast("int").as("qdays"))
+      .withColumn("en", col("st") + col("qdays")).drop("qdays")
+    val binned = li.withColumn("bin", explode(expr(s"sequence(st DIV $B, en DIV $B)")))
+    val right = binned.select(col("pk").as("pk2"), col("bin").as("bin2"),
+      col("ok").as("ok2"), col("ln").as("ln2"), col("sk").as("sk2"),
+      col("st").as("st2"), col("en").as("en2"))
+    // SHUFFLE_HASH pinned: the build side is a corpus-sized EXPLODED frame
+    // with no shuffle beneath it — the static planner sizes it through the
+    // Generate (an underestimate) and would happily broadcast it, the exact
+    // driver-OOM hazard the round-7 ScaleProfile caught on x1 (the
+    // documents/embeddings twin of this shape is impossible by lint;
+    // lineitem is fact-table-sized, same discipline applies).
+    binned.join(right.hint("SHUFFLE_HASH"),
+        col("pk") === col("pk2") && col("bin") === col("bin2")
+        && struct(col("ok"), col("ln")) < struct(col("ok2"), col("ln2")))
+      .filter(col("st") <= col("en2") && col("st2") <= col("en")
+        && col("sk") =!= col("sk2")
+        && col("bin") === expr(s"greatest(st, st2) DIV $B"))
+      .groupBy(col("pk"))
+      .agg(count(lit(1)).as("overlap_pairs"))
+      .orderBy("pk")
+  }
 }

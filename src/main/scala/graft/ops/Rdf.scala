@@ -381,4 +381,94 @@ object Rdf {
     contribs.groupBy("dst").agg(
       expr("CAST(150000000000 + SUM(contrib) * 17 DIV 20 AS BIGINT)").as("pr"))
   }
+
+  /** r9 — TRIANGLE COUNTING on the part co-purchase graph (parts are
+    * adjacent iff some order contains both): per part, its degree and the
+    * number of triangles it belongs to — the clustering-coefficient
+    * numerator of graph analytics. The naive wedge join explodes on hub
+    * nodes (Σ deg² — quadratic in the max degree), so edges are ORIENTED
+    * low→high along the total order (degree, partkey) before the join: each
+    * triangle survives as exactly one path a→b, a→c, b→c with a<b<c in
+    * orientation order, and every out-degree is bounded by O(√m)
+    * (a node of degree k only keeps out-edges to nodes of degree ≥ k, and
+    * there can be at most 2m/k of those) — the MR triangle-counting bound
+    * of Suri & Vassilvitskii's "Counting triangles and the curse of the
+    * last reducer" (WWW'11). Two keyed joins: wedges on the shared source,
+    * closure on the (b, c) edge key. The triangle SET is invariant to
+    * which total order orients the edges, so the oracle states the plain
+    * partkey-ordered 3-way self-join; the degree ordering is pure plan
+    * strategy. Edge/orientation frames are each read by multiple
+    * consumers → materialized once ([[graft.Ckpt]]).
+    */
+  def r9(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val edges = graft.Ckpt(
+      li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
+          col("ok") === col("ok2") && col("p") < col("p2"))
+        .select(col("p").as("u"), col("p2").as("v")).distinct())
+    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val asc = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Ckpt(edges
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(when(asc, col("u")).otherwise(col("v")).as("s"),
+        when(asc, struct(col("dv").as("dg"), col("v").as("n")))
+          .otherwise(struct(col("du").as("dg"), col("u").as("n"))).as("tk")))
+    val wedges = oriented
+      .join(oriented.select(col("s").as("s2"), col("tk").as("tk2")),
+        col("s") === col("s2") && col("tk") < col("tk2"))
+      .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
+    val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
+    wedges.join(closing, Seq("b", "c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
+      .groupBy("p_partkey").agg(count(lit(1)).as("tri_cnt"))
+      .join(deg.select(col("n").as("p_partkey"), col("dg").as("deg")),
+        Seq("p_partkey"))
+      .select(col("p_partkey"), col("deg"), col("tri_cnt"))
+      .orderBy("p_partkey")
+  }
+
+  /** r10 — BIPARTITE PROJECTION similarity: for every supplier, its top-5
+    * most-similar suppliers by the Jaccard of their part catalogs
+    * (co-access similarity — the collaborative-filtering "similar items"
+    * primitive). Never all-pairs: candidates come from the INVERTED INDEX
+    * keyed by part (l2/x3's discipline) — only supplier pairs sharing ≥ 1
+    * part meet, in a posting list bounded by the suppliers-per-part
+    * fan-out (≤ ~30 at the fixtures; a df cap on pathological hub parts
+    * bolts on exactly as x3's). One keyed wedge agg gives intersection
+    * sizes; the per-supplier top-5 runs through the custom
+    * [[graft.plans.TopKPerGroup]] physical operator (per-partition bounded
+    * heaps — no neighbor list is ever fully sorted), with the rank column
+    * re-derived by a trivial window over the ≤5 survivors (w2's
+    * discipline). A top-k contract — unlike an absolute similarity cut —
+    * keeps the output corpus-linear and non-degenerate at every density
+    * (a fixed Jaccard threshold that fires at sf0.01 returns zero rows at
+    * sf0.1, where catalogs are relatively sparser). Ties on the 4-dp
+    * ROUNDED similarity break by neighbor key on both engines (D4/D6).
+    */
+  def r10(s: SparkSession, d: String): DataFrame = {
+    val sp = Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct()
+    val sz = sp.groupBy("sk").agg(count(lit(1)).as("n"))
+    val pairs = sp
+      .join(sp.select(col("p").as("p2"), col("sk").as("s2")),
+        col("p") === col("p2") && col("sk") =!= col("s2"))
+      .groupBy(col("sk"), col("s2")).agg(count(lit(1)).as("common"))
+    val scored = pairs
+      .join(sz.select(col("sk"), col("n").as("n1")), Seq("sk"))
+      .join(sz.select(col("sk").as("s2"), col("n").as("n2")), Seq("s2"))
+      .withColumn("jac", graft.Det.round4nz(col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double")))
+      .select(col("sk").as("s1"), col("s2"), col("common"), col("jac"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("s1")
+      .orderBy(col("jac").desc, col("s2"))
+    graft.plans.TopKPerGroup(scored, Seq("s1"),
+        Seq(("jac", true), ("s2", false)), 5)
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .select(col("s1"), col("rnk"), col("s2"), col("common"), col("jac"))
+      .orderBy("s1", "rnk")
+  }
 }

@@ -137,4 +137,62 @@ object Windows {
         out2(sum(col("day_total_dec")).over(wRange)).as("mov7_range"))
       .orderBy("day")
   }
+
+  /** w8 — GLOBAL spend deciles: every customer ranked by lifetime spend over
+    * the whole corpus, ntile(10)-bucketed, then per-decile count / total /
+    * min / max. The semantics are one `ntile(10) OVER (ORDER BY spend DESC,
+    * custkey)` — but a partition-less window serializes the corpus through
+    * ONE task (the textbook global-window anti-pattern w5's note warns
+    * about), so the decile is computed with x27's range-partitioned
+    * prefix-sum idiom instead: `repartitionByRange(spend DESC, custkey)`
+    * lays the rows out globally sorted across cells, the global position is
+    * (within-cell row_number) + (P-row cell-offset window — bounded by the
+    * partition count, never the corpus), and the standard-SQL ntile bucket
+    * arithmetic (first n MOD 10 buckets hold one extra row) is applied to
+    * the position. The cell assignment comes from a SAMPLED range
+    * partitioner read by two consumers (the window and the offsets
+    * subtree), so it is materialized ONCE ([[graft.Ckpt]], x27's
+    * discipline). Oracle states the plain ntile(10) window; OperatorSpec
+    * additionally asserts the distributed arithmetic equals Spark's own
+    * `ntile` on the same input.
+    */
+  def w8(s: SparkSession, d: String): DataFrame = {
+    val cells = graft.Ckpt(w8Cells(s, d))
+    val wIn = Window.partitionBy("cell")
+      .orderBy(col("spend").desc, col("o_custkey"))
+    val wOff = Window.orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = cells.groupBy("cell").agg(count(lit(1)).as("btot"))
+      .withColumn("off", sum(col("btot")).over(wOff) - col("btot"))
+      .withColumn("n_total", sum(col("btot")).over(
+        Window.orderBy(col("cell")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("cell"), col("off"), col("n_total"))
+    cells.withColumn("rn_in", row_number().over(wIn))
+      .join(offsets, Seq("cell"))
+      .withColumn("pos", col("off") + col("rn_in"))
+      // standard-SQL ntile(10): q = n DIV 10, r = n MOD 10; the first r
+      // buckets hold q+1 rows (CASE keeps the q=0 division unreachable
+      // when n < 10: every pos then lands in the first branch).
+      .withColumn("decile", expr(
+        """CASE WHEN pos <= (n_total % 10) * (n_total DIV 10 + 1)
+          | THEN (pos - 1) DIV (n_total DIV 10 + 1) + 1
+          | ELSE (n_total % 10) +
+          |  (pos - 1 - (n_total % 10) * (n_total DIV 10 + 1))
+          |   DIV (n_total DIV 10) + 1 END""".stripMargin).cast("int"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_cust"),
+        out2(sum(col("spend"))).as("tot_spend"),
+        out2(min(col("spend"))).as("min_spend"),
+        out2(max(col("spend"))).as("max_spend"))
+      .orderBy("decile")
+  }
+
+  /** w8's range-partitioned, cell-tagged spend frame — UN-checkpointed so
+    * PlanLintSpec can lint the plan the checkpoint hides. */
+  private[graft] def w8Cells(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("spend"))
+      .repartitionByRange(col("spend").desc, col("o_custkey"))
+      .withColumn("cell", spark_partition_id())
 }

@@ -1530,6 +1530,120 @@ object OracleSql {
         | SELECT q_id, c_id, sim,
         |  CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
         | FROM scored) t
-        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    // w8: the distributed prefix-sum decile must equal the plain global
+    // ntile window — the range partitioning is a PLAN property
+    "w8_ntile_spend" ->
+      """WITH spend AS (SELECT o_custkey,
+        |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY o_custkey),
+        | t AS (SELECT o_custkey, spend,
+        |   ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        |  FROM spend)
+        |SELECT CAST(decile AS INT) AS decile, COUNT(*) AS n_cust,
+        | CAST(CAST(SUM(spend) AS DECIMAL(18,2)) AS DOUBLE) AS tot_spend,
+        | CAST(MIN(spend) AS DOUBLE) AS min_spend,
+        | CAST(MAX(spend) AS DOUBLE) AS max_spend
+        |FROM t GROUP BY decile ORDER BY decile""".stripMargin,
+
+    // a19: interpolation expression shape mirrored EXACTLY (one IEEE
+    // association: ((nv-pv)*(i-pi))/(ni-pi) added to pv, then ROUND+0.0)
+    "a19_interp_fill" ->
+      """WITH RECURSIVE days(day) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT day + 1 FROM days WHERE day < DATE '1995-03-31'),
+        | daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |   FROM orders
+        |   WHERE CAST(o_orderdate AS DATE)
+        |     BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+        |   GROUP BY 1),
+        | g AS (SELECT days.day, CAST(daily.v AS DOUBLE) AS vd,
+        |    CAST(days.day - DATE '1995-01-01' AS DOUBLE) AS i
+        |   FROM days LEFT JOIN daily ON days.day = daily.day),
+        | e AS (SELECT day, vd, i,
+        |   last_value(vd IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |   last_value(CASE WHEN vd IS NOT NULL THEN i END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+        |   first_value(vd IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |   first_value(CASE WHEN vd IS NOT NULL THEN i END IGNORE NULLS) OVER
+        |    (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        |  FROM g)
+        |SELECT day, CAST(vd IS NOT NULL AS INT) AS obs,
+        | ROUND(CASE WHEN vd IS NOT NULL THEN vd
+        |   WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |    THEN pv + (nv - pv) * (i - pi) / (ni - pi)
+        |   WHEN pv IS NOT NULL THEN pv
+        |   WHEN nv IS NOT NULL THEN nv
+        |   ELSE 0.0 END, 4) + 0.0 AS filled
+        |FROM e ORDER BY day""".stripMargin,
+
+    "j14_fuzzy_join" ->
+      """WITH pairs AS (SELECT a.p_partkey, a.p_brand, a.p_name,
+        |   levenshtein(a.p_name, b.p_name) AS dist
+        |  FROM part a JOIN part b
+        |   ON a.p_brand = b.p_brand AND a.p_partkey <> b.p_partkey
+        |  WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        |   AND a.p_name <> b.p_name
+        |   AND levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT p_partkey, p_brand, p_name, COUNT(*) AS n_sim,
+        | CAST(MIN(dist) AS INT) AS min_dist
+        |FROM pairs GROUP BY p_partkey, p_brand, p_name
+        |ORDER BY p_partkey""".stripMargin,
+
+    // j15: the binning is a PLAN property — the oracle states the plain
+    // interval-overlap theta-join the binned equi-join must equal
+    "j15_interval_overlap" ->
+      """WITH li AS (SELECT l_partkey AS pk, l_orderkey AS ok,
+        |   l_linenumber AS ln, l_suppkey AS sk,
+        |   CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS INT) AS st,
+        |   CAST(CAST(l_shipdate AS DATE) - DATE '1992-01-01' AS INT)
+        |     + CAST(l_quantity AS INT) AS en
+        |  FROM lineitem)
+        |SELECT a.pk, COUNT(*) AS overlap_pairs
+        |FROM li a JOIN li b ON a.pk = b.pk
+        | AND (a.ok < b.ok OR (a.ok = b.ok AND a.ln < b.ln))
+        |WHERE a.st <= b.en AND b.st <= a.en AND a.sk <> b.sk
+        |GROUP BY a.pk ORDER BY a.pk""".stripMargin,
+
+    // r9: the degree orientation is a PLAN property — the triangle set is
+    // invariant to the orienting total order, so the oracle uses plain
+    // partkey order
+    "r9_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        | nodes AS (SELECT unnest([a, b, c]) AS p FROM tri),
+        | deg AS (SELECT p, COUNT(*) AS dg FROM
+        |   (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e) b GROUP BY p)
+        |SELECT n.p AS p_partkey, deg.dg AS deg, COUNT(*) AS tri_cnt
+        |FROM nodes n JOIN deg ON n.p = deg.p
+        |GROUP BY n.p, deg.dg ORDER BY p_partkey""".stripMargin,
+
+    // r10: TopKPerGroup is a PLAN property — the oracle states the plain
+    // window+filter top-5 the bounded-heap operator must equal
+    "r10_bipartite_proj" ->
+      """WITH sp AS (SELECT DISTINCT l_suppkey AS sk, l_partkey AS p
+        |   FROM lineitem),
+        | sz AS (SELECT sk, COUNT(*) AS n FROM sp GROUP BY sk),
+        | pr AS (SELECT a.sk AS s1, b.sk AS s2, COUNT(*) AS common
+        |   FROM sp a JOIN sp b ON a.p = b.p AND a.sk <> b.sk GROUP BY 1, 2),
+        | sc AS (SELECT s1, s2, common,
+        |   ROUND(CAST(common AS DOUBLE)
+        |     / CAST(x.n + y.n - common AS DOUBLE), 4) + 0.0 AS jac
+        |  FROM pr JOIN sz x ON pr.s1 = x.sk JOIN sz y ON pr.s2 = y.sk)
+        |SELECT s1, rnk, s2, common, jac FROM (
+        | SELECT s1, s2, common, jac,
+        |  CAST(row_number() OVER
+        |   (PARTITION BY s1 ORDER BY jac DESC, s2) AS INTEGER) AS rnk
+        | FROM sc) t
+        |WHERE rnk <= 5 ORDER BY s1, rnk""".stripMargin
   )
 }

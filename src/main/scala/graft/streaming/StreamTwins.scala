@@ -326,6 +326,34 @@ object StreamTwins {
       }
   }
 
+  /** STREAM-STREAM interval join (j15's streaming runtime twin, and the one
+    * join runtime batch cannot express incrementally): purchases matched to
+    * signups of the SAME user within 1 hour after the signup. Both sides
+    * carry watermarks and the join condition bounds event time in BOTH
+    * directions, which is exactly what lets Spark derive per-side state
+    * eviction: a buffered signup is dropped once the watermark passes
+    * `signup_time + 1h` (no future purchase can match it), a buffered
+    * purchase once the watermark passes its own time — so join state is
+    * bounded by the time window × arrival skew, never corpus-sized, and the
+    * inner join supports append mode. Batch-calling the same function gives
+    * the deterministic twin (`StreamTwinsSpec` asserts equivalence).
+    */
+  def signupPurchaseJoin(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = withEventTime(signups.filter(col("event_type") === "signup"))
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("tstamp").as("s_time"))
+      .withWatermark("s_time", "1 hour")
+    val p = withEventTime(purchases.filter(col("event_type") === "purchase"))
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("tstamp").as("p_time"))
+      .withWatermark("p_time", "2 hours")
+    s.join(p, col("s_user") === col("p_user")
+        && col("p_time") >= col("s_time")
+        && col("p_time") <= col("s_time") + expr("INTERVAL 1 HOUR"))
+      .select(col("s_user").as("user_id"), col("signup_id"),
+        col("purchase_id"), col("s_time"), col("p_time"))
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

@@ -944,4 +944,100 @@ class OperatorSpec extends SparkSpec {
     }
     assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 0.01)
   }
+
+  test("w8 distributed decile arithmetic equals Spark's own ntile(10)") {
+    // the range-partitioned prefix-sum decile must agree with the builtin
+    // single-partition window on the same spend frame, bucket for bucket
+    val spend = Tables.orders(spark, sf001).groupBy($"o_custkey")
+      .agg(sum(Det.dec2($"o_totalprice")).as("spend"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"spend".desc, $"o_custkey")
+    val builtin = spend.withColumn("decile", ntile(10).over(w))
+      .groupBy("decile").agg(count(lit(1)).as("n_cust"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ours = Windows.w8(spark, sf001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(ours === builtin)
+  }
+
+  test("a19 interpolation: observed rows exact, gap rows between neighbors") {
+    val rows = Aggs.a19(spark, sf001).collect()
+    assert(rows.length === 90)
+    val vals = rows.map(r => (r.getInt(1), r.getDouble(2)))
+    assert(vals.exists(_._1 == 0) && vals.exists(_._1 == 1))
+    // every interior gap value lies within [min, max] of the nearest
+    // observed neighbors (linear interp never overshoots)
+    val obsIdx = vals.zipWithIndex.collect { case ((1, _), i) => i }
+    vals.zipWithIndex.foreach { case ((obs, v), i) =>
+      if (obs == 0 && i > obsIdx.head && i < obsIdx.last) {
+        val p = obsIdx.filter(_ < i).max
+        val n = obsIdx.filter(_ > i).min
+        val lo = math.min(vals(p)._2, vals(n)._2) - 1e-9
+        val hi = math.max(vals(p)._2, vals(n)._2) + 1e-9
+        assert(v >= lo && v <= hi, s"gap day $i value $v outside [$lo,$hi]")
+      }
+    }
+  }
+
+  test("j14 fuzzy join: distances in [1,3] and pair symmetry") {
+    val rows = Joins.j14(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Int]("min_dist")
+      assert(d >= 1 && d <= 3)
+    }
+    // each unordered pair contributes to BOTH endpoints' n_sim → even sum
+    assert(rows.map(_.getAs[Long]("n_sim")).sum % 2 === 0)
+  }
+
+  test("j15 binned interval join equals the naive theta-join") {
+    val li = Tables.lineitem(spark, sf001).select(
+      $"l_partkey".as("pk"), $"l_orderkey".as("ok"),
+      $"l_linenumber".as("ln"), $"l_suppkey".as("sk"),
+      datediff($"l_shipdate".cast("date"), lit("1992-01-01").cast("date"))
+        .as("st"), $"l_quantity".cast("int").as("q"))
+      .withColumn("en", $"st" + $"q")
+    val b = li.select($"pk".as("pk2"), $"ok".as("ok2"), $"ln".as("ln2"),
+      $"sk".as("sk2"), $"st".as("st2"), $"en".as("en2"))
+    val naive = li.join(b, $"pk" === $"pk2"
+        && struct($"ok", $"ln") < struct($"ok2", $"ln2"))
+      .filter($"st" <= $"en2" && $"st2" <= $"en" && $"sk" =!= $"sk2")
+      .groupBy($"pk").agg(count(lit(1)).as("overlap_pairs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = Joins.j15(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned === naive)
+  }
+
+  test("r9 degree-oriented triangles equal the naive orientation; 3|sum") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val e = li.join(li.select($"ok".as("ok2"), $"p".as("p2")),
+        $"ok" === $"ok2" && $"p" < $"p2")
+      .select($"p".as("u"), $"p2".as("v")).distinct()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.v") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("tri_cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ours = Rdf.r9(spark, sf001).collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("tri_cnt")).toMap
+    assert(ours === naive)
+    assert(ours.values.sum % 3 === 0)
+  }
+
+  test("r10 top-5 similar suppliers: group sizes and contiguous ranks") {
+    val rows = Rdf.r10(spark, sf001).collect()
+    val byS1 = rows.groupBy(_.getAs[Long]("s1"))
+    assert(byS1.nonEmpty)
+    byS1.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to rs.length))
+      // jac non-increasing with rank
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("jac"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
 }

@@ -77,6 +77,22 @@ class PlanLintSpec extends SparkSpec {
     val reduced = probe.join(broadcast(toks.limit(10)), col("p_id") === col("doc_id"))
     assert(!hasCorpusBroadcastBuild(reduced.queryExecution.sparkPlan),
       "a limit-reduced build side must not flag")
+    // fact-table rule: an EXPLODED lineitem build flags (estimate through
+    // Generate is a systematic underestimate — the j15 first cut), a plain
+    // lineitem scan build does not (file-size estimates self-correct at
+    // scale, so the static choice is only ever made when it is true)
+    val liBins = Tables.lineitem(spark, sf001)
+      .select(col("l_orderkey"), explode(expr(
+        "sequence(l_linenumber, l_linenumber + 1)")).as("bin"))
+    val liProbe = Tables.lineitem(spark, sf001).select(col("l_orderkey").as("ok2"))
+    val badLi = liProbe.join(broadcast(liBins), col("ok2") === col("l_orderkey"))
+    assert(hasCorpusBroadcastBuild(badLi.queryExecution.sparkPlan),
+      "a broadcast build of an exploded fact-table frame must flag")
+    val plainLi = liProbe.join(
+      broadcast(Tables.lineitem(spark, sf001).select(col("l_orderkey"))),
+      col("ok2") === col("l_orderkey"))
+    assert(!hasCorpusBroadcastBuild(plainLi.queryExecution.sparkPlan),
+      "a plain fact-table scan build (accurate estimate) must not flag")
   }
 
   /** Detector for the planner-broadcast lint: does any broadcast join in
@@ -92,13 +108,23 @@ class PlanLintSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
 
-    def corpusScan(p: SparkPlan): Boolean = p.collectLeaves().exists {
-      case f: FileSourceScanExec => f.relation.location.rootPaths.exists { rp =>
-        val s = rp.toString
-        s.contains("documents.parquet") || s.contains("embeddings.parquet")
+    def scans(p: SparkPlan, tables: String*): Boolean =
+      p.collectLeaves().exists {
+        case f: FileSourceScanExec => f.relation.location.rootPaths.exists {
+          rp => tables.exists(t => rp.toString.contains(t)) }
+        case _ => false
       }
-      case _ => false
-    }
+    // documents/embeddings: ANY narrow unreduced build flags (the training
+    // corpus is the canonical 100 TB frame). Fact tables (lineitem/events/
+    // orders): flag only when the narrow build contains a Generate — a
+    // plain file scan's size estimate is the real file size and
+    // self-corrects at scale (a 100 TB scan estimate exceeds any broadcast
+    // threshold), but an estimate THROUGH an explode is a systematic
+    // underestimate (the j15 first cut planned exactly this broadcast).
+    def corpusScan(p: SparkPlan): Boolean =
+      scans(p, "documents.parquet", "embeddings.parquet") ||
+      (scans(p, "lineitem.parquet", "events.parquet", "orders.parquet") &&
+        p.find(_.isInstanceOf[GenerateExec]).isDefined)
     def reducing(p: SparkPlan): Boolean = p.find {
       case a: HashAggregateExec if a.groupingExpressions.isEmpty => true
       case a: SortAggregateExec if a.groupingExpressions.isEmpty => true
@@ -181,7 +207,9 @@ class PlanLintSpec extends SparkSpec {
       case lr: LogicalRelation => lr.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.exists { rp =>
           val s = rp.toString
-          s.contains("documents.parquet") || s.contains("embeddings.parquet")
+          s.contains("documents.parquet") || s.contains("embeddings.parquet") ||
+        s.contains("lineitem.parquet") || s.contains("events.parquet") ||
+        s.contains("orders.parquet")
         }
         case _ => false
       }

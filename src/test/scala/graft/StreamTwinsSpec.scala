@@ -393,4 +393,35 @@ class StreamTwinsSpec extends SparkSpec {
       assert(out.count() === batchKeys)
     } finally query.stop()
   }
+
+  test("stream-stream interval join: streamed result equals the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.sortBy(_.ts)
+    val sStream = MemoryStream[Event]
+    val pStream = MemoryStream[Event]
+    val query = StreamTwins.signupPurchaseJoin(sStream.toDF(), pStream.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // feed both sides in event-time order, three chunks each, then a
+      // far-future row on each side to advance both watermarks past every
+      // fixture event so all joinable pairs are emitted
+      val chunks = events.grouped(events.length / 3 + 1).toSeq
+      chunks.foreach { chunk =>
+        sStream.addData(chunk)
+        pStream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val far = events.last.ts + 10L * 3600 * 1000000000L
+      sStream.addData(Seq(Event(-1L, far, 0L, "noop", 0.0)))
+      pStream.addData(Seq(Event(-2L, far, 0L, "noop", 0.0)))
+      query.processAllAvailable()
+      val streamed = spark.table("ssjoin")
+        .orderBy("signup_id", "purchase_id").collect().toSeq
+      val batch = StreamTwins.signupPurchaseJoin(events.toDF(), events.toDF())
+        .orderBy("signup_id", "purchase_id").collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
 }
