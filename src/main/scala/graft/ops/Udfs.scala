@@ -116,4 +116,57 @@ object Udfs {
          |FROM $lv GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     finally s.catalog.dropTempView(lv)
   }
+
+  case class VecIn(emb: Seq[Double])
+
+  /** Element-wise embedding centroid: the ARRAY-VALUED Aggregator (u2 is the
+    * scalar-valued one) every vector pipeline needs (k-means means step,
+    * cluster profiling, embedding pooling). Buffer = per-dimension sums as
+    * 10⁻⁶-scaled longs (each element quantized to DECIMAL(18,6) on entry —
+    * exact integer partials merge associatively under any partitioning,
+    * u2/a1's D2 discipline; |e| ≤ 1 and corpus ≤ 2⁴³ rows keeps the scaled
+    * sum far from Long range). `finish` converts the exact scaled sum to
+    * double (one correctly-rounded division), divides by count, rounds
+    * half-up 4-dp and normalizes -0 — the same op sequence as the oracle's
+    * `ROUND(CAST(SUM(v) AS DOUBLE) / cnt, 4) + 0.0`.
+    */
+  object Centroid extends Aggregator[VecIn, (Array[Long], Long), Seq[Double]] {
+    def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
+    def reduce(b: (Array[Long], Long), a: VecIn): (Array[Long], Long) = {
+      val sums = if (b._1.nonEmpty) b._1 else new Array[Long](a.emb.length)
+      var i = 0
+      while (i < a.emb.length) {
+        sums(i) += (BigDecimal(a.emb(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP) * BigDecimal(1000000L))
+          .toLongExact
+        i += 1
+      }
+      (sums, b._2 + 1)
+    }
+    def merge(b1: (Array[Long], Long), b2: (Array[Long], Long)): (Array[Long], Long) =
+      if (b1._1.isEmpty) b2
+      else if (b2._1.isEmpty) b1
+      else (b1._1.zip(b2._1).map { case (x, y) => x + y }, b1._2 + b2._2)
+    def finish(b: (Array[Long], Long)): Seq[Double] =
+      b._1.toSeq.map { s =>
+        BigDecimal(s.toDouble / 1e6 / b._2)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      }
+    def bufferEncoder: Encoder[(Array[Long], Long)] =
+      Encoders.product[(Array[Long], Long)]
+    def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** u6 — array-valued UDAF: per-label embedding centroid (count + 64-dim
+    * 4-dp mean vector). ONE keyed shuffle; the buffer is 520 bytes per
+    * group regardless of group size. */
+  def u6(s: SparkSession, d: String): DataFrame = {
+    val cent = udaf(Centroid, Encoders.product[VecIn])
+    Tables.embeddings(s, d)
+      .select(col("label"), col("embedding").cast("array<double>").as("emb"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), cent(col("emb")).as("centroid"))
+      .orderBy("label")
+  }
 }

@@ -1644,6 +1644,56 @@ object OracleSql {
         |  CAST(row_number() OVER
         |   (PARTITION BY s1 ORDER BY jac DESC, s2) AS INTEGER) AS rnk
         | FROM sc) t
-        |WHERE rnk <= 5 ORDER BY s1, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY s1, rnk""".stripMargin,
+
+    // r11: the frontier/anti-join BSP execution is a PLAN property — the
+    // oracle states the closure as a recursive CTE with UNION dedup;
+    // MIN(dist) = first-discovery round by BFS construction
+    "r11_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) b
+        |   ON a.ok = b.ok AND a.p < b.p),
+        | und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        | bfs(n, dist) AS (
+        |  SELECT DISTINCT u AS n, 0 AS dist FROM und WHERE u % 100 = 0
+        |  UNION
+        |  SELECT und.v AS n, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN und ON bfs.n = und.u WHERE bfs.dist < 4)
+        |SELECT n, CAST(MIN(dist) AS INT) AS dist FROM bfs
+        |GROUP BY n ORDER BY n""".stripMargin,
+
+    // u6: buffer scaling is an IMPLEMENTATION property — the oracle states
+    // per-dimension DECIMAL(18,6) sums, the exact value the scaled-long
+    // buffer carries
+    "u6_centroid_agg" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb
+        |   FROM embeddings),
+        | x AS (SELECT label, j, CAST(emb[j + 1] AS DECIMAL(18,6)) AS v
+        |   FROM e, (SELECT unnest(range(64)) AS j) js),
+        | m AS (SELECT label, j,
+        |   ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) + 0.0 AS c
+        |  FROM x GROUP BY label, j),
+        | cent AS (SELECT label, list(c ORDER BY j) AS centroid
+        |  FROM m GROUP BY label),
+        | n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
+        |SELECT n.label, n.n_vecs, cent.centroid
+        |FROM n JOIN cent ON n.label = cent.label ORDER BY n.label""".stripMargin,
+
+    "s10_cum_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),
+        | dau AS (SELECT day_idx, COUNT(*) AS dau FROM ud GROUP BY day_idx),
+        | fd AS (SELECT user_id, MIN(day_idx) AS day_idx
+        |  FROM ud GROUP BY user_id),
+        | news AS (SELECT day_idx, COUNT(*) AS new_users
+        |  FROM fd GROUP BY day_idx)
+        |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau,
+        | COALESCE(new_users, 0) AS new_users,
+        | dau - COALESCE(new_users, 0) AS returning,
+        | SUM(COALESCE(new_users, 0)) OVER (ORDER BY day_idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        |FROM dau LEFT JOIN news USING (day_idx) ORDER BY day""".stripMargin
   )
 }

@@ -1028,6 +1028,62 @@ class OperatorSpec extends SparkSpec {
     assert(ours.values.sum % 3 === 0)
   }
 
+  test("r11 BFS distances match a driver-side reference BFS") {
+    val edges = Rdf.coEdges(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    val nodes = adj.keySet
+    val seeds = nodes.filter(_ % 100 == 0)
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    for (k <- 1 to 4) {
+      val next = frontier.flatMap(adj(_)).diff(dist.keySet)
+      dist = dist ++ next.map(_ -> k)
+      frontier = next
+    }
+    val ours = Rdf.r11(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ours === dist)
+  }
+
+  test("u6 centroid equals brute-force quantized mean per label") {
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"label", $"embedding".cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val expect = vecs.groupBy(_._1).map { case (lbl, vs) =>
+      val n = vs.length
+      val dims = vs.head._2.length
+      val cent = (0 until dims).map { j =>
+        val sum = vs.map(v => BigDecimal(v._2(j))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+        BigDecimal(sum.toDouble / n)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      }
+      lbl -> (n.toLong, cent)
+    }
+    val rows = Udfs.u6(spark, sf001).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (n, cent) = expect(r.getInt(0))
+      assert(r.getLong(1) === n)
+      assert(r.getSeq[Double](2) === cent)
+    }
+  }
+
+  test("s10: dau = new + returning; cum ends at total distinct users") {
+    val rows = Events.s10(spark, sf001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dau") ===
+        r.getAs[Long]("new_users") + r.getAs[Long]("returning"))
+    }
+    val cums = rows.map(_.getAs[Long]("cum_users"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    val total = Tables.events(spark, sf001)
+      .select("user_id").distinct().count()
+    assert(cums.last === total)
+  }
+
   test("r10 top-5 similar suppliers: group sizes and contiguous ranks") {
     val rows = Rdf.r10(spark, sf001).collect()
     val byS1 = rows.groupBy(_.getAs[Long]("s1"))
