@@ -150,6 +150,8 @@ object SparkEntry {
     "x32_chunk_rewrite" -> (Pipeline.x32 _),
     "x33_ppl_bucket" -> (Pipeline.x33 _),
     "x34_winnow" -> (Pipeline.x34 _),
+    "x35_hll_users" -> (Sketches.x35 _),
+    "x36_cms_words" -> (Sketches.x36 _),
     "s9_rate_window" -> (Events.s9 _),
     "s10_cum_users" -> (Events.s10 _)
   )

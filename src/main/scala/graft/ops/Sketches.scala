@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Probabilistic-sketch capabilities (SURVEY §2.8 "intentionally not
   * oracle-declared" tier — approximate by construction, so they are
@@ -56,5 +57,106 @@ object Sketches {
       eps: Double, confidence: Double, minCount: Long): Seq[(Long, Long)] = {
     val cms = df.stat.countMinSketch(key, eps, confidence, seed = 42)
     candidates.map(k => k -> cms.estimateCount(k)).filter(_._2 >= minCount)
+  }
+
+  // ---------------------------------------------------------------------
+  // Oracle-DECLARED sketches (x35/x36). Unlike the capability tier above,
+  // these two are deterministic end-to-end and hash-compared against the
+  // DuckDB oracle: the sketch state is md5-derived integers aggregated by
+  // ORDER-FREE operations (max / exact-dyadic sums / integer sums), so the
+  // "approximation" is a pure function of the input SET — the same
+  // registers on any engine, any partitioning. They grade the sketch
+  // ALGEBRA as distributed keyed aggs, which is exactly what runs at
+  // 100 TB (the capability tier's driver-side sketch objects do not).
+  // ---------------------------------------------------------------------
+
+  /** [[x35]]'s register count (m = 2⁸ → bucket = first md5 hex byte). */
+  val HllM = 256
+
+  /** x35 — HYPERLOGLOG distinct-user estimate per event type, oracle-exact:
+    * the approximate-COUNT(DISTINCT) scale path beside a2's exact form
+    * (whose count-distinct Expand doubles the shuffle). Register j keeps
+    * max ρ over users hashing to bucket j (ρ = leading-zero rank of the
+    * next 32 md5 bits) — ONE (type, bucket)-keyed max agg, ≤ m rows per
+    * group at ANY corpus size, mergeable partials (max is order-free).
+    * Estimate = α·m²/S with S = Σ 2^(−M_j): every 2^(−ρ) is an exactly-
+    * representable dyadic and the 256-term sum stays ≤ 41 mantissa bits,
+    * so S is EXACT — no float order-dependence anywhere; the final
+    * α-formula and the small-range linear-counting branch
+    * (E ≤ 2.5m ∧ zeros > 0 → m·ln(m/zeros)) are single fixed-shape double
+    * expressions mirrored textually (x30's ln-parity precedent). The
+    * exact n_users joins in for the relative-error column the declared
+    * output exposes.
+    */
+  def x35(s: SparkSession, d: String): DataFrame = {
+    val m = HllM
+    val regs = Tables.events(s, d)
+      .select(col("event_type"), md5(col("user_id").cast("string")).as("h"))
+      .select(col("event_type"),
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").as("bucket"),
+        expr("CAST(conv(substring(h, 3, 8), 16, 10) AS BIGINT)").as("v"))
+      .groupBy("event_type", "bucket")
+      .agg(max(expr(
+        "CASE WHEN v = 0 THEN 33" +
+          " ELSE 33 - length(conv(CAST(v AS STRING), 10, 2)) END"))
+        .as("rho"))
+    val perType = regs.groupBy("event_type")
+      .agg(count(lit(1)).as("present"),
+        sum(expr("power(CAST(2 AS DOUBLE), -CAST(rho AS DOUBLE))")).as("ssum"))
+      .withColumn("zeros", lit(m) - col("present"))
+      .withColumn("e_raw", expr(
+        s"0.7213 / (1.0 + 1.079 / $m.0) * $m.0 * $m.0" +
+          s" / (CAST(zeros AS DOUBLE) + ssum)"))
+      .withColumn("hll_est", graft.Det.round4fast(expr(
+        s"CASE WHEN e_raw <= 2.5 * $m.0 AND zeros > 0" +
+          s" THEN $m.0 * ln($m.0 / CAST(zeros AS DOUBLE)) ELSE e_raw END")))
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.join(perType, Seq("event_type"))
+      .select(col("event_type"), col("n_users"), col("hll_est"),
+        graft.Det.round4nz((col("hll_est") - col("n_users"))
+          / col("n_users").cast("double")).as("rel_err"))
+      .orderBy("event_type")
+  }
+
+  /** [[x36]]'s width (columns per hash row; d = 4 rows). */
+  val CmsW = 1024
+
+  /** x36 — COUNT-MIN heavy hitters, oracle-exact: frequency estimates for
+    * the top-20 corpus words through a 4×1024 CMS — est = min over 4 rows
+    * of the hashed cell's sum, guaranteed ≥ true count, within ε·N w.h.p.
+    * The sketch is built FROM the vocabulary-level count agg (l7's shape:
+    * corpus explode → word-keyed sum), so the register table is ≤ 4·1024
+    * rows of exact integer sums — order-free, mergeable, fixed-size at any
+    * corpus scale — and the declared output exposes estimate vs truth
+    * (overcount = collided mass). Top-20 selection is
+    * TakeOrderedAndProject with the (cnt DESC, word) tie-break (D6).
+    */
+  def x36(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val cells = wc
+      .select(col("cnt"), explode(array((0 until 4).map { i =>
+        struct(lit(i).as("r"),
+          expr(s"CAST(conv(substring(md5(concat('$i:', w)), 1, 8), 16, 10)" +
+            s" AS BIGINT) % $CmsW").as("c"))
+      }: _*)).as("rc"))
+      .groupBy(col("rc.r").as("r"), col("rc.c").as("c"))
+      .agg(sum(col("cnt")).as("reg"))
+    val top = wc.orderBy(col("cnt").desc, col("w")).limit(20)
+    val probes = top.select(col("w"), col("cnt"),
+      explode(array((0 until 4).map { i =>
+        struct(lit(i).as("r"),
+          expr(s"CAST(conv(substring(md5(concat('$i:', w)), 1, 8), 16, 10)" +
+            s" AS BIGINT) % $CmsW").as("c"))
+      }: _*)).as("rc"))
+      .select(col("w"), col("cnt"), col("rc.r").as("pr"), col("rc.c").as("pc"))
+    probes.join(cells, col("pr") === col("r") && col("pc") === col("c"))
+      .groupBy(col("w"), col("cnt"))
+      .agg(min(col("reg")).as("cms_est"))
+      .select(col("w"), col("cnt").as("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("w"))
   }
 }

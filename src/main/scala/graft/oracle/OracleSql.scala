@@ -1681,6 +1681,59 @@ object OracleSql {
         |SELECT n.label, n.n_vecs, cent.centroid
         |FROM n JOIN cent ON n.label = cent.label ORDER BY n.label""".stripMargin,
 
+    // x35: registers are order-free maxes over md5-derived ints and the
+    // dyadic register sum is exact in double, so the "approximation" is a
+    // pure function of the input set — hash-comparable like any exact query
+    "x35_hll_users" ->
+      """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        |   FROM events),
+        | hv AS (SELECT event_type,
+        |   CAST(CAST(('0x' || substr(h, 1, 2)) AS UBIGINT) AS INT) AS bucket,
+        |   CAST(CAST(('0x' || substr(h, 3, 8)) AS UBIGINT) AS BIGINT) AS v
+        |  FROM h),
+        | regs AS (SELECT event_type, bucket,
+        |   MAX(CASE WHEN v = 0 THEN 33 ELSE 33 - length(bin(v)) END) AS rho
+        |  FROM hv GROUP BY event_type, bucket),
+        | pt AS (SELECT event_type, COUNT(*) AS present,
+        |   SUM(power(CAST(2 AS DOUBLE), -CAST(rho AS DOUBLE))) AS ssum
+        |  FROM regs GROUP BY event_type),
+        | est AS (SELECT event_type, 256 - present AS zeros,
+        |   0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+        |     / (CAST(256 - present AS DOUBLE) + ssum) AS e_raw
+        |  FROM pt),
+        | fin AS (SELECT event_type,
+        |   ROUND(CASE WHEN e_raw <= 2.5 * 256.0 AND zeros > 0
+        |     THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+        |     ELSE e_raw END, 4) AS hll_est
+        |  FROM est),
+        | ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY event_type)
+        |SELECT ex.event_type, ex.n_users, fin.hll_est,
+        | ROUND((fin.hll_est - ex.n_users)
+        |   / CAST(ex.n_users AS DOUBLE), 4) + 0.0 AS rel_err
+        |FROM ex JOIN fin ON ex.event_type = fin.event_type
+        |ORDER BY ex.event_type""".stripMargin,
+
+    // x36: every register is an exact integer sum — order-free, mergeable
+    "x36_cms_words" ->
+      """WITH wx AS (SELECT unnest(string_split(text, ' ')) AS w
+        |   FROM documents),
+        | wc AS (SELECT w, COUNT(*) AS cnt FROM wx GROUP BY w),
+        | cells AS (SELECT i AS r,
+        |   CAST(('0x' || substr(md5(i || ':' || w), 1, 8)) AS UBIGINT)
+        |     % 1024 AS c,
+        |   SUM(cnt) AS reg
+        |  FROM wc, (SELECT unnest(range(4)) AS i) iis GROUP BY 1, 2),
+        | top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 20),
+        | probes AS (SELECT w, cnt, i AS pr,
+        |   CAST(('0x' || substr(md5(i || ':' || w), 1, 8)) AS UBIGINT)
+        |     % 1024 AS pc
+        |  FROM top, (SELECT unnest(range(4)) AS i) iis)
+        |SELECT p.w, p.cnt AS true_cnt, MIN(cells.reg) AS cms_est,
+        | MIN(cells.reg) - p.cnt AS overcount
+        |FROM probes p JOIN cells ON p.pr = cells.r AND p.pc = cells.c
+        |GROUP BY p.w, p.cnt ORDER BY true_cnt DESC, p.w""".stripMargin,
+
     "s10_cum_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |   epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),

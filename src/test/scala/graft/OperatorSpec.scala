@@ -1084,6 +1084,37 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("x35 HLL: estimate within the m=256 error envelope, registers bounded") {
+    val rows = Sketches.x35(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_users").toDouble
+      val est = r.getAs[Double]("hll_est")
+      // 1.04/sqrt(256) = 6.5% std error; 3-sigma envelope ~ 20%
+      assert(math.abs(est - n) / n <= 0.20, s"est $est vs true $n")
+    }
+    // register table is bounded by m per group at ANY corpus size
+    val regCnt = Tables.events(spark, sf001)
+      .select($"event_type", md5($"user_id".cast("string")).as("h"))
+      .select($"event_type",
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT)").as("bucket"))
+      .distinct().groupBy($"event_type").count()
+      .agg(max($"count")).collect()(0).getLong(0)
+    assert(regCnt <= Sketches.HllM)
+  }
+
+  test("x36 CMS: estimate never undercounts; exactly the top 20") {
+    val rows = Sketches.x36(spark, sf001).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_est") >= r.getAs[Long]("true_cnt"))
+      assert(r.getAs[Long]("overcount") ===
+        r.getAs[Long]("cms_est") - r.getAs[Long]("true_cnt"))
+    }
+    val cnts = rows.map(_.getAs[Long]("true_cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("r10 top-5 similar suppliers: group sizes and contiguous ranks") {
     val rows = Rdf.r10(spark, sf001).collect()
     val byS1 = rows.groupBy(_.getAs[Long]("s1"))
