@@ -499,6 +499,43 @@ object Rdf {
     * closure as a DuckDB recursive CTE with UNION-dedup semantics;
     * MIN(dist) ≡ first-discovery round by BFS construction.
     */
+  /** k-CORE decomposition (capability, self-tested — the peel loop's
+    * degree recomputation is an aggregate inside the recursion, which a
+    * recursive-CTE oracle cannot express, so this stays §2.8 tier):
+    * iteratively remove nodes of degree < k until fixpoint; returns the
+    * surviving nodes with their core-subgraph degrees. The dense-community
+    * extractor (spam rings, boilerplate hubs) beside x20's CC.
+    *
+    * Scale shape: each round = ONE keyed degree agg + two semi-join edge
+    * filters over Ckpt'd narrow frames; the fixpoint test surfaces only an
+    * edge COUNT to the driver (DedupCluster's loop discipline). Rounds are
+    * bounded by the peel depth — at most |V| pathologically, O(log) on
+    * real degree distributions.
+    */
+  def kCore(edges0: DataFrame, k: Int, maxRounds: Int = 50): DataFrame = {
+    var edges = graft.Ckpt(edges0.select(col("u"), col("v")))
+    var prev = edges.count()
+    var done = prev == 0
+    var round = 0
+    while (!done && round < maxRounds) {
+      val deg = edges.select(col("u").as("n"))
+        .union(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val keep = deg.filter(col("dg") >= k).select("n")
+      edges = graft.Ckpt(edges
+        .join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi"))
+      val m = edges.count()
+      done = m == prev || m == 0
+      prev = m
+      round += 1
+    }
+    edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k)
+      .orderBy("n")
+  }
+
   def r11(s: SparkSession, d: String): DataFrame = {
     val und = graft.Ckpt {
       val e = coEdges(s, d)

@@ -36,7 +36,15 @@ object ScaleProfile {
     "x21_semdedup", "x21_semdedup_learned", "x24_repeated_spans",
     "x25_dedup_keep_list", "x27_shard_pack", "r7_pagerank",
     "x29_chunk_dedup", "x32_chunk_rewrite", "r8_pagerank_redist",
-    "s9_rate_window", "x33_ppl_bucket", "x34_winnow")
+    "s9_rate_window", "x33_ppl_bucket", "x34_winnow",
+    // round-8 continuation: graph/join/window/sketch heavies (copies are
+    // disjoint subgraphs, so r9/r10/r11/j15's true answers grow linearly;
+    // j14's name vocabulary is SHARED across copies — group counts grow
+    // ×m, DP work constant — the real-catalog regime; x35's register
+    // tables stay ≤ m=256 per type by construction)
+    "r9_triangles", "r10_bipartite_proj", "r11_bfs", "j14_fuzzy_join",
+    "j15_interval_overlap", "w8_ntile_spend", "x35_hll_users",
+    "x36_cms_words")
 
   val Mults = Seq(1, 2, 4, 8)
 
@@ -78,7 +86,8 @@ object ScaleProfile {
 
   def build(spark: SparkSession, src: String, dst: String, m: Int): Unit = {
     buildEvents(spark, src, dst, m) // additive (own sentinel): older cached
-    // corpus dirs predate the events table and must not be rebuilt for it
+    buildPart(spark, src, dst, m)   // corpus dirs predate these tables and
+    // must not be rebuilt for them
     // _SUCCESS of the LAST-written table — a bare directory check would
     // silently reuse the partial output of an interrupted earlier build
     if (new java.io.File(s"$dst/region.parquet/_SUCCESS").exists()) return
@@ -155,6 +164,28 @@ object ScaleProfile {
     * and the timing isolates the keyed-window scaling); ts/type/value
     * ride through unchanged.
     */
+  /** Part copies (j14/w-group): p_partkey offset to the partkey domain
+    * (consistent with lineitem's l_partkey offsets); name/brand/type ride
+    * through unchanged, so the name VOCABULARY is shared across copies —
+    * j14's per-name counts grow ×m while its DP work stays constant, the
+    * real-catalog regime (dup listings multiply faster than distinct
+    * names). Additive with its own sentinel like [[buildEvents]].
+    */
+  private def buildPart(spark: SparkSession, src: String, dst: String,
+      m: Int): Unit = {
+    if (new java.io.File(s"$dst/part.parquet/_SUCCESS").exists()) return
+    val t = spark.read.parquet(s"$src/part.parquet")
+    val np = t.agg(max(col("p_partkey").cast("bigint"))).head().getLong(0) + 1
+    (0 until m).map { i =>
+      t.select(t.columns.map {
+        case "p_partkey" =>
+          (col("p_partkey").cast("bigint") + lit(i * np)).as("p_partkey")
+        case c => col(c)
+      }: _*)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$dst/part.parquet")
+  }
+
   private def buildEvents(spark: SparkSession, src: String, dst: String,
       m: Int): Unit = {
     if (new java.io.File(s"$dst/events.parquet/_SUCCESS").exists()) return

@@ -1084,6 +1084,29 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("kCore capability equals a driver-side reference peel") {
+    val k = 30
+    val edgeRows = Rdf.coEdges(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference: iterative peel on the collected edge set
+    var es = edgeRows.toSet
+    var changed = true
+    while (changed) {
+      val deg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).map { case (n, xs) => n -> xs.size }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = es.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != es.size
+      es = next
+    }
+    val refDeg = (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+      .groupBy(identity).map { case (n, xs) => n -> xs.size.toLong }
+    val ours = Rdf.kCore(Rdf.coEdges(spark, sf001), k).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ours === refDeg)
+    assert(ours.nonEmpty || refDeg.isEmpty)
+  }
+
   test("x35 HLL: estimate within the m=256 error envelope, registers bounded") {
     val rows = Sketches.x35(spark, sf001).collect()
     assert(rows.nonEmpty)
