@@ -58,6 +58,7 @@ object SparkEntry {
     "a17_regression" -> (Aggs.a17 _),
     "a18_calendar_fill" -> (Aggs.a18 _),
     "a19_interp_fill" -> (Aggs.a19 _),
+    "a20_weighted_median" -> (Aggs.a20 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),

@@ -323,4 +323,40 @@ object Aggs {
           .otherwise(lit(0.0))).as("filled"))
       .orderBy("day")
   }
+
+  /** a20 — WEIGHTED MEDIAN (quantity-weighted median line price per return
+    * flag): the smallest price whose cumulative quantity reaches half the
+    * group's total — the robust-statistics aggregate no SQL engine ships
+    * natively, expressed as the running-sum crossing. Exact end-to-end:
+    * weights collapse per (flag, price) level first (one keyed agg — the
+    * window then runs over price LEVELS, bounded by price cardinality,
+    * not line items), cumulative/total quantity are integer window sums,
+    * the crossing test `2·cum ≥ tot` is pure integer compare, and the
+    * crossing row is picked by `min_by` over the UNIQUE price ordering key
+    * (deterministic, D6; DuckDB `arg_min` is the same contract). Only the
+    * emitted share divides — one correctly-rounded double op (D4).
+    */
+  def a20(s: SparkSession, d: String): DataFrame = {
+    val perPrice = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("price"),
+        col("l_quantity").cast("bigint").as("w"))
+      .groupBy(col("l_returnflag"), col("price"))
+      .agg(sum(col("w")).as("w"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    perPrice
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(out2(min(col("price"))).as("wmedian"),
+        expr("min_by(cum, price)").as("cum_at"),
+        max(col("tot")).as("tot_w"))
+      .withColumn("cum_share", graft.Det.round4fast(
+        col("cum_at").cast("double") / col("tot_w").cast("double")))
+      .select(col("l_returnflag"), col("wmedian"), col("tot_w"),
+        col("cum_share"))
+      .orderBy("l_returnflag")
+  }
 }

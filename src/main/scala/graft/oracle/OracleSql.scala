@@ -1734,6 +1734,25 @@ object OracleSql {
         |FROM probes p JOIN cells ON p.pr = cells.r AND p.pc = cells.c
         |GROUP BY p.w, p.cnt ORDER BY true_cnt DESC, p.w""".stripMargin,
 
+    "a20_weighted_median" ->
+      """WITH pp AS (SELECT l_returnflag,
+        |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |   SUM(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        | c AS (SELECT l_returnflag, price, w,
+        |   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM pp),
+        | k AS (SELECT l_returnflag,
+        |   CAST(MIN(price) AS DOUBLE) AS wmedian,
+        |   arg_min(cum, price) AS cum_at,
+        |   MAX(tot) AS tot_w
+        |  FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag)
+        |SELECT l_returnflag, wmedian, CAST(tot_w AS BIGINT) AS tot_w,
+        | ROUND(CAST(cum_at AS DOUBLE) / CAST(tot_w AS DOUBLE), 4) AS cum_share
+        |FROM k ORDER BY l_returnflag""".stripMargin,
+
     "s10_cum_users" ->
       """WITH ud AS (SELECT DISTINCT user_id,
         |   epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),

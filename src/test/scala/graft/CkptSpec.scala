@@ -38,9 +38,12 @@ class CkptSpec extends SparkSpec {
   test("iterative queries are identical under a reliable checkpoint dir") {
     // The queries whose declared plans route through Ckpt: x20 (CC
     // rounds), x25 (x20 + keep list), x27 (sampled range cells),
-    // x21_semdedup_learned (Lloyd trainer), r7 (edge frame).
+    // x21_semdedup_learned (Lloyd trainer), r7 (edge frame); round-8
+    // continuation: r9 (edge + orientation frames), r11 (BFS rounds),
+    // w8 (sampled range cells).
     val qs = Seq("x20_dup_clusters", "x27_shard_pack",
-      "x21_semdedup_learned", "r7_pagerank")
+      "x21_semdedup_learned", "r7_pagerank",
+      "r9_triangles", "r11_bfs", "w8_ntile_spend")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

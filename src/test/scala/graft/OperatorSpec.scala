@@ -1084,6 +1084,25 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("a20 weighted median: crossing property against collected data") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_returnflag", Det.dec2($"l_extendedprice").cast("double"),
+        $"l_quantity".cast("long")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val rows = Aggs.a20(spark, sf001).collect()
+    rows.foreach { r =>
+      val flag = r.getString(0); val med = r.getDouble(1)
+      val grp = li.filter(_._1 == flag).sortBy(_._2)
+      val tot = grp.map(_._3).sum
+      assert(r.getLong(2) === tot)
+      val below = grp.filter(_._2 < med).map(_._3).sum
+      val atOrBelow = grp.filter(_._2 <= med).map(_._3).sum
+      // med is the SMALLEST price level whose cumulative weight crosses half
+      assert(2 * atOrBelow >= tot, s"$flag: $med does not cross half")
+      assert(2 * below < tot, s"$flag: a smaller price already crossed")
+    }
+  }
+
   test("kCore capability equals a driver-side reference peel") {
     val k = 30
     val edgeRows = Rdf.coEdges(spark, sf001).collect()
