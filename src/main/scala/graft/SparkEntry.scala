@@ -153,6 +153,7 @@ object SparkEntry {
     "x34_winnow" -> (Pipeline.x34 _),
     "x35_hll_users" -> (Sketches.x35 _),
     "x36_cms_words" -> (Sketches.x36 _),
+    "x37_corpus_stats" -> (Pipeline.x37 _),
     "s9_rate_window" -> (Events.s9 _),
     "s10_cum_users" -> (Events.s10 _)
   )

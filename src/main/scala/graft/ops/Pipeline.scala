@@ -1530,4 +1530,36 @@ object Pipeline {
       .groupBy("pair").agg(sum(col("wc")).as("cnt"))
       .orderBy(col("cnt").desc, col("pair")).limit(50)
   }
+
+  /** x37 — the DATASET CARD: the one-row corpus summary every shipped
+    * training set leads with — doc/token mass, language and source
+    * cardinalities, exact-duplicate mass (l1's normalization: md5 of
+    * lower(trim(text)) — shared definition, the two queries can't drift),
+    * duplicate fraction, and mean tokens per doc. Two aggregates over ONE
+    * corpus scan each (token counting is in-row `size(split(...))`; the
+    * dup side is l1's keyed agg re-aggregated), cross-joined as single
+    * rows. The distinct-counts ride the same aggs; all emitted ratios are
+    * one correctly-rounded double op over exact longs (D4).
+    */
+  def x37(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("wc"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val mass = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("wc")).as("n_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"))
+    val dups = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(col("c") - 1).as("dup_docs"))
+    mass.crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("n_sources"), col("n_distinct"), col("dup_docs"),
+        graft.Det.round4fast(col("dup_docs").cast("double")
+          / col("n_docs").cast("double")).as("dup_frac"),
+        graft.Det.round4fast(col("n_tokens").cast("double")
+          / col("n_docs").cast("double")).as("mean_tokens"))
+      .orderBy("n_docs") // single row; satisfies the D1 ordered-output rule
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -171,15 +171,7 @@ object Windows {
     cells.withColumn("rn_in", row_number().over(wIn))
       .join(offsets, Seq("cell"))
       .withColumn("pos", col("off") + col("rn_in"))
-      // standard-SQL ntile(10): q = n DIV 10, r = n MOD 10; the first r
-      // buckets hold q+1 rows (CASE keeps the q=0 division unreachable
-      // when n < 10: every pos then lands in the first branch).
-      .withColumn("decile", expr(
-        """CASE WHEN pos <= (n_total % 10) * (n_total DIV 10 + 1)
-          | THEN (pos - 1) DIV (n_total DIV 10 + 1) + 1
-          | ELSE (n_total % 10) +
-          |  (pos - 1 - (n_total % 10) * (n_total DIV 10 + 1))
-          |   DIV (n_total DIV 10) + 1 END""".stripMargin).cast("int"))
+      .withColumn("decile", ntileBucket("pos", "n_total", 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_cust"),
         out2(sum(col("spend"))).as("tot_spend"),
@@ -187,6 +179,23 @@ object Windows {
         out2(max(col("spend"))).as("max_spend"))
       .orderBy("decile")
   }
+
+  /** Standard-SQL `ntile(k)` bucket from a 1-based global position and the
+    * total row count — the arithmetic that lets a distributed rank (the
+    * x27/w8 range-partitioned prefix sum) replace the single-partition
+    * global ntile window: q = n DIV k, r = n MOD k; the first r buckets
+    * hold q+1 rows. The CASE keeps the q=0 division unreachable when
+    * n < k (every pos then lands in the first branch).
+    * PropertySpec asserts equality with Spark's own `ntile` across
+    * adversarial (n, k) shapes.
+    */
+  private[graft] def ntileBucket(posCol: String, nCol: String, k: Int): Column =
+    expr(
+      s"""CASE WHEN $posCol <= ($nCol % $k) * ($nCol DIV $k + 1)
+         | THEN ($posCol - 1) DIV ($nCol DIV $k + 1) + 1
+         | ELSE ($nCol % $k) +
+         |  ($posCol - 1 - ($nCol % $k) * ($nCol DIV $k + 1))
+         |   DIV ($nCol DIV $k) + 1 END""".stripMargin).cast("int")
 
   /** w8's range-partitioned, cell-tagged spend frame — UN-checkpointed so
     * PlanLintSpec can lint the plan the checkpoint hides. */

@@ -1734,6 +1734,26 @@ object OracleSql {
         |FROM probes p JOIN cells ON p.pr = cells.r AND p.pc = cells.c
         |GROUP BY p.w, p.cnt ORDER BY true_cnt DESC, p.w""".stripMargin,
 
+    "x37_corpus_stats" ->
+      """WITH base AS (SELECT doc_id, lang, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+        |   md5(lower(trim(text))) AS h
+        |  FROM documents),
+        | mass AS (SELECT COUNT(*) AS n_docs, SUM(wc) AS n_tokens,
+        |   COUNT(DISTINCT lang) AS n_langs,
+        |   COUNT(DISTINCT source) AS n_sources
+        |  FROM base),
+        | dups AS (SELECT COUNT(*) AS n_distinct,
+        |   SUM(c - 1) AS dup_docs
+        |  FROM (SELECT h, COUNT(*) AS c FROM base GROUP BY h) g)
+        |SELECT n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, n_langs,
+        | n_sources, n_distinct, CAST(dup_docs AS BIGINT) AS dup_docs,
+        | ROUND(CAST(dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |   AS dup_frac,
+        | ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 4)
+        |   AS mean_tokens
+        |FROM mass, dups ORDER BY n_docs""".stripMargin,
+
     "a20_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,
         |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

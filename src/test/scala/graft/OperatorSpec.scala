@@ -1084,6 +1084,17 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("x37 dataset card accounting: dups reconcile with l1's groups") {
+    val r = Pipeline.x37(spark, sf001).collect()(0)
+    assert(r.getAs[Long]("n_docs") ===
+      r.getAs[Long]("n_distinct") + r.getAs[Long]("dup_docs"))
+    // l1 groups by the same hash — its row count IS n_distinct, and its
+    // dup_cnt mass is the doc count
+    val l1 = Llm.l1(spark, sf001).collect()
+    assert(r.getAs[Long]("n_distinct") === l1.length.toLong)
+    assert(r.getAs[Long]("n_docs") === l1.map(_.getAs[Long]("dup_cnt")).sum)
+  }
+
   test("a20 weighted median: crossing property against collected data") {
     val li = Tables.lineitem(spark, sf001)
       .select($"l_returnflag", Det.dec2($"l_extendedprice").cast("double"),

@@ -357,4 +357,21 @@ class PropertySpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("ntileBucket arithmetic equals Spark's ntile for adversarial (n, k)") {
+    // w8's distributed decile rests on this arithmetic; cover the shapes
+    // the fixture can't hit — n < k, n = k, n % k = 0, primes, k != 10
+    val shapes = Seq((1, 10), (5, 10), (10, 10), (7, 3), (95, 10),
+      (100, 10), (101, 10), (256, 7), (13, 13), (40, 4))
+    shapes.foreach { case (n, k) =>
+      val df = (1 to n).toDF("pos").withColumn("n_total", lit(n).cast("bigint"))
+      val ours = df
+        .withColumn("b", ops.Windows.ntileBucket("pos", "n_total", k))
+        .orderBy("pos").select("b").as[Int].collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window.orderBy("pos")
+      val builtin = df.withColumn("b", ntile(k).over(w))
+        .orderBy("pos").select("b").as[Int].collect().toSeq
+      assert(ours === builtin, s"(n=$n, k=$k)")
+    }
+  }
 }
