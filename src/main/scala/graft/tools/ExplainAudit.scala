@@ -24,7 +24,10 @@ object ExplainAudit {
       "j12_lateral_topn", "l8_pmi_colloc", "s8_transitions",
       "a17_regression", "x22_training_manifest", "f11_struct_funcs",
       "x24_repeated_spans", "x25_dedup_keep_list", "r7_pagerank",
-      "x26_vocab_coverage", "x27_shard_pack", "x28_mixture_weights")
+      "x26_vocab_coverage", "x27_shard_pack", "x28_mixture_weights",
+      "r9_triangles", "r10_bipartite_proj", "r11_bfs", "j14_fuzzy_join",
+      "j15_interval_overlap", "w8_ntile_spend", "a20_weighted_median",
+      "x35_hll_users", "x36_cms_words", "x37_corpus_stats")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
