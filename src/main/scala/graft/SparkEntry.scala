@@ -154,6 +154,7 @@ object SparkEntry {
     "x35_hll_users" -> (Sketches.x35 _),
     "x36_cms_words" -> (Sketches.x36 _),
     "x37_corpus_stats" -> (Pipeline.x37 _),
+    "x38_incr_dedup" -> (Pipeline.x38 _),
     "s9_rate_window" -> (Events.s9 _),
     "s10_cum_users" -> (Events.s10 _)
   )

@@ -1562,4 +1562,37 @@ object Pipeline {
           / col("n_docs").cast("double")).as("mean_tokens"))
       .orderBy("n_docs") // single row; satisfies the D1 ordered-output rule
   }
+
+  /** x38 — INCREMENTAL-INGEST dedup (the production shape l1's global pass
+    * doesn't cover: a new batch arrives against an already-deduped corpus
+    * and only the batch may be relabeled): docs with `doc_id % 5 = 4` play
+    * the incoming batch, the rest the existing corpus; each batch doc is
+    * classified `dup_of_corpus` (content already in the corpus — drop),
+    * `dup_in_batch` (first seen earlier IN THIS BATCH — drop, keep the
+    * min-doc_id copy), or `unique` (ingest). l1's shared hash definition
+    * (md5 of lower(trim(text))), so the three queries can't drift.
+    *
+    * Scale shape: the corpus side reduces to DISTINCT hashes (one keyed
+    * agg — at a real ingest this is the stored dedup index, not a rescan),
+    * the batch joins it ONCE keyed by hash (left, null-safe flag), and the
+    * in-batch survivor is x29's min-struct idiom. Nothing corpus-quadratic;
+    * batch state never exceeds batch × index fan-in.
+    */
+  def x38(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val corpusHashes = docs.filter(col("doc_id") % 5 =!= 4)
+      .select(col("h")).distinct().withColumn("in_corpus", lit(1))
+    val batch = docs.filter(col("doc_id") % 5 === 4)
+    val firstInBatch = batch.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_id"))
+    batch.join(corpusHashes, Seq("h"), "left_outer")
+      .join(firstInBatch, Seq("h"))
+      .select(col("doc_id"),
+        when(col("in_corpus") === 1, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
+          .otherwise(lit("unique")).as("status"),
+        col("first_id"))
+      .orderBy("doc_id")
+  }
 }

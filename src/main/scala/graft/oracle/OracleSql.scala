@@ -1754,6 +1754,21 @@ object OracleSql {
         |   AS mean_tokens
         |FROM mass, dups ORDER BY n_docs""".stripMargin,
 
+    "x38_incr_dedup" ->
+      """WITH docs AS (SELECT doc_id, md5(lower(trim(text))) AS h
+        |   FROM documents),
+        | corpus AS (SELECT DISTINCT h FROM docs WHERE doc_id % 5 <> 4),
+        | batch AS (SELECT doc_id, h FROM docs WHERE doc_id % 5 = 4),
+        | fb AS (SELECT h, MIN(doc_id) AS first_id FROM batch GROUP BY h)
+        |SELECT b.doc_id,
+        | CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+        |  WHEN b.doc_id <> fb.first_id THEN 'dup_in_batch'
+        |  ELSE 'unique' END AS status,
+        | fb.first_id
+        |FROM batch b LEFT JOIN corpus c ON b.h = c.h
+        | JOIN fb ON b.h = fb.h
+        |ORDER BY b.doc_id""".stripMargin,
+
     "a20_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,
         |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

@@ -1084,6 +1084,29 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("x38 incremental dedup hits all three statuses on literal docs") {
+    // corpus: ids 0,1 (ids % 5 != 4); batch: ids 4, 9, 14, 19 (% 5 == 4)
+    //  - id 4 repeats corpus content  -> dup_of_corpus
+    //  - ids 9 and 14 share NEW content -> 9 unique, 14 dup_in_batch
+    //  - id 19 is fresh                 -> unique
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "gamma"),
+      (4L, "Alpha Beta  "), // case/trim-normalizes to corpus content
+      (9L, "delta"), (14L, "delta"), (19L, "epsilon")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("x38lit").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.x38(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(4L -> "dup_of_corpus", 9L -> "unique",
+      14L -> "dup_in_batch", 19L -> "unique"))
+    // fixture accounting: statuses partition the batch
+    val fix = Pipeline.x38(spark, sf001).collect()
+    val batchN = Tables.documents(spark, sf001)
+      .filter($"doc_id" % 5 === 4).count()
+    assert(fix.length.toLong === batchN)
+  }
+
   test("x37 dataset card accounting: dups reconcile with l1's groups") {
     val r = Pipeline.x37(spark, sf001).collect()(0)
     assert(r.getAs[Long]("n_docs") ===
