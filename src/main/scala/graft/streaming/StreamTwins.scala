@@ -326,6 +326,19 @@ object StreamTwins {
       }
   }
 
+  /** foreachBatch IDEMPOTENT sink — the manual micro-batch pattern for
+    * targets with no transactional streaming sink: each micro-batch
+    * OVERWRITES its own epoch-keyed partition directory, so a REPLAYED
+    * batch (failure between sink write and checkpoint commit — the
+    * at-least-once window foreachBatch exposes) rewrites the same path
+    * instead of appending duplicates. Idempotence comes from path
+    * determinism: epochId is stable across replays of the same batch.
+    * Use as `.writeStream.foreachBatch(epochOverwriteSink(out))`.
+    */
+  def epochOverwriteSink(out: String): (DataFrame, Long) => Unit =
+    (batch, epochId) =>
+      batch.write.mode("overwrite").parquet(s"$out/epoch=$epochId")
+
   /** STREAM-STREAM interval join (j15's streaming runtime twin, and the one
     * join runtime batch cannot express incrementally): purchases matched to
     * signups of the SAME user within 1 hour after the signup. Both sides

@@ -394,6 +394,36 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("foreachBatch epoch-overwrite sink is idempotent under batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-feb-").toString + "/out"
+    val events = fixtureEvents.sortBy(_.ts).take(200)
+    val stream = MemoryStream[Event]
+    var lastEpoch = -1L
+    var lastBatch: Seq[Event] = Nil
+    val sink = StreamTwins.epochOverwriteSink(out)
+    val query = stream.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        lastEpoch = id
+        lastBatch = df.as[Event].collect().toSeq
+        sink(df, id)
+      }
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 2 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val before = spark.read.parquet(out).count()
+      assert(before === events.length.toLong)
+      // simulate the at-least-once replay: re-deliver the LAST batch to the
+      // sink with the SAME epoch id (what a restart between sink write and
+      // checkpoint commit does) — row count must not change
+      sink(lastBatch.toDF(), lastEpoch)
+      assert(spark.read.parquet(out).count() === before)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join: streamed result equals the batch join") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents.sortBy(_.ts)
