@@ -68,6 +68,7 @@ object SparkEntry {
     "w6_rank_stats" -> (Windows.w6 _),
     "w7_value_picks" -> (Windows.w7 _),
     "w8_ntile_spend" -> (Windows.w8 _),
+    "w9_interval_range" -> (Windows.w9 _),
     "r1_triples_view" -> (Rdf.r1 _),
     "r2_star_bgp" -> (Rdf.r2 _),
     "r3_path_join" -> (Rdf.r3 _),

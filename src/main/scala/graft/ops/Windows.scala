@@ -197,6 +197,41 @@ object Windows {
          |  ($posCol - 1 - ($nCol % $k) * ($nCol DIV $k + 1))
          |   DIV ($nCol DIV $k) + 1 END""".stripMargin).cast("int")
 
+  /** Monotone suffix for per-call temp-view names (w9) — Joins.viewSeq's
+    * discipline. */
+  private val viewSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** w9 — CALENDAR-INTERVAL range frame (`RANGE BETWEEN INTERVAL 7 DAY
+    * PRECEDING`): per supplier-day, shipments and decimal revenue over the
+    * trailing 7 CALENDAR days — the time-aware frame w5's row frame and
+    * s9's numeric-µs range approximate but don't state (calendar interval
+    * bounds only exist in SQL text; the DataFrame `rangeBetween` API takes
+    * longs, so the query is SQL-authored like a18/u5). Pre-aggregating to
+    * one row per (supplier, day) keeps the output key unique (the
+    * lineitem-grain fixture key (orderkey, linenumber) is NOT unique —
+    * FIXTURES gotcha) and bounds the frame's row count by the 7-day
+    * calendar, not shipment density. Decimal sums stay exact through the
+    * frame (D2); one keyed shuffle + one keyed window.
+    */
+  def w9(s: SparkSession, d: String): DataFrame = {
+    val lv = s"lineitem_w9_${viewSeq.incrementAndGet()}"
+    Tables.lineitem(s, d).createOrReplaceTempView(lv)
+    try s.sql(
+      s"""WITH daily AS (SELECT l_suppkey,
+         |   CAST(l_shipdate AS DATE) AS d,
+         |   COUNT(*) AS n,
+         |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+         |  FROM $lv GROUP BY 1, 2)
+         |SELECT l_suppkey, d, n,
+         | SUM(n) OVER w AS n7,
+         | CAST(CAST(SUM(rev) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS rev7
+         |FROM daily
+         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+         | RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+         |ORDER BY l_suppkey, d""".stripMargin)
+    finally s.catalog.dropTempView(lv)
+  }
+
   /** w8's range-partitioned, cell-tagged spend frame — UN-checkpointed so
     * PlanLintSpec can lint the plan the checkpoint hides. */
   private[graft] def w8Cells(s: SparkSession, d: String): DataFrame =

@@ -1754,6 +1754,20 @@ object OracleSql {
         |   AS mean_tokens
         |FROM mass, dups ORDER BY n_docs""".stripMargin,
 
+    "w9_interval_range" ->
+      """WITH daily AS (SELECT l_suppkey,
+        |   CAST(l_shipdate AS DATE) AS d,
+        |   COUNT(*) AS n,
+        |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_suppkey, d, n,
+        | SUM(n) OVER w AS n7,
+        | CAST(CAST(SUM(rev) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS rev7
+        |FROM daily
+        |WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
+        | RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, d""".stripMargin,
+
     "x38_incr_dedup" ->
       """WITH docs AS (SELECT doc_id, md5(lower(trim(text))) AS h
         |   FROM documents),

@@ -1084,6 +1084,21 @@ class OperatorSpec extends SparkSpec {
     assert(cums.last === total)
   }
 
+  test("w9 interval frame: trailing-7-day sums reconcile per supplier") {
+    val rows = Windows.w9(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    val bySupp = rows.groupBy(_._1)
+    bySupp.foreach { case (_, rs) =>
+      val byDay = rs.map(r => r._2 -> r._3).toMap
+      rs.foreach { case (_, d, n, n7, _) =>
+        val expect = (0 to 7).map(k => byDay.getOrElse(d.minusDays(k), 0L)).sum
+        assert(n7 === expect, s"day $d")
+        assert(n7 >= n)
+      }
+    }
+  }
+
   test("x38 incremental dedup hits all three statuses on literal docs") {
     // corpus: ids 0,1 (ids % 5 != 4); batch: ids 4, 9, 14, 19 (% 5 == 4)
     //  - id 4 repeats corpus content  -> dup_of_corpus
