@@ -91,6 +91,7 @@ object SparkEntry {
     "f9_bitwise" -> (Scalars.f9 _),
     "f10_map_funcs" -> (Scalars.f10 _),
     "f11_struct_funcs" -> (Scalars.f11 _),
+    "f12_trig" -> (Scalars.f12 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),

@@ -189,4 +189,26 @@ object Scalars {
         col("prof.addr.seg").as("seg"),
         col("prof.pos").cast("int").as("pos_bal"))
       .orderBy("c_custkey")
+
+  /** f12 — trigonometric surface (completes f3's math group): sin/cos/tan/
+    * atan/atan2/degrees/radians over integer part sizes. Both engines call
+    * the same libm family on identical doubles and every output is 4-dp
+    * rounded with -0 normalized (sin/cos cross zero), the x30 ln-parity
+    * discipline — the rounding absorbs any last-ulp daylight; tan of an
+    * integer argument is never at a pole.
+    */
+  def f12(s: SparkSession, d: String): DataFrame = {
+    import graft.Det.round4nz
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        round4nz(sin(col("p_size"))).as("size_sin"),
+        round4nz(cos(col("p_size"))).as("size_cos"),
+        round4nz(tan(col("p_size"))).as("size_tan"),
+        round4nz(atan(col("p_size"))).as("size_atan"),
+        round4nz(atan2(col("p_size").cast("double"),
+          col("p_retailprice").cast("double"))).as("sz_atan2"),
+        round4nz(degrees(col("p_size"))).as("size_deg"),
+        round4nz(radians(col("p_size"))).as("size_rad"))
+      .orderBy("p_partkey")
+  }
 }

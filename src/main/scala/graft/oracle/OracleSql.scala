@@ -1754,6 +1754,18 @@ object OracleSql {
         |   AS mean_tokens
         |FROM mass, dups ORDER BY n_docs""".stripMargin,
 
+    "f12_trig" ->
+      """SELECT p_partkey,
+        | ROUND(sin(p_size), 4) + 0.0 AS size_sin,
+        | ROUND(cos(p_size), 4) + 0.0 AS size_cos,
+        | ROUND(tan(p_size), 4) + 0.0 AS size_tan,
+        | ROUND(atan(p_size), 4) + 0.0 AS size_atan,
+        | ROUND(atan2(CAST(p_size AS DOUBLE),
+        |   CAST(p_retailprice AS DOUBLE)), 4) + 0.0 AS sz_atan2,
+        | ROUND(degrees(p_size), 4) + 0.0 AS size_deg,
+        | ROUND(radians(p_size), 4) + 0.0 AS size_rad
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     "w9_interval_range" ->
       """WITH daily AS (SELECT l_suppkey,
         |   CAST(l_shipdate AS DATE) AS d,

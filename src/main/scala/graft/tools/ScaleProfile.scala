@@ -45,7 +45,7 @@ object ScaleProfile {
     "r9_triangles", "r10_bipartite_proj", "r11_bfs", "j14_fuzzy_join",
     "j15_interval_overlap", "w8_ntile_spend", "x35_hll_users",
     "x36_cms_words", "a20_weighted_median", "x37_corpus_stats",
-    "x38_incr_dedup")
+    "x38_incr_dedup", "w9_interval_range")
 
   val Mults = Seq(1, 2, 4, 8)
 
