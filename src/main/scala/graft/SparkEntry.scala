@@ -37,6 +37,7 @@ object SparkEntry {
     "j13_salted_skew" -> (Joins.j13 _),
     "j14_fuzzy_join" -> (Joins.j14 _),
     "j15_interval_overlap" -> (Joins.j15 _),
+    "j16_asof_nearest" -> (Joins.j16 _),
     "r8_pagerank_redist" -> (Rdf.r7Redistributed _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
@@ -59,6 +60,7 @@ object SparkEntry {
     "a18_calendar_fill" -> (Aggs.a18 _),
     "a19_interp_fill" -> (Aggs.a19 _),
     "a20_weighted_median" -> (Aggs.a20 _),
+    "a21_mode" -> (Aggs.a21 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),
@@ -92,6 +94,7 @@ object SparkEntry {
     "f10_map_funcs" -> (Scalars.f10 _),
     "f11_struct_funcs" -> (Scalars.f11 _),
     "f12_trig" -> (Scalars.f12 _),
+    "f13_regex" -> (Scalars.f13 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),
@@ -117,6 +120,7 @@ object SparkEntry {
     "l6_bm25" -> (Llm.l6 _),
     "l7_tfidf" -> (Llm.l7 _),
     "l8_pmi_colloc" -> (Llm.l8 _),
+    "l9_keyword_topk" -> (Llm.l9 _),
     // training-data-pipeline extensions (builder brief)
     "x1_minhash_lsh" -> (Pipeline.x1 _),
     "x2_simhash" -> (Pipeline.x2 _),
@@ -157,8 +161,10 @@ object SparkEntry {
     "x36_cms_words" -> (Sketches.x36 _),
     "x37_corpus_stats" -> (Pipeline.x37 _),
     "x38_incr_dedup" -> (Pipeline.x38 _),
+    "x39_domain_cap" -> (Pipeline.x39 _),
     "s9_rate_window" -> (Events.s9 _),
-    "s10_cum_users" -> (Events.s10 _)
+    "s10_cum_users" -> (Events.s10 _),
+    "s11_gap_stats" -> (Events.s11 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

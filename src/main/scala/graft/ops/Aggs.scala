@@ -359,4 +359,34 @@ object Aggs {
         col("cum_share"))
       .orderBy("l_returnflag")
   }
+
+  /** a21 — per-group MODE with a stated tie-break: each user's most frequent
+    * event_type (highest count; ties go to the lexicographically smallest
+    * type — stated because MODE is non-deterministic on ties in both engines'
+    * built-ins, so neither `mode()` is usable under the hash gate). Share is
+    * one correctly-rounded double division of two exact longs (D4).
+    *
+    * Scale: two keyed aggs (user×type counts, then per-user totals via a
+    * window over ≤5 rows/user) + a row_number pick — everything keyed by
+    * user_id, no global ordering until the final output sort. The per-user
+    * window partitions are bounded by the TYPE cardinality, not the event
+    * count, so no partition outgrows memory at any corpus size.
+    */
+  def a21(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val wPick = Window.partitionBy("user_id")
+      .orderBy(col("cnt").desc, col("event_type"))
+    val wTot = Window.partitionBy("user_id")
+    counts
+      .withColumn("rn", row_number().over(wPick))
+      .withColumn("n_events", sum(col("cnt")).over(wTot))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_type"),
+        col("cnt").as("mode_cnt"), col("n_events"),
+        graft.Det.round4fast(col("cnt").cast("double")
+          / col("n_events").cast("double")).as("mode_share"))
+      .orderBy("user_id")
+  }
 }

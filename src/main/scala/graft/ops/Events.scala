@@ -228,4 +228,37 @@ object Events {
         col("dau"), col("new_users"), col("returning"), col("cum_users"))
       .orderBy("day")
   }
+
+  /** s11 — per-user inter-arrival gap statistics (the activity-cadence
+    * profile behind rate limiting, bot scoring and engagement models):
+    * event count, min/max/total successive-gap µs and the mean gap.
+    * Equal timestamps are ordered by event_id (D6) so the gap multiset is
+    * deterministic; total_gap telescopes to span(last−first) and every
+    * stat is exact integer µs except the mean — two correctly-rounded
+    * double divisions of exact operands (D4, l8's argument). The mean is
+    * reported in SECONDS, not µs: at µs magnitude (~5·10¹⁰) four decimal
+    * places exceed double's 15–16 significant digits and the two engines'
+    * ROUND implementations legitimately disagree in the last place
+    * (observed at sf0.1); at seconds magnitude the 4-dp round is inside
+    * the representable zone both engines agree on.
+    *
+    * Scale: one user-keyed window (lag) + one user-keyed agg; per-user
+    * state is a single row. Nothing global until the output sort.
+    */
+  def s11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("gap")).as("min_gap_us"),
+        max(col("gap")).as("max_gap_us"),
+        sum(col("gap")).as("total_gap_us"))
+      .withColumn("avg_gap_s", round4fast(col("total_gap_us").cast("double")
+        / (col("n_events") - 1).cast("double") / lit(1000000.0)))
+      .select(col("user_id"), col("n_events"), col("min_gap_us"),
+        col("max_gap_us"), col("total_gap_us"), col("avg_gap_s"))
+      .orderBy("user_id")
+  }
 }

@@ -305,4 +305,47 @@ object Joins {
       .agg(count(lit(1)).as("overlap_pairs"))
       .orderBy("pk")
   }
+
+  /** j16 — NEAREST as-of join (j9 covers backward-only; the nearest variant
+    * is the other half of the as-of API surface): each purchase matched to
+    * the same user's nearest click within ±1 hour; on an exact distance tie
+    * the EARLIER click wins (D6). One tagged union + two frames of the same
+    * user-keyed window (backward last / forward first, ignoreNulls) — the
+    * sort-merge as-of shape, no range self-join. Clicks at the purchase's
+    * own µs sort before it (kind 0 < 1) so they land in the backward frame;
+    * all time math is exact integer µs (j9's µs protocol, D3).
+    *
+    * Scale: one shuffle on user_id serves both window frames; per-user
+    * state is a sort, never a materialized pair set.
+    */
+  def j16(s: SparkSession, d: String): DataFrame = {
+    val usPerHour = 3600L * 1000000L
+    val e = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("kind"))
+      .withColumn("ck_id", when(col("kind") === 0, col("event_id")))
+      .withColumn("ck_ts", when(col("kind") === 0, col("ts_us")))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("kind"), col("event_id"))
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("b_id", last(col("ck_id"), ignoreNulls = true).over(wBack))
+      .withColumn("b_ts", last(col("ck_ts"), ignoreNulls = true).over(wBack))
+      .withColumn("f_id", first(col("ck_id"), ignoreNulls = true).over(wFwd))
+      .withColumn("f_ts", first(col("ck_ts"), ignoreNulls = true).over(wFwd))
+      .filter(col("kind") === 1)
+      .withColumn("b_ok",
+        col("b_ts").isNotNull && col("ts_us") - col("b_ts") <= usPerHour)
+      .withColumn("f_ok",
+        col("f_ts").isNotNull && col("f_ts") - col("ts_us") <= usPerHour)
+      .withColumn("use_b", col("b_ok") &&
+        (!col("f_ok") || col("ts_us") - col("b_ts") <= col("f_ts") - col("ts_us")))
+      .filter(col("b_ok") || col("f_ok"))
+      .select(col("event_id"), col("user_id"), col("ts_us").as("purchase_ts"),
+        when(col("use_b"), col("b_id")).otherwise(col("f_id")).as("click_event_id"),
+        (when(col("use_b"), col("b_ts")).otherwise(col("f_ts"))
+          - col("ts_us")).as("delta_us"))
+      .orderBy("event_id")
+  }
 }

@@ -225,4 +225,37 @@ object Llm {
       .limit(50)
       .select(col("w1"), col("w2"), col("c12"), col("pmi"))
   }
+
+  /** l9 — per-document keyword extraction: each doc's top-3 terms by TF-IDF
+    * (l7's exact scoring — same 9-dp decimal idf, same decimal tf×idf
+    * product — so the two queries cannot drift), ranked per doc with
+    * (score desc, term asc) tie-break (D6).
+    *
+    * Scale: l7's three keyed aggs + a doc-keyed row_number whose partitions
+    * are each doc's DISTINCT-term count (document-length-bounded, not
+    * corpus-bounded). The df join is vocabulary-keyed with no broadcast
+    * hint — AQE broadcasts when small, shuffles when the open vocabulary
+    * isn't (l8's discipline).
+    */
+  def l9(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf",
+        round(log(col("n").cast("double") / col("df").cast("double")), 9)
+          .cast("decimal(18,9)"))
+      .withColumn("score",
+        (col("tf").cast("decimal(10,0)") * col("idf")).cast("double"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
 }

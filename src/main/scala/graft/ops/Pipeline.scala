@@ -1595,4 +1595,39 @@ object Pipeline {
         col("first_id"))
       .orderBy("doc_id")
   }
+
+  /** x39 — per-DOMAIN document cap (the RefinedWeb/C4-style balancing pass:
+    * no source may contribute more than K docs; survivors are the K longest,
+    * doc_id tie-break): per-source accounting of total vs kept vs dropped
+    * docs and the kept character mass. K=10 on the fixture.
+    *
+    * The cap itself runs through the TopKPerGroup PHYSICAL operator (w2's
+    * whole-operator plan: per-partition bounded heaps + one shuffle on the
+    * group key, never a full per-group sort), so the capability is exercised
+    * under the hash gate on a second shape. Totals come from one keyed agg
+    * of the same scan; the kept↔total join is source-keyed (domain
+    * cardinality ≪ corpus — AQE broadcasts when small). kept_frac is one
+    * correctly-rounded double division of exact longs (D4).
+    *
+    * Scale: per-source state in the cap is a K-row heap regardless of how
+    * skewed a domain is — the 100 TB-safe shape for "one domain is half the
+    * crawl"; nothing corpus-sized crosses the driver.
+    */
+  def x39(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    val kept = graft.plans.TopKPerGroup(docs, Seq("source"),
+      Seq(("n_chars", true), ("doc_id", false)), 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"))
+    val tot = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"), sum(col("n_chars")).as("total_chars"))
+    tot.join(kept, Seq("source"))
+      .select(col("source"), col("total_docs"), col("kept_docs"),
+        (col("total_docs") - col("kept_docs")).as("dropped_docs"),
+        col("kept_chars"),
+        graft.Det.round4fast(col("kept_chars").cast("double")
+          / col("total_chars").cast("double")).as("kept_char_frac"))
+      .orderBy("source")
+  }
 }

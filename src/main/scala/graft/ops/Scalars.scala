@@ -211,4 +211,27 @@ object Scalars {
         round4nz(radians(col("p_size"))).as("size_rad"))
       .orderBy("p_partkey")
   }
+
+  /** f13 — regex function family over part names: anchored extract (first /
+    * last word), global replace (de-voweling — Spark's regexp_replace is
+    * global by default, mirrored with DuckDB's 'g' option), a derived count
+    * via length difference (dialect-free — avoids regexp_count's engine
+    * variance), and rlike → boolean. Patterns stay in plain character
+    * classes + anchors, the subset where Java regex and RE2-family engines
+    * agree byte-for-byte.
+    *
+    * Scale: narrow projection, whole-stage codegen, no shuffle besides the
+    * output sort.
+    */
+  def f13(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+        regexp_extract(col("p_name"), "[a-z]+$", 0).as("last_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("devoweled"),
+        (length(col("p_name")) -
+          length(regexp_replace(col("p_name"), "[aeiou]", "")))
+          .cast("bigint").as("n_vowels"),
+        col("p_name").rlike("widget$").as("is_widget"))
+      .orderBy("p_partkey")
 }

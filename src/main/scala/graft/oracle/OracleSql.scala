@@ -1827,6 +1827,105 @@ object OracleSql {
         | dau - COALESCE(new_users, 0) AS returning,
         | SUM(COALESCE(new_users, 0)) OVER (ORDER BY day_idx
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
-        |FROM dau LEFT JOIN news USING (day_idx) ORDER BY day""".stripMargin
+        |FROM dau LEFT JOIN news USING (day_idx) ORDER BY day""".stripMargin,
+
+    "a21_mode" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | p AS (SELECT user_id, event_type, cnt,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id
+        |     ORDER BY cnt DESC, event_type) AS rn,
+        |   SUM(cnt) OVER (PARTITION BY user_id) AS n_events
+        |  FROM c)
+        |SELECT user_id, event_type AS mode_type, cnt AS mode_cnt,
+        | CAST(n_events AS BIGINT) AS n_events,
+        | ROUND(CAST(cnt AS DOUBLE) / CAST(n_events AS DOUBLE), 4) AS mode_share
+        |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "s11_gap_stats" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        | g AS (SELECT user_id,
+        |   ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS gap
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+        | SUM(gap) AS total_gap_us,
+        | ROUND(CAST(SUM(gap) AS DOUBLE)
+        |   / CAST(COUNT(*) - 1 AS DOUBLE) / 1000000.0, 4) AS avg_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "l9_keyword_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        | tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        | df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        | n AS (SELECT COUNT(*) AS n FROM documents),
+        | sc AS (SELECT doc_id, tf.term,
+        |   CAST(CAST(tf AS DECIMAL(10,0))
+        |    * CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS DOUBLE) AS score
+        |  FROM tf JOIN df ON tf.term = df.term, n),
+        | r AS (SELECT doc_id, term, score,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id
+        |     ORDER BY score DESC, term) AS rk
+        |  FROM sc)
+        |SELECT doc_id, rk, term, score
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "f13_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_name, '^[a-z]+') AS first_word,
+        | regexp_extract(p_name, '[a-z]+$') AS last_word,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS devoweled,
+        | length(p_name)
+        |  - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS n_vowels,
+        | regexp_matches(p_name, 'widget$') AS is_widget
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "j16_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |   CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+        |   CASE WHEN event_type = 'click' THEN event_id END AS ck_id,
+        |   CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ck_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | wq AS (SELECT *,
+        |   last_value(ck_id IGNORE NULLS) OVER wb AS b_id,
+        |   last_value(ck_ts IGNORE NULLS) OVER wb AS b_ts,
+        |   first_value(ck_id IGNORE NULLS) OVER wf AS f_id,
+        |   first_value(ck_ts IGNORE NULLS) OVER wf AS f_ts
+        |  FROM e WINDOW
+        |   wb AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |   wf AS (PARTITION BY user_id ORDER BY ts_us, kind, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        | q AS (SELECT *,
+        |   b_ts IS NOT NULL AND ts_us - b_ts <= 3600000000 AS b_ok,
+        |   f_ts IS NOT NULL AND f_ts - ts_us <= 3600000000 AS f_ok
+        |  FROM wq WHERE kind = 1),
+        | pick AS (SELECT *,
+        |   b_ok AND (NOT f_ok OR ts_us - b_ts <= f_ts - ts_us) AS use_b
+        |  FROM q WHERE b_ok OR f_ok)
+        |SELECT event_id, user_id, ts_us AS purchase_ts,
+        | CASE WHEN use_b THEN b_id ELSE f_id END AS click_event_id,
+        | CASE WHEN use_b THEN b_ts ELSE f_ts END - ts_us AS delta_us
+        |FROM pick ORDER BY event_id""".stripMargin,
+
+    "x39_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |   ROW_NUMBER() OVER (PARTITION BY source
+        |     ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        | k AS (SELECT source, COUNT(*) AS kept_docs,
+        |   CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |  FROM r WHERE rn <= 10 GROUP BY 1),
+        | t AS (SELECT source, COUNT(*) AS total_docs,
+        |   CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY 1)
+        |SELECT t.source, total_docs, kept_docs,
+        | total_docs - kept_docs AS dropped_docs, kept_chars,
+        | ROUND(CAST(kept_chars AS DOUBLE)
+        |   / CAST(total_chars AS DOUBLE), 4) AS kept_char_frac
+        |FROM t JOIN k USING (source) ORDER BY source""".stripMargin
   )
 }

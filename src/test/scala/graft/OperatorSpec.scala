@@ -1218,4 +1218,111 @@ class OperatorSpec extends SparkSpec {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("a21 mode: one row per user, mode_cnt dominates, share in (0,1]") {
+    val rows = Aggs.a21(spark, sf001).collect()
+    val users = Tables.events(spark, sf001)
+      .select($"user_id").distinct().count()
+    assert(rows.length.toLong === users)
+    rows.foreach { r =>
+      val (cnt, n) = (r.getAs[Long]("mode_cnt"), r.getAs[Long]("n_events"))
+      assert(cnt >= 1 && cnt <= n)
+      // 5 event types -> the mode is at least a fifth of the events
+      assert(cnt * 5 >= n)
+      val share = r.getAs[Double]("mode_share")
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
+  test("s11 gap stats: total gap telescopes to the user's timestamp span") {
+    val out = Events.s11(spark, sf001)
+    val span = Tables.events(spark, sf001)
+      .select($"user_id", expr("ts div 1000").as("ts_us"))
+      .groupBy($"user_id")
+      .agg((max($"ts_us") - min($"ts_us")).as("span"),
+        count(lit(1)).as("n"))
+    val joined = out.join(span, Seq("user_id")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("n_events") === r.getAs[Long]("n"))
+      if (r.getAs[Long]("n") > 1) {
+        assert(r.getAs[Long]("total_gap_us") === r.getAs[Long]("span"))
+        assert(r.getAs[Long]("min_gap_us") <= r.getAs[Long]("max_gap_us"))
+      } else assert(r.isNullAt(r.fieldIndex("total_gap_us")))
+    }
+  }
+
+  test("l9 keyword top-3: ranks contiguous, scores non-increasing per doc") {
+    val rows = Llm.l9(spark, sf001).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to rs.length))
+      val sc = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("score"))
+      assert(sc.zip(sc.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("f13 regex: vowel count and word anchors agree with direct string ops") {
+    Scalars.f13(spark, sf001)
+      .join(Tables.part(spark, sf001), Seq("p_partkey"))
+      .collect().foreach { r =>
+        val name = r.getAs[String]("p_name")
+        assert(r.getAs[Long]("n_vowels") === name.count("aeiou".contains(_)))
+        assert(r.getAs[Boolean]("is_widget") === name.endsWith("widget"))
+        assert(name.startsWith(r.getAs[String]("first_word")))
+        assert(name.endsWith(r.getAs[String]("last_word")))
+        assert(r.getAs[String]("devoweled") === name.filterNot("aeiou".contains(_)))
+      }
+  }
+
+  test("j16 nearest-asof equals the brute-force range join (sf0.001)") {
+    val usPerHour = 3600L * 1000000L
+    val e = Tables.events(spark, sf001)
+      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"),
+        $"event_type")
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts_us".as("pts"))
+    val c = e.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id", $"ts_us".as("cts"))
+    val brute = p.join(c, Seq("user_id"))
+      .filter(abs($"cts" - $"pts") <= usPerHour)
+      // mirror j16's pick order: nearest first; distance ties -> the
+      // backward side; within a side, the window's frame edge (backward =
+      // LAST of (cts, cid) ascending, forward = FIRST)
+      .withColumn("side", when($"cts" <= $"pts", 0).otherwise(1))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_id")
+          .orderBy(abs($"cts" - $"pts"), $"side",
+            when($"side" === 0, -$"cts").otherwise($"cts"),
+            when($"side" === 0, -$"cid").otherwise($"cid"))))
+      .filter($"rn" === 1)
+      .select($"event_id", $"user_id", $"pts".as("purchase_ts"),
+        $"cid".as("click_event_id"), ($"cts" - $"pts").as("delta_us"))
+    val got = Joins.j16(spark, sf001)
+    assert(got.count() > 0)
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+  }
+
+  test("x39 domain cap matches the window-rank formulation (sf0.001)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
+    val docs = Tables.documents(spark, sf001)
+      .select($"source", $"doc_id", $"n_chars")
+    val kept = docs.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 10)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("kept_docs_w"), sum($"n_chars").as("kept_chars_w"))
+    val got = Pipeline.x39(spark, sf001).join(kept, Seq("source")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") === r.getAs[Long]("kept_docs_w"))
+      assert(r.getAs[Long]("kept_chars") === r.getAs[Long]("kept_chars_w"))
+      assert(r.getAs[Long]("kept_docs") ===
+        math.min(r.getAs[Long]("total_docs"), 10L))
+      assert(r.getAs[Long]("dropped_docs") ===
+        r.getAs[Long]("total_docs") - r.getAs[Long]("kept_docs"))
+    }
+  }
 }
