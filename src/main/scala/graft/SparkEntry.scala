@@ -38,6 +38,7 @@ object SparkEntry {
     "j14_fuzzy_join" -> (Joins.j14 _),
     "j15_interval_overlap" -> (Joins.j15 _),
     "j16_asof_nearest" -> (Joins.j16 _),
+    "j17_bloom_semi" -> (Joins.j17 _),
     "r8_pagerank_redist" -> (Rdf.r7Redistributed _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
@@ -95,6 +96,7 @@ object SparkEntry {
     "f11_struct_funcs" -> (Scalars.f11 _),
     "f12_trig" -> (Scalars.f12 _),
     "f13_regex" -> (Scalars.f13 _),
+    "f14_datetrunc" -> (Scalars.f14 _),
     // §2.6 event/stream (batch-equivalent)
     "s1_tumbling" -> (Events.s1 _),
     "s2_sliding" -> (Events.s2 _),
@@ -162,9 +164,11 @@ object SparkEntry {
     "x37_corpus_stats" -> (Pipeline.x37 _),
     "x38_incr_dedup" -> (Pipeline.x38 _),
     "x39_domain_cap" -> (Pipeline.x39 _),
+    "x40_curation_funnel" -> (Pipeline.x40 _),
     "s9_rate_window" -> (Events.s9 _),
     "s10_cum_users" -> (Events.s10 _),
-    "s11_gap_stats" -> (Events.s11 _)
+    "s11_gap_stats" -> (Events.s11 _),
+    "s12_sessionize" -> (Events.s12 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -261,4 +261,34 @@ object Events {
         col("max_gap_us"), col("total_gap_us"), col("avg_gap_s"))
       .orderBy("user_id")
   }
+
+  /** s12 — MANUAL gap sessionization (s3 uses Spark's built-in
+    * `session_window`; this is the portable window-function formulation
+    * every warehouse runs, so the two can cross-check): a session breaks
+    * when the gap since the user's previous event exceeds 30 min (strict >,
+    * s3's boundary rule); session index = running sum of break flags;
+    * per-session event count, start/end µs and duration. Equal timestamps
+    * ordered by event_id (D6); all math exact integer µs (D3).
+    *
+    * Scale: one user-keyed window (lag + running sum — a single sort serves
+    * both) and one (user, session)-keyed agg; no state beyond the sort.
+    */
+  def s12(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("prev", lag(col("ts_us"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts_us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(wRun))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"))
+      .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
+      .orderBy("user_id", "session_idx")
+  }
 }

@@ -348,4 +348,36 @@ object Joins {
           - col("ts_us")).as("delta_us"))
       .orderBy("event_id")
   }
+
+  /** j17 — Bloom-prefiltered dimension join (j13's discipline on the OTHER
+    * manual plan technique: like salting, the Bloom runtime filter is a PLAN
+    * property — the exact join removes every false positive, so the result
+    * is byte-identical to the plain join the oracle states, and a Bloom bug
+    * (missed key ⇒ dropped rows) breaks the hash gate instead of hiding in
+    * a capability test): revenue per supplier for one region's suppliers,
+    * fact side pruned by `Sketches.bloomPreFilter` before the join.
+    *
+    * Scale: the Bloom is built over the REDUCED dim side (suppliers of 5
+    * nations — dimension-sized, the same memory class as a broadcast-hash
+    * build) and applied as a scan-adjacent filter, so non-matching fact rows
+    * die before the shuffle — the manual form of Spark's
+    * `runtime.bloomFilter` rewrite, pinned on rather than left to cost
+    * estimation.
+    */
+  def j17(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.supplier(s, d)
+      .join(Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_nationkey") < 5)
+      .select(col("s_suppkey"), col("s_name"))
+    val fact = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), dec2(col("l_extendedprice")).as("price"))
+    Sketches.bloomPreFilter(fact, dim, "l_suppkey", "s_suppkey",
+        expectedDim = 65536L, fpp = 0.01)
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_items"), sum(col("price")).as("revenue"))
+      .select(col("s_suppkey"), col("s_name"), col("n_items"),
+        out2(col("revenue")).as("revenue"))
+      .orderBy("s_suppkey")
+  }
 }

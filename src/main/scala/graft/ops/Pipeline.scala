@@ -1630,4 +1630,48 @@ object Pipeline {
           / col("total_chars").cast("double")).as("kept_char_frac"))
       .orderBy("source")
   }
+
+  /** x40 — CURATION FUNNEL accounting (the per-stage survivor counts every
+    * pipeline report leads with, and the first thing a data engineer checks
+    * when a corpus shrinks unexpectedly): raw → exact-dedup survivors (l1's
+    * md5 contract, min-doc_id survivor) → English filter → length floor
+    * (n_chars ≥ 150) → per-source cap (x39's K=10, longest-first). One row
+    * per stage with docs in/out and the retained fraction (one
+    * correctly-rounded double division, D4).
+    *
+    * Scale: each stage is a keyed window/filter over the shrinking survivor
+    * frame — the dedup rank is hash-keyed, the cap rank source-keyed; the
+    * accounting rows are five single-row aggs unioned (driver never sees
+    * docs). The final lag window runs over FIVE rows (bounded axis, w5's
+    * safe-global-window note).
+    */
+  def x40(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val wDedup = Window.partitionBy("h").orderBy("doc_id")
+    val s1 = docs.withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1).drop("rn")
+    val s2 = s1.filter(col("lang") === "en")
+    val s3 = s2.filter(col("n_chars") >= 150)
+    val wCap = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val s4 = s3.withColumn("rn", row_number().over(wCap))
+      .filter(col("rn") <= 10).drop("rn")
+    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("docs"))
+        .select(lit(idx).as("stage"), lit(name).as("stage_name"), col("docs"))
+    val acct = stage(docs, 0, "raw")
+      .unionAll(stage(s1, 1, "exact_dedup"))
+      .unionAll(stage(s2, 2, "lang_en"))
+      .unionAll(stage(s3, 3, "min_length"))
+      .unionAll(stage(s4, 4, "domain_cap"))
+    val wLag = Window.orderBy("stage")
+    acct.withColumn("docs_in", lag(col("docs"), 1).over(wLag))
+      .select(col("stage"), col("stage_name"), col("docs_in"),
+        col("docs").as("docs_out"),
+        graft.Det.round4fast(col("docs").cast("double")
+          / col("docs_in").cast("double")).as("retained_frac"))
+      .orderBy("stage")
+  }
 }

@@ -234,4 +234,26 @@ object Scalars {
           .cast("bigint").as("n_vowels"),
         col("p_name").rlike("widget$").as("is_widget"))
       .orderBy("p_partkey")
+
+  /** f14 — calendar-truncation family completing f2's date group: month /
+    * quarter / week starts (Spark's `date_trunc` returns timestamp — cast
+    * back to date; ISO Monday weeks in both engines), `last_day`, and
+    * days-in-month derived by date difference (dialect-free — avoids the
+    * engines' disagreeing day-of-week numberings).
+    *
+    * Scale: narrow codegen projection, no shuffle besides the output sort.
+    */
+  def f14(s: SparkSession, d: String): DataFrame = {
+    val dt = col("o_orderdate").cast("date")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        dt.as("d"),
+        date_trunc("month", dt).cast("date").as("month_start"),
+        date_trunc("quarter", dt).cast("date").as("quarter_start"),
+        date_trunc("week", dt).cast("date").as("week_start"),
+        last_day(dt).as("month_end"),
+        (datediff(last_day(dt), date_trunc("month", dt).cast("date")) + 1)
+          .cast("bigint").as("days_in_month"))
+      .orderBy("o_orderkey")
+  }
 }

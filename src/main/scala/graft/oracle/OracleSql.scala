@@ -1926,6 +1926,70 @@ object OracleSql {
         | total_docs - kept_docs AS dropped_docs, kept_chars,
         | ROUND(CAST(kept_chars AS DOUBLE)
         |   / CAST(total_chars AS DOUBLE), 4) AS kept_char_frac
-        |FROM t JOIN k USING (source) ORDER BY source""".stripMargin
+        |FROM t JOIN k USING (source) ORDER BY source""".stripMargin,
+
+    "j17_bloom_semi" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_items,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_nationkey < 5
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
+    "s12_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        | b AS (SELECT user_id, event_id, ts_us,
+        |   CASE WHEN LAG(ts_us) OVER w IS NULL
+        |     OR ts_us - LAG(ts_us) OVER w > 1800000000 THEN 1 ELSE 0
+        |   END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        | si AS (SELECT user_id, ts_us,
+        |   SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM b)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | COUNT(*) AS n_events, MIN(ts_us) AS sess_start_us,
+        | MAX(ts_us) AS sess_end_us,
+        | MAX(ts_us) - MIN(ts_us) AS duration_us
+        |FROM si GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin,
+
+    "f14_datetrunc" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        | date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+        | date_trunc('quarter', CAST(o_orderdate AS DATE)) AS quarter_start,
+        | date_trunc('week', CAST(o_orderdate AS DATE)) AS week_start,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(last_day(CAST(o_orderdate AS DATE))
+        |   - date_trunc('month', CAST(o_orderdate AS DATE)) + 1
+        |  AS BIGINT) AS days_in_month
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "x40_curation_funnel" ->
+      """WITH docs AS (SELECT doc_id, lang, source, n_chars,
+        |   md5(lower(trim(text))) AS h FROM documents),
+        | s1 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY h ORDER BY doc_id) AS rn FROM docs) WHERE rn = 1),
+        | s2 AS (SELECT * FROM s1 WHERE lang = 'en'),
+        | s3 AS (SELECT * FROM s2 WHERE n_chars >= 150),
+        | s4 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn2
+        |   FROM s3) WHERE rn2 <= 10),
+        | acct AS (
+        |  SELECT 0 AS stage, 'raw' AS stage_name, COUNT(*) AS docs FROM docs
+        |  UNION ALL SELECT 1, 'exact_dedup', COUNT(*) FROM s1
+        |  UNION ALL SELECT 2, 'lang_en', COUNT(*) FROM s2
+        |  UNION ALL SELECT 3, 'min_length', COUNT(*) FROM s3
+        |  UNION ALL SELECT 4, 'domain_cap', COUNT(*) FROM s4)
+        |SELECT stage, stage_name,
+        | LAG(docs) OVER (ORDER BY stage) AS docs_in, docs AS docs_out,
+        | ROUND(CAST(docs AS DOUBLE)
+        |   / CAST(LAG(docs) OVER (ORDER BY stage) AS DOUBLE), 4)
+        |  AS retained_frac
+        |FROM acct ORDER BY stage""".stripMargin
   )
 }

@@ -1305,6 +1305,65 @@ class OperatorSpec extends SparkSpec {
     assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
   }
 
+  test("j17 bloom-prefiltered join equals the plain join (sf0.001)") {
+    val plain = Tables.lineitem(spark, sf001)
+      .join(Tables.supplier(spark, sf001),
+        $"l_suppkey" === $"s_suppkey")
+      .join(Tables.nation(spark, sf001),
+        $"s_nationkey" === $"n_nationkey")
+      .filter($"n_nationkey" < 5)
+      .groupBy($"s_suppkey", $"s_name")
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(18,2))")).as("rev"))
+      .select($"s_suppkey", $"s_name", $"n_items",
+        expr("CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE)").as("revenue"))
+    val got = Joins.j17(spark, sf001)
+    assert(got.count() > 0)
+    assert(got.exceptAll(plain).isEmpty && plain.exceptAll(got).isEmpty)
+  }
+
+  test("s12 manual sessionization agrees with s3's built-in session_window") {
+    def sig(df: org.apache.spark.sql.DataFrame, cnt: String) =
+      df.groupBy($"user_id")
+        .agg(sort_array(collect_list(col(cnt))).as("sizes"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          r.getAs[Seq[Long]]("sizes")).toMap
+    val manual = sig(Events.s12(spark, sf001), "n_events")
+    val builtin = sig(Events.s3(spark, sf001), "cnt")
+    assert(manual.nonEmpty)
+    assert(manual === builtin)
+  }
+
+  test("f14 calendar truncation invariants") {
+    Scalars.f14(spark, sf001).collect().foreach { r =>
+      val d = r.getAs[java.sql.Date]("d").toLocalDate
+      val ms = r.getAs[java.sql.Date]("month_start").toLocalDate
+      val qs = r.getAs[java.sql.Date]("quarter_start").toLocalDate
+      val ws = r.getAs[java.sql.Date]("week_start").toLocalDate
+      val me = r.getAs[java.sql.Date]("month_end").toLocalDate
+      assert(ms == d.withDayOfMonth(1))
+      assert(qs.getDayOfMonth == 1 && Seq(1, 4, 7, 10).contains(qs.getMonthValue))
+      assert(ws.getDayOfWeek == java.time.DayOfWeek.MONDAY && !ws.isAfter(d))
+      assert(me == d.withDayOfMonth(d.lengthOfMonth))
+      assert(r.getAs[Long]("days_in_month") == d.lengthOfMonth.toLong)
+    }
+  }
+
+  test("x40 funnel: counts monotone and reconcilable stage by stage") {
+    val rows = Pipeline.x40(spark, sf001).collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.map(_.getAs[String]("stage_name")).toSeq ==
+      Seq("raw", "exact_dedup", "lang_en", "min_length", "domain_cap"))
+    val outs = rows.map(_.getAs[Long]("docs_out"))
+    assert(outs.zip(outs.tail).forall { case (a, b) => b <= a })
+    // stage0 = corpus size; stage1 = distinct content hashes (l1's groups)
+    assert(outs(0) === Tables.documents(spark, sf001).count())
+    assert(outs(1) === Llm.l1(spark, sf001).count())
+    // docs_in chains to the previous stage's docs_out
+    rows.tail.zip(rows).foreach { case (cur, prev) =>
+      assert(cur.getAs[Long]("docs_in") === prev.getAs[Long]("docs_out"))
+    }
+  }
+
   test("x39 domain cap matches the window-rank formulation (sf0.001)") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
