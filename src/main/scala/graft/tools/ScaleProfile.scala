@@ -45,7 +45,12 @@ object ScaleProfile {
     "r9_triangles", "r10_bipartite_proj", "r11_bfs", "j14_fuzzy_join",
     "j15_interval_overlap", "w8_ntile_spend", "x35_hll_users",
     "x36_cms_words", "a20_weighted_median", "x37_corpus_stats",
-    "x38_incr_dedup", "w9_interval_range")
+    "x38_incr_dedup", "w9_interval_range",
+    // round-8 continuation 2: the corpus-window family (l9's TF-IDF +
+    // doc-keyed rank, s12's user-keyed sessionization over m× events,
+    // x40's five chained survivor stages, j16's two-frame as-of window)
+    "l9_keyword_topk", "s12_sessionize", "x40_curation_funnel",
+    "j16_asof_nearest")
 
   val Mults = Seq(1, 2, 4, 8)
 
