@@ -39,6 +39,7 @@ object SparkEntry {
     "j15_interval_overlap" -> (Joins.j15 _),
     "j16_asof_nearest" -> (Joins.j16 _),
     "j17_bloom_semi" -> (Joins.j17 _),
+    "j18_not_exists" -> (Joins.j18 _),
     "r8_pagerank_redist" -> (Rdf.r7Redistributed _),
     // §2.3 aggregation / sort / set ops
     "a1_pricing_summary" -> (Aggs.a1 _),
@@ -165,10 +166,13 @@ object SparkEntry {
     "x38_incr_dedup" -> (Pipeline.x38 _),
     "x39_domain_cap" -> (Pipeline.x39 _),
     "x40_curation_funnel" -> (Pipeline.x40 _),
+    "x41_shard_audit" -> (Pipeline.x41 _),
     "s9_rate_window" -> (Events.s9 _),
     "s10_cum_users" -> (Events.s10 _),
     "s11_gap_stats" -> (Events.s11 _),
-    "s12_sessionize" -> (Events.s12 _)
+    "s12_sessionize" -> (Events.s12 _),
+    "w10_pareto_share" -> (Windows.w10 _),
+    "u7_typed_mapgroups" -> (Udfs.u7 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

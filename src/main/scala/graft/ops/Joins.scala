@@ -380,4 +380,24 @@ object Joins {
         out2(col("revenue")).as("revenue"))
       .orderBy("s_suppkey")
   }
+
+  /** j18 — correlated NOT EXISTS (the anti-join decorrelation path, closing
+    * the subquery surface j11's scalars and j12's LATERAL opened): customers
+    * with no open order. SQL-text-only form, j11's ephemeral-view
+    * discipline; Catalyst rewrites to ONE left-anti hash join (`.explain`:
+    * no per-row subquery execution) — the exact plan j6 writes by hand, so
+    * the declarative form scales identically. Balances are value copies
+    * (no arithmetic — exact parity, w7's rule).
+    */
+  def j18(s: SparkSession, d: String): DataFrame = {
+    val vc = s"customer_j18_${Joins.viewSeq.incrementAndGet()}"
+    val vo = s"orders_j18_${Joins.viewSeq.incrementAndGet()}"
+    Tables.customer(s, d).createOrReplaceTempView(vc)
+    Tables.orders(s, d).createOrReplaceTempView(vo)
+    try s.sql(s"""SELECT c_custkey, c_name, c_acctbal FROM $vc c
+             WHERE NOT EXISTS (SELECT 1 FROM $vo o
+               WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+             ORDER BY c_custkey""")
+    finally { s.catalog.dropTempView(vc); s.catalog.dropTempView(vo) }
+  }
 }

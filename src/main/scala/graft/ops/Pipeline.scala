@@ -1674,4 +1674,25 @@ object Pipeline {
           / col("docs_in").cast("double")).as("retained_frac"))
       .orderBy("stage")
   }
+
+  /** x41 — SHARD AUDIT over x27's pack (the validation a trainer runs
+    * before touching the shards: are they contiguous, evenly filled, and
+    * boundary-consistent?): per-shard doc count, token mass, start/end
+    * token offsets and fill fraction against the 2,500-token target.
+    *
+    * Scale: x27's corpus-linear chain + ONE shard-keyed agg (shard count =
+    * total_tokens / ShardTokens — corpus-linear rows, bounded state per
+    * key); fill division is one correctly-rounded double op (D4).
+    */
+  def x41(s: SparkSession, d: String): DataFrame =
+    x27(s, d)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("wc")).as("tokens"),
+        min(col("cum_tokens") - col("wc")).as("start_tok"),
+        max(col("cum_tokens")).as("end_tok"))
+      .withColumn("fill_frac", graft.Det.round4fast(
+        col("tokens").cast("double") / lit(ShardTokens.toDouble)))
+      .select(col("shard"), col("n_docs"), col("tokens"), col("start_tok"),
+        col("end_tok"), col("fill_frac"))
+      .orderBy("shard")
 }

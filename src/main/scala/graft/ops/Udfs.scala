@@ -169,4 +169,42 @@ object Udfs {
       .agg(count(lit(1)).as("n_vecs"), cent(col("emb")).as("centroid"))
       .orderBy("label")
   }
+
+  /** u7 — TYPED Dataset groupByKey + mapGroups (the Encoder-backed typed
+    * API the u-group exists to prove; u2's Aggregator is the typed AGG
+    * path, this is the typed whole-group path): per-nation customer count,
+    * exact balance total and custkey extrema, computed imperatively over
+    * each group's iterator. The balance accumulates in java BigDecimal —
+    * exact arithmetic is ORDER-INDEPENDENT, so the group iterator's
+    * nondeterministic order cannot change the result (the same reason u2
+    * keeps its buffer in BigDecimal).
+    *
+    * Scale: groupByKey shuffles once on the nation key; per-group state is
+    * four scalars. mapGroups forgoes codegen — the declared point IS the
+    * typed API surface; the identical result is one `groupBy.agg` away
+    * (the oracle states it) when codegen matters more than types.
+    */
+  def u7(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.customer(s, d)
+      .select(col("c_nationkey").cast("int"), col("c_custkey").cast("long"),
+        dec2(col("c_acctbal")).as("bal"))
+      .as[(Int, Long, java.math.BigDecimal)]
+    ds.groupByKey(_._1)
+      .mapGroups { (nk, it) =>
+        var n = 0L
+        var tot = java.math.BigDecimal.ZERO
+        var minK = Long.MaxValue
+        var maxK = Long.MinValue
+        it.foreach { case (_, ck, bal) =>
+          n += 1
+          tot = tot.add(bal)
+          if (ck < minK) minK = ck
+          if (ck > maxK) maxK = ck
+        }
+        (nk, n, tot.setScale(2).doubleValue, minK, maxK)
+      }
+      .toDF("c_nationkey", "n_cust", "total_bal", "min_custkey", "max_custkey")
+      .orderBy("c_nationkey")
+  }
 }

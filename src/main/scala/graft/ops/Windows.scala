@@ -239,4 +239,32 @@ object Windows {
       .agg(sum(dec2(col("o_totalprice"))).as("spend"))
       .repartitionByRange(col("spend").desc, col("o_custkey"))
       .withColumn("cell", spark_partition_id())
+
+  /** w10 — Pareto concentration: the top-20 customers by order revenue and
+    * the cumulative share of TOTAL revenue each rank accounts for (the
+    * "top k% drive X%" curve every revenue review opens with).
+    *
+    * Scale: the unbounded-axis global window hazard (w5's note) is avoided
+    * by construction — revenue is a keyed agg, the top-20 cut plans as
+    * TakeOrderedAndProject (no global sort), and the rank/cumsum window
+    * then runs over exactly 20 ROWS; the corpus-wide total joins as ONE
+    * broadcast scalar row. Money stays decimal until the single share
+    * division (D2/D4 — decimal→double casts are exact at these magnitudes).
+    */
+  def w10(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    val tot = rev.agg(sum(col("rev")).as("tot"))
+    val top = rev.orderBy(col("rev").desc, col("o_custkey")).limit(20)
+    val w = Window.orderBy(col("rev").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("rnk"), col("o_custkey"), out2(col("rev")).as("revenue"),
+        graft.Det.round4fast(col("cum_rev").cast("double")
+          / col("tot").cast("double")).as("cum_share"))
+      .orderBy("rnk")
+  }
 }

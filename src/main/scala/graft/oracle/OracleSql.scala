@@ -1990,6 +1990,57 @@ object OracleSql {
         | ROUND(CAST(docs AS DOUBLE)
         |   / CAST(LAG(docs) OVER (ORDER BY stage) AS DOUBLE), 4)
         |  AS retained_frac
-        |FROM acct ORDER BY stage""".stripMargin
+        |FROM acct ORDER BY stage""".stripMargin,
+
+    "w10_pareto_share" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        | tot AS (SELECT SUM(rev) AS tot FROM rev),
+        | top AS (SELECT o_custkey, rev FROM rev
+        |  ORDER BY rev DESC, o_custkey LIMIT 20),
+        | r AS (SELECT o_custkey, rev,
+        |   ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rnk,
+        |   SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+        |     ROWS UNBOUNDED PRECEDING) AS cum_rev
+        |  FROM top)
+        |SELECT rnk, o_custkey,
+        | CAST(CAST(rev AS DECIMAL(18,2)) AS DOUBLE) AS revenue,
+        | ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 4)
+        |  AS cum_share
+        |FROM r, tot ORDER BY rnk""".stripMargin,
+
+    "u7_typed_mapgroups" ->
+      """SELECT c_nationkey, COUNT(*) AS n_cust,
+        | CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+        |   AS DECIMAL(18,2)) AS DOUBLE) AS total_bal,
+        | MIN(c_custkey) AS min_custkey, MAX(c_custkey) AS max_custkey
+        |FROM customer GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
+    "j18_not_exists" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "x41_shard_audit" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS wc,
+        |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> length(t) <= 2)) AS INTEGER) AS short_cnt
+        |  FROM w),
+        | q AS (SELECT doc_id, wc,
+        |  ROUND(1.0 - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0 AS quality
+        |  FROM c),
+        | cs AS (SELECT doc_id, quality, wc,
+        |  CAST(SUM(wc) OVER (ORDER BY quality DESC, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM q)
+        |SELECT (cum_tokens - wc) // 2500 AS shard, COUNT(*) AS n_docs,
+        | CAST(SUM(wc) AS BIGINT) AS tokens,
+        | MIN(cum_tokens - wc) AS start_tok, MAX(cum_tokens) AS end_tok,
+        | ROUND(CAST(SUM(wc) AS DOUBLE) / 2500.0, 4) AS fill_frac
+        |FROM cs GROUP BY 1 ORDER BY shard""".stripMargin
   )
 }

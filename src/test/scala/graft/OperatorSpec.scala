@@ -1364,6 +1364,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("w10 pareto: 20 rows, revenue non-increasing, cum_share monotone to <= 1") {
+    val rows = Windows.w10(spark, sf001).collect()
+    assert(rows.length === 20)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.zip(rev.tail).forall { case (a, b) => a >= b })
+    val cum = rows.map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.last <= 1.0 && cum.head > 0.0)
+  }
+
+  test("u7 typed mapGroups equals the declarative groupBy.agg") {
+    val declarative = Tables.customer(spark, sf001)
+      .groupBy($"c_nationkey".cast("int").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        expr("CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE)")
+          .as("total_bal"),
+        min($"c_custkey").as("min_custkey"),
+        max($"c_custkey").as("max_custkey"))
+    val got = Udfs.u7(spark, sf001)
+    assert(got.count() > 0)
+    assert(got.exceptAll(declarative).isEmpty && declarative.exceptAll(got).isEmpty)
+  }
+
+  test("j18 NOT EXISTS partitions customers against the open-order semi join") {
+    val withOpen = Tables.customer(spark, sf001)
+      .join(Tables.orders(spark, sf001).filter($"o_orderstatus" === "O"),
+        $"c_custkey" === $"o_custkey", "left_semi").count()
+    val without = Joins.j18(spark, sf001).count()
+    assert(without > 0)
+    assert(withOpen + without === Tables.customer(spark, sf001).count())
+  }
+
+  test("x41 shard audit: totals reconcile and shards tile the token axis") {
+    val rows = Pipeline.x41(spark, sf001).collect()
+      .sortBy(_.getAs[Long]("shard"))
+    val docs = Tables.documents(spark, sf001)
+      .select(size(split($"text", " ")).cast("bigint").as("wc"))
+      .agg(count(lit(1)).as("n"), sum($"wc").as("toks")).head()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.getAs[Long]("n"))
+    assert(rows.map(_.getAs[Long]("tokens")).sum === docs.getAs[Long]("toks"))
+    rows.foreach { r =>
+      // a shard's first token offset lands inside its own 2,500-token band
+      assert(r.getAs[Long]("start_tok") / 2500L === r.getAs[Long]("shard"))
+    }
+    // consecutive shards touch: next start == previous end (telescoping cum)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      assert(b.getAs[Long]("start_tok") === a.getAs[Long]("end_tok"))
+    }
+  }
+
   test("x39 domain cap matches the window-rank formulation (sf0.001)") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")
