@@ -355,4 +355,31 @@ class PlanLintSpec extends SparkSpec {
       }
     assert(scans === 1, s"x22 must scan documents once, found $scans scans")
   }
+
+  /** j18's design claim: Catalyst decorrelates the NOT EXISTS into ONE
+    * anti join — no per-row subquery execution survives to the physical
+    * plan. A Spark change that left a correlated subquery in place would
+    * re-execute orders per customer row (quadratic at scale). */
+  test("j18 NOT EXISTS plans as a single anti join, no residual subquery") {
+    val plan = ops.Joins.j18(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(500))
+    assert(!plan.contains("InSubqueryExec") && !plan.contains("ScalarSubquery"),
+      "correlated subquery survived decorrelation")
+  }
+
+  /** w10's design claim: the top-20 cut plans as TakeOrderedAndProject
+    * (per-partition heaps + one merge), never a global sort of the
+    * per-customer revenue frame. */
+  test("w10 pareto top-20 plans as TakeOrderedAndProject, no global sort below it") {
+    val plan = ops.Windows.w10(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  /** x39's cap must run through the TopKPerGroup physical operator (bounded
+    * per-partition heaps), not a generic window — the skew-proof property
+    * the SURVEY row claims. */
+  test("x39 domain cap plans through TopKPerGroupExec") {
+    val plan = ops.Pipeline.x39(spark, sf001).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroup"), plan.take(500))
+  }
 }
