@@ -171,6 +171,7 @@ object SparkEntry {
     "s10_cum_users" -> (Events.s10 _),
     "s11_gap_stats" -> (Events.s11 _),
     "s12_sessionize" -> (Events.s12 _),
+    "s13_anomaly_days" -> (Events.s13 _),
     "w10_pareto_share" -> (Windows.w10 _),
     "u7_typed_mapgroups" -> (Udfs.u7 _)
   )

@@ -291,4 +291,36 @@ object Events {
       .withColumn("duration_us", col("sess_end_us") - col("sess_start_us"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** s13 — exact-arithmetic activity anomalies: a user's OBSERVED days whose
+    * event count deviates from that user's mean by more than 2 population
+    * standard deviations. The flag predicate never touches a float:
+    * |x − μ| > 2σ  ⇔  (n·x − S)² > 4·(n·SS − S²)  with S = Σx, SS = Σx² —
+    * pure integer compare, bit-identical on any engine (a sqrt/stddev
+    * formulation would inherit each engine's float accumulation order).
+    * Headroom: counts are per-user-day (≤10³ in any realistic stream), so
+    * (n·x − S)² ≤ (10³·10³)² = 10¹² ≪ 2⁶³; the r7-style overflow margin
+    * note applies if either factor grows 10⁴×.
+    *
+    * Scale: two keyed aggs (user×day counts, then per-user moment sums) +
+    * one user-keyed join of the day frame against its own single-row
+    * stats — nothing global until the output sort.
+    */
+  def s13(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val daily = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .groupBy(col("user_id"), col("day_idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("ss"))
+    val dev = col("n_days") * col("cnt") - col("s")
+    daily.join(stats, Seq("user_id"))
+      .filter(dev * dev > lit(4L) * (col("n_days") * col("ss") - col("s") * col("s")))
+      .select(col("user_id"),
+        asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("cnt"), col("n_days"), col("s").as("total_events"))
+      .orderBy("user_id", "day")
+  }
 }

@@ -2041,6 +2041,22 @@ object OracleSql {
         | CAST(SUM(wc) AS BIGINT) AS tokens,
         | MIN(cum_tokens - wc) AS start_tok, MAX(cum_tokens) AS end_tok,
         | ROUND(CAST(SUM(wc) AS DOUBLE) / 2500.0, 4) AS fill_frac
-        |FROM cs GROUP BY 1 ORDER BY shard""".stripMargin
+        |FROM cs GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "s13_anomaly_days" ->
+      """WITH daily AS (SELECT user_id,
+        |   epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx,
+        |   COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | st AS (SELECT user_id, COUNT(*) AS n_days, SUM(cnt) AS s,
+        |   SUM(cnt * cnt) AS ss
+        |  FROM daily GROUP BY 1)
+        |SELECT d.user_id,
+        | CAST(to_timestamp(d.day_idx * 86400) AS DATE) AS day,
+        | d.cnt, st.n_days, CAST(st.s AS BIGINT) AS total_events
+        |FROM daily d JOIN st ON d.user_id = st.user_id
+        |WHERE (st.n_days * d.cnt - st.s) * (st.n_days * d.cnt - st.s)
+        |  > 4 * (st.n_days * st.ss - st.s * st.s)
+        |ORDER BY d.user_id, day""".stripMargin
   )
 }

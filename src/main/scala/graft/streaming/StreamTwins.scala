@@ -326,6 +326,46 @@ object StreamTwins {
       }
   }
 
+  /** s12 twin — streaming MANUAL sessionization via flatMapGroupsWithState:
+    * per-user state is ONLY the open session (index, start, end, count) —
+    * O(1) per user, vs rateWindow's hour-of-events buffer. An event past
+    * the 30-minute gap CLOSES the open session (emitting its row — append
+    * mode) and opens the next; the strict-> boundary matches batch s12/s3.
+    * A user's final session stays open forever (no later event closes it),
+    * so the streamed output is exactly batch s12 MINUS each user's last
+    * session — asserted that way in StreamTwinsSpec. In production a
+    * ProcessingTimeTimeout would flush idle sessions; omitted here to keep
+    * the emitted rows a deterministic function of the data alone.
+    */
+  case class SessRow(user_id: Long, session_idx: Long, n_events: Long,
+    sess_start_us: Long, sess_end_us: Long, duration_us: Long)
+  case class SessState(idx: Long, start: Long, end: Long, n: Long)
+
+  def sessionize(events: Dataset[Event]): Dataset[SessRow] = {
+    import events.sparkSession.implicits._
+    val gap = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[SessRow]
+          rows.toSeq.sortBy(e => (e.ts / 1000, e.event_id)).foreach { e =>
+            val ts = e.ts / 1000
+            if (st == null) st = SessState(1L, ts, ts, 1L)
+            else if (ts - st.end > gap) {
+              out += SessRow(user, st.idx, st.n, st.start, st.end,
+                st.end - st.start)
+              st = SessState(st.idx + 1, ts, ts, 1L)
+            } else st = SessState(st.idx, st.start, math.max(st.end, ts),
+              st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** foreachBatch IDEMPOTENT sink — the manual micro-batch pattern for
     * targets with no transactional streaming sink: each micro-batch
     * OVERWRITES its own epoch-keyed partition directory, so a REPLAYED

@@ -1414,6 +1414,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("s13 anomaly flags equal a driver-side exact recomputation") {
+    val daily = Tables.events(spark, sf001)
+      .select($"user_id", expr("(ts div 1000) div 86400000000").as("day_idx"))
+      .groupBy($"user_id", $"day_idx").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Long]("day_idx"), r.getAs[Long]("cnt")))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val n = BigInt(rows.length)
+      val s = BigInt(rows.map(_._3).sum)
+      val ss = rows.map(c => BigInt(c._3) * c._3).sum
+      rows.filter { case (_, _, c) =>
+        val dev = n * c - s
+        dev * dev > 4 * (n * ss - s * s)
+      }.map { case (_, d, c) => (u, d, c) }
+    }.toSet
+    val got = Events.s13(spark, sf001).collect().map { r =>
+      (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+        r.getAs[Long]("cnt"))
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty || expected.isEmpty)
+  }
+
   test("x39 domain cap matches the window-rank formulation (sf0.001)") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")

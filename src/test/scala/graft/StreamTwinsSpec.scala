@@ -226,6 +226,33 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming sessionization equals batch s12 minus each user's open session") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    val query = StreamTwins.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("sessionize")
+      .outputMode("append").start()
+    try {
+      events.grouped(events.length / 4 + 1).foreach { chunk =>
+        stream.addData(chunk)
+        query.processAllAvailable()
+      }
+      val streamed = spark.table("sessionize")
+        .orderBy("user_id", "session_idx").collect().toSeq
+      // batch result minus each user's final (still-open) session
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val batch = ops.Events.s12(spark, sf001)
+        .withColumn("last_idx", max(col("session_idx")).over(w))
+        .filter(col("session_idx") < col("last_idx"))
+        .select("user_id", "session_idx", "n_events", "sess_start_us",
+          "sess_end_us", "duration_us")
+        .orderBy("user_id", "session_idx").collect().toSeq
+      assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+      assert(streamed.nonEmpty)
+    } finally query.stop()
+  }
+
   test("streaming rate window equals batch s9 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents.sortBy(_.ts)
