@@ -63,6 +63,7 @@ object SparkEntry {
     "a19_interp_fill" -> (Aggs.a19 _),
     "a20_weighted_median" -> (Aggs.a20 _),
     "a21_mode" -> (Aggs.a21 _),
+    "a22_mad" -> (Aggs.a22 _),
     // §2.4 windows + RDF view
     "w1_rank_trio" -> (Windows.w1 _),
     "w2_topk_per_group" -> (Windows.w2 _),

@@ -389,4 +389,44 @@ object Aggs {
           / col("n_events").cast("double")).as("mode_share"))
       .orderBy("user_id")
   }
+
+  /** a22 — MEDIAN ABSOLUTE DEVIATION per flag (the robust dispersion
+    * statistic that pairs with a20's weighted median; no engine ships it
+    * natively): med = lower median of price, mad = lower median of
+    * |price − med|. BOTH medians run a20's running-sum crossing over
+    * collapsed price LEVELS — `2·cum ≥ tot` integer test, `min` price at
+    * the crossing (D6) — so the whole statistic is decimal/integer exact,
+    * no percentile interpolation to disagree on.
+    *
+    * Scale: two level-collapsing keyed aggs + two level-bounded windows
+    * (bounded by PRICE cardinality, not row count — a20's argument) + one
+    * broadcast-scale join of the 3-row median frame.
+    */
+  def a22(s: SparkSession, d: String): DataFrame = {
+    val lv = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("p"))
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(count(lit(1)).as("w"))
+    def lowerMedian(levels: DataFrame, value: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy("l_returnflag").orderBy(value)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("l_returnflag")
+      levels
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tot", sum(col("w")).over(wTot))
+        .filter(col("cum") * 2 >= col("tot"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
+    }
+    val med = lowerMedian(lv, "p", "med")
+    val dev = lv.join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), abs(col("p") - col("med")).as("dv"), col("w"))
+      .groupBy(col("l_returnflag"), col("dv"))
+      .agg(sum(col("w")).as("w"))
+    lowerMedian(dev, "dv", "mad")
+      .join(broadcast(med), Seq("l_returnflag"))
+      .select(col("l_returnflag"), out2(col("med")).as("median_price"),
+        out2(col("mad")).as("mad"), col("med_n").as("n_items"))
+      .orderBy("l_returnflag")
+  }
 }

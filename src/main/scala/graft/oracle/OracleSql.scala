@@ -2057,6 +2057,33 @@ object OracleSql {
         |FROM daily d JOIN st ON d.user_id = st.user_id
         |WHERE (st.n_days * d.cnt - st.s) * (st.n_days * d.cnt - st.s)
         |  > 4 * (st.n_days * st.ss - st.s * st.s)
-        |ORDER BY d.user_id, day""".stripMargin
+        |ORDER BY d.user_id, day""".stripMargin,
+
+    "a22_mad" ->
+      """WITH lv AS (SELECT l_returnflag,
+        |   CAST(l_extendedprice AS DECIMAL(18,2)) AS p, COUNT(*) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        | c1 AS (SELECT l_returnflag, p, w,
+        |   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY p
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM lv),
+        | med AS (SELECT l_returnflag, MIN(p) AS med, MAX(tot) AS n
+        |  FROM c1 WHERE cum * 2 >= tot GROUP BY 1),
+        | dev AS (SELECT lv.l_returnflag, abs(lv.p - med.med) AS dv,
+        |   SUM(lv.w) AS w
+        |  FROM lv JOIN med ON lv.l_returnflag = med.l_returnflag
+        |  GROUP BY 1, 2),
+        | c2 AS (SELECT l_returnflag, dv, w,
+        |   SUM(w) OVER (PARTITION BY l_returnflag ORDER BY dv
+        |     ROWS UNBOUNDED PRECEDING) AS cum,
+        |   SUM(w) OVER (PARTITION BY l_returnflag) AS tot FROM dev),
+        | mad AS (SELECT l_returnflag, MIN(dv) AS mad
+        |  FROM c2 WHERE cum * 2 >= tot GROUP BY 1)
+        |SELECT med.l_returnflag,
+        | CAST(CAST(med.med AS DECIMAL(18,2)) AS DOUBLE) AS median_price,
+        | CAST(CAST(mad.mad AS DECIMAL(18,2)) AS DOUBLE) AS mad,
+        | CAST(med.n AS BIGINT) AS n_items
+        |FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag
+        |ORDER BY med.l_returnflag""".stripMargin
   )
 }

@@ -1414,6 +1414,30 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("a22 MAD: crossing property against a driver-side exact recomputation") {
+    val prices = Tables.lineitem(spark, sf001)
+      .select($"l_returnflag", expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("p"))
+      .collect().map(r => (r.getAs[String]("l_returnflag"),
+        r.getAs[java.math.BigDecimal]("p")))
+    def lowerMedian(xs: Seq[java.math.BigDecimal]): java.math.BigDecimal = {
+      val sorted = xs.sorted(Ordering.comparatorToOrdering(
+        java.util.Comparator.naturalOrder[java.math.BigDecimal]()))
+      sorted((xs.length - 1) / 2) // first index where 2*(i+1) >= n
+    }
+    val expected = prices.groupBy(_._1).map { case (f, rows) =>
+      val ps = rows.map(_._2).toSeq
+      val med = lowerMedian(ps)
+      val mad = lowerMedian(ps.map(p => p.subtract(med).abs()))
+      (f, med.doubleValue, mad.doubleValue, rows.length.toLong)
+    }.toSet
+    val got = Aggs.a22(spark, sf001).collect().map { r =>
+      (r.getAs[String]("l_returnflag"), r.getAs[Double]("median_price"),
+        r.getAs[Double]("mad"), r.getAs[Long]("n_items"))
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
   test("s13 anomaly flags equal a driver-side exact recomputation") {
     val daily = Tables.events(spark, sf001)
       .select($"user_id", expr("(ts div 1000) div 86400000000").as("day_idx"))
