@@ -399,14 +399,25 @@ object Aggs {
     * no percentile interpolation to disagree on.
     *
     * Scale: two level-collapsing keyed aggs + two level-bounded windows
-    * (bounded by PRICE cardinality, not row count — a20's argument) + one
-    * broadcast-scale join of the 3-row median frame.
+    * (bounded by PRICE cardinality, not row count — a20's argument) + two
+    * joins of the flag-cardinality median frame. The LEVEL frame feeds
+    * three consumers (median chain, deviation re-agg, and the median's
+    * second use), so it is materialized ONCE through Ckpt — without it
+    * each consumer re-scans lineitem and re-runs the level agg; the frame
+    * is price-DOMAIN-bounded, so the materialization is fixed-size at any
+    * corpus. Measured floor ~4.9 s at sf0.1, FLAT 1.0× at 8× data (the
+    * price domain, and with it the level count and window length, does
+    * not grow with the corpus — the crossing cost is a constant, not a
+    * scaling term; see BASELINE's scale row). The median frame carries
+    * NO broadcast hint: it sits above materialized shuffle stages, so AQE
+    * broadcasts it from its REAL runtime size (the corpus-broadcast-hint
+    * lint's documented discipline for aggregate-topped build sides).
     */
   def a22(s: SparkSession, d: String): DataFrame = {
-    val lv = Tables.lineitem(s, d)
+    val lv = graft.Ckpt(Tables.lineitem(s, d)
       .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("p"))
       .groupBy(col("l_returnflag"), col("p"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")))
     def lowerMedian(levels: DataFrame, value: String, out: String): DataFrame = {
       val wCum = Window.partitionBy("l_returnflag").orderBy(value)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -419,12 +430,12 @@ object Aggs {
         .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
     }
     val med = lowerMedian(lv, "p", "med")
-    val dev = lv.join(broadcast(med), Seq("l_returnflag"))
+    val dev = lv.join(med, Seq("l_returnflag"))
       .select(col("l_returnflag"), abs(col("p") - col("med")).as("dv"), col("w"))
       .groupBy(col("l_returnflag"), col("dv"))
       .agg(sum(col("w")).as("w"))
     lowerMedian(dev, "dv", "mad")
-      .join(broadcast(med), Seq("l_returnflag"))
+      .join(med, Seq("l_returnflag"))
       .select(col("l_returnflag"), out2(col("med")).as("median_price"),
         out2(col("mad")).as("mad"), col("med_n").as("n_items"))
       .orderBy("l_returnflag")

@@ -40,10 +40,12 @@ class CkptSpec extends SparkSpec {
     // rounds), x25 (x20 + keep list), x27 (sampled range cells),
     // x21_semdedup_learned (Lloyd trainer), r7 (edge frame); round-8
     // continuation: r9 (edge + orientation frames), r11 (BFS rounds),
-    // w8 (sampled range cells).
+    // w8 (sampled range cells); continuation 2: a22 (shared level frame),
+    // x41 (x27's cells via composition).
     val qs = Seq("x20_dup_clusters", "x27_shard_pack",
       "x21_semdedup_learned", "r7_pagerank",
-      "r9_triangles", "r11_bfs", "w8_ntile_spend")
+      "r9_triangles", "r11_bfs", "w8_ntile_spend",
+      "a22_mad", "x41_shard_audit")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>
