@@ -440,4 +440,40 @@ object Aggs {
         out2(col("mad")).as("mad"), col("med_n").as("n_items"))
       .orderBy("l_returnflag")
   }
+
+  /** Capability (non-declared): the RANGE-PARTITIONED two-phase form of
+    * a20/a22's running-sum crossing — x27's canonical distributed prefix
+    * sum generalized to GROUPED axes. The group-window form's parallelism
+    * is the GROUP count (3 flags ⇒ 3 tasks however wide the cluster);
+    * here the level frame range-partitions on (group, value), each cell
+    * computes its local cumsum, per-(cell, group) totals roll into
+    * exclusive offsets via one window over the P-row cell axis, and
+    * cum = offset + local — identical output (prefix sums are
+    * boundary-invariant; x27's argument), P-way parallel. Equality with
+    * the window form is asserted in CapabilitySpec; swap it into a
+    * declared query when a level DOMAIN (not just the corpus) grows past
+    * what one task should sort.
+    */
+  private[graft] def lowerMedianDistributed(levels: DataFrame, value: String,
+      out: String): DataFrame = {
+    val base = graft.Ckpt(
+      levels.repartitionByRange(col("l_returnflag"), col(value))
+        .withColumn("cell", spark_partition_id()))
+    val wIn = Window.partitionBy("cell", "l_returnflag").orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base.withColumn("cum_in", sum(col("w")).over(wIn))
+    val wOff = Window.partitionBy("l_returnflag").orderBy("cell")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = base.groupBy(col("cell"), col("l_returnflag"))
+      .agg(sum(col("w")).as("ctot"))
+      .withColumn("off", sum(col("ctot")).over(wOff) - col("ctot"))
+      .select(col("cell"), col("l_returnflag"), col("off"))
+    val tots = base.groupBy(col("l_returnflag")).agg(sum(col("w")).as("tot"))
+    within.join(offs, Seq("cell", "l_returnflag"))
+      .join(tots, Seq("l_returnflag"))
+      .withColumn("cum", col("off") + col("cum_in"))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
+  }
 }

@@ -216,4 +216,27 @@ class CapabilitySpec extends SparkSpec {
       spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
     }
   }
+
+  test("range-partitioned crossing equals the group-window form (a22's medians)") {
+    val lv = Tables.lineitem(spark, sf001)
+      .select($"l_returnflag",
+        expr("CAST(l_extendedprice AS DECIMAL(18,2))").as("p"))
+      .groupBy($"l_returnflag", $"p")
+      .agg(count(lit(1)).as("w"))
+    // group-window reference: a20/a22's crossing, inlined
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag").orderBy("p")
+      .rowsBetween(Long.MinValue, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+    val ref = lv.withColumn("cum", sum($"w").over(wCum))
+      .withColumn("tot", sum($"w").over(wTot))
+      .filter($"cum" * 2 >= $"tot")
+      .groupBy($"l_returnflag")
+      .agg(min($"p").as("med"), max($"tot").as("med_n"))
+      .orderBy("l_returnflag").collect().toSeq
+    val dist = ops.Aggs.lowerMedianDistributed(lv, "p", "med")
+      .orderBy("l_returnflag").collect().toSeq
+    assert(dist.map(_.toSeq) == ref.map(_.toSeq))
+    assert(dist.nonEmpty)
+  }
 }
