@@ -454,6 +454,33 @@ object Aggs {
     * declared query when a level DOMAIN (not just the corpus) grows past
     * what one task should sort.
     */
+  /** a22 with BOTH crossings routed through [[lowerMedianDistributed]] —
+    * byte-identical output (CapabilitySpec proves the crossing equality;
+    * the rest of the chain is shared code). MEASURED (tools/ProbeA22,
+    * sf0.1, local[32], min-of-3): window 4.88 s vs distributed 7.12 s —
+    * at a ~0.6 M-row level frame the two extra range shuffles +
+    * materializations cost MORE than the 3-task crossing saves, so the
+    * group-window form stays declared; the crossover needs a level DOMAIN
+    * big enough that one task's sort dominates two shuffles (≳10⁷-10⁸
+    * levels). Recorded so the swap threshold is a number, not a guess.
+    */
+  private[graft] def a22Distributed(s: SparkSession, d: String): DataFrame = {
+    val lv = graft.Ckpt(Tables.lineitem(s, d)
+      .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("p"))
+      .groupBy(col("l_returnflag"), col("p"))
+      .agg(count(lit(1)).as("w")))
+    val med = lowerMedianDistributed(lv, "p", "med")
+    val dev = lv.join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), abs(col("p") - col("med")).as("dv"), col("w"))
+      .groupBy(col("l_returnflag"), col("dv"))
+      .agg(sum(col("w")).as("w"))
+    lowerMedianDistributed(dev, "dv", "mad")
+      .join(med, Seq("l_returnflag"))
+      .select(col("l_returnflag"), out2(col("med")).as("median_price"),
+        out2(col("mad")).as("mad"), col("med_n").as("n_items"))
+      .orderBy("l_returnflag")
+  }
+
   private[graft] def lowerMedianDistributed(levels: DataFrame, value: String,
       out: String): DataFrame = {
     val base = graft.Ckpt(
