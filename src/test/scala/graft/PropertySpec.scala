@@ -374,4 +374,35 @@ class PropertySpec extends SparkSpec {
       assert(ours === builtin, s"(n=$n, k=$k)")
     }
   }
+
+  test("weighted-median crossing: window AND distributed forms equal brute force") {
+    // random weighted levels over 2 groups; lower weighted median by
+    // definition = first value (ascending) where 2*cumWeight >= totWeight
+    val gen = Gen.listOfN(25,
+      Gen.zip(Gen.oneOf("A", "B"), Gen.choose(0, 15), Gen.choose(1L, 9L)))
+    cases(gen).foreach { rows =>
+      val lv = rows.toDF("l_returnflag", "v", "w0")
+        .groupBy($"l_returnflag", $"v").agg(sum($"w0").as("w"))
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val byV = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+          .toSeq.sortBy(_._1)
+        val tot = byV.map(_._2).sum
+        val cums = byV.scanLeft((0, 0L)) { case ((_, c), (v, w)) => (v, c + w) }.tail
+        g -> cums.find { case (_, c) => 2 * c >= tot }.get._1
+      }
+      // window form (a20/a22's inline shape)
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("l_returnflag").orderBy("v").rowsBetween(Long.MinValue, 0)
+      val wTot = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+      val win = lv.withColumn("cum", sum($"w").over(wCum))
+        .withColumn("tot", sum($"w").over(wTot))
+        .filter($"cum" * 2 >= $"tot")
+        .groupBy($"l_returnflag").agg(min($"v").as("med"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val dist = ops.Aggs.lowerMedianDistributed(lv, "v", "med")
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      assert(win === expected)
+      assert(dist === expected)
+    }
+  }
 }
