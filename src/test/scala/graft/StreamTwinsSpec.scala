@@ -253,6 +253,42 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("sessionization state survives a checkpointed restart (flatMapGroupsWithState)") {
+    // The stateful-restart case the file-sink test covers for windowed aggs,
+    // here for ARBITRARY state: the open-session state store must come back
+    // from the checkpoint, so a session spanning the restart still closes
+    // with the right start/count.
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess-").toString
+    val ck = s"$dir/ck"; val out = s"$dir/out"
+    val events = fixtureEvents.sortBy(_.ts)
+    val stream = MemoryStream[Event]
+    def startQuery() = StreamTwins.sessionize(stream.toDS())
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    val q1 = startQuery()
+    try {
+      stream.addData(events.take(events.length / 2))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = startQuery()
+    try {
+      stream.addData(events.drop(events.length / 2))
+      q2.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+        .orderBy("user_id", "session_idx").collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val batch = ops.Events.s12(spark, sf001)
+        .withColumn("last_idx", max(col("session_idx")).over(w))
+        .filter(col("session_idx") < col("last_idx"))
+        .select("user_id", "session_idx", "n_events", "sess_start_us",
+          "sess_end_us", "duration_us")
+        .orderBy("user_id", "session_idx").collect().toSeq
+      assert(sunk.map(_.toSeq) == batch.map(_.toSeq))
+      assert(sunk.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("streaming rate window equals batch s9 across event-time-split batches") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents.sortBy(_.ts)
