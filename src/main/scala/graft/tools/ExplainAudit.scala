@@ -27,7 +27,10 @@ object ExplainAudit {
       "x26_vocab_coverage", "x27_shard_pack", "x28_mixture_weights",
       "r9_triangles", "r10_bipartite_proj", "r11_bfs", "j14_fuzzy_join",
       "j15_interval_overlap", "w8_ntile_spend", "a20_weighted_median",
-      "x35_hll_users", "x36_cms_words", "x37_corpus_stats")
+      "x35_hll_users", "x36_cms_words", "x37_corpus_stats",
+      "j16_asof_nearest", "j17_bloom_semi", "j18_not_exists",
+      "w10_pareto_share", "a22_mad", "l9_keyword_topk", "s12_sessionize",
+      "x39_domain_cap", "x40_curation_funnel", "x41_shard_audit")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
