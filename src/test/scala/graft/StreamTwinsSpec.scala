@@ -17,6 +17,39 @@ class StreamTwinsSpec extends SparkSpec {
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Event].collect().toSeq
 
+  test("file-source ingest: readStream over a watched parquet dir equals batch") {
+    // The production ingest path (MemoryStream everywhere else is the unit
+    // harness): files LANDING in a directory are the stream. Two chunks
+    // written before/after the first micro-batch must both be picked up,
+    // and the tumbling agg must converge to the batch result.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-").toString
+    val src = s"$dir/in"; val ck = s"$dir/ck"; val out = s"$dir/out"
+    val events = fixtureEvents.sortBy(_.ts)
+    val (first, rest) = events.splitAt(events.length / 2)
+    first.toDF().write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val query = StreamTwins.tumbling(
+        spark.readStream.schema(schema).parquet(src))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      rest.toDF().write.mode("append").parquet(src)
+      // close every window: one event past max ts + watermark
+      Seq(Event(-1L, events.last.ts + 3L * 3600 * 1000000000L,
+        0L, "signup", 0.0)).toDF().write.mode("append").parquet(src)
+      query.processAllAvailable()
+      val sunk = spark.read.parquet(out)
+        .filter($"window_start" <= timestamp_micros(lit(events.last.ts / 1000)))
+        .orderBy("window_start", "event_type").collect().toSeq
+      val batch = StreamTwins.tumbling(events.toDF())
+        .filter($"window_start" <= timestamp_micros(lit(events.last.ts / 1000)))
+        .orderBy("window_start", "event_type").collect().toSeq
+      assert(sunk.map(_.toSeq) == batch.map(_.toSeq))
+      assert(sunk.nonEmpty)
+    } finally query.stop()
+  }
+
   test("tumbling window: streamed result equals batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents
