@@ -1639,39 +1639,45 @@ object Pipeline {
     * per stage with docs in/out and the retained fraction (one
     * correctly-rounded double division, D4).
     *
-    * Scale: each stage is a keyed window/filter over the shrinking survivor
-    * frame — the dedup rank is hash-keyed, the cap rank source-keyed; the
-    * accounting rows are five single-row aggs unioned (driver never sees
-    * docs). The final lag window runs over FIVE rows (bounded axis, w5's
-    * safe-global-window note).
+    * Scale: ONE corpus scan (x22's single-scan lint discipline, enforced
+    * by the same test) — every doc computes its stage-survival flags in
+    * one chain (hash-keyed dedup rank, then a source-keyed cap rank whose
+    * sort puts pre-cap survivors FIRST, so survivor ranks are exactly the
+    * survivor-only row_numbers and non-survivors can never hold a top-10
+    * slot), one scalar aggregation counts all five stages at once, and
+    * the 5 accounting rows explode from that single row — docs_in is the
+    * previous stage's count by construction, no lag window, nothing
+    * corpus-sized past the agg. A naive stage-per-subframe formulation
+    * re-scans the lake per stage (10 scans in the measured plan — the
+    * composition hazard the x22 lint exists for).
     */
   def x40(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val wDedup = Window.partitionBy("h").orderBy("doc_id")
+    val wCap = Window.partitionBy("source")
+      .orderBy(col("s3").desc, col("n_chars").desc, col("doc_id"))
+    val flagged = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         md5(lower(trim(col("text"))).cast("binary")).as("h"))
-    val wDedup = Window.partitionBy("h").orderBy("doc_id")
-    val s1 = docs.withColumn("rn", row_number().over(wDedup))
-      .filter(col("rn") === 1).drop("rn")
-    val s2 = s1.filter(col("lang") === "en")
-    val s3 = s2.filter(col("n_chars") >= 150)
-    val wCap = Window.partitionBy("source")
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    val s4 = s3.withColumn("rn", row_number().over(wCap))
-      .filter(col("rn") <= 10).drop("rn")
-    def stage(df: DataFrame, idx: Int, name: String): DataFrame =
-      df.agg(count(lit(1)).as("docs"))
-        .select(lit(idx).as("stage"), lit(name).as("stage_name"), col("docs"))
-    val acct = stage(docs, 0, "raw")
-      .unionAll(stage(s1, 1, "exact_dedup"))
-      .unionAll(stage(s2, 2, "lang_en"))
-      .unionAll(stage(s3, 3, "min_length"))
-      .unionAll(stage(s4, 4, "domain_cap"))
-    val wLag = Window.orderBy("stage")
-    acct.withColumn("docs_in", lag(col("docs"), 1).over(wLag))
-      .select(col("stage"), col("stage_name"), col("docs_in"),
-        col("docs").as("docs_out"),
-        graft.Det.round4fast(col("docs").cast("double")
-          / col("docs_in").cast("double")).as("retained_frac"))
+      .withColumn("s1", row_number().over(wDedup) === 1)
+      .withColumn("s2", col("s1") && col("lang") === "en")
+      .withColumn("s3", col("s2") && col("n_chars") >= 150)
+      .withColumn("s4", col("s3") && row_number().over(wCap) <= 10)
+    def cnt(c: Column): Column = sum(c.cast("long"))
+    val one = flagged.agg(count(lit(1)).as("c0"), cnt(col("s1")).as("c1"),
+      cnt(col("s2")).as("c2"), cnt(col("s3")).as("c3"), cnt(col("s4")).as("c4"))
+    def st(idx: Int, name: String, in: Column, out: Column) =
+      struct(lit(idx).as("stage"), lit(name).as("stage_name"),
+        in.as("docs_in"), out.as("docs_out"))
+    one.select(explode(array(
+        st(0, "raw", lit(null).cast("bigint"), col("c0")),
+        st(1, "exact_dedup", col("c0"), col("c1")),
+        st(2, "lang_en", col("c1"), col("c2")),
+        st(3, "min_length", col("c2"), col("c3")),
+        st(4, "domain_cap", col("c3"), col("c4")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.stage_name").as("stage_name"),
+        col("r.docs_in").as("docs_in"), col("r.docs_out").as("docs_out"),
+        graft.Det.round4fast(col("r.docs_out").cast("double")
+          / col("r.docs_in").cast("double")).as("retained_frac"))
       .orderBy("stage")
   }
 

@@ -356,6 +356,23 @@ class PlanLintSpec extends SparkSpec {
     assert(scans === 1, s"x22 must scan documents once, found $scans scans")
   }
 
+  /** x40's funnel accounting makes the same single-scan claim — a naive
+    * stage-per-subframe formulation re-scans the lake once per stage (the
+    * measured plan had 10 document scans before the flag-chain rewrite). */
+  test("x40 curation funnel reads the documents table exactly once") {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scans = ops.Pipeline.x40(spark, sf001).queryExecution.optimizedPlan
+      .collectLeaves().count {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains("documents.parquet"))
+          case _ => false
+        }
+        case _ => false
+      }
+    assert(scans === 1, s"x40 must scan documents once, found $scans scans")
+  }
+
   /** j18's design claim: Catalyst decorrelates the NOT EXISTS into ONE
     * anti join — no per-row subquery execution survives to the physical
     * plan. A Spark change that left a correlated subquery in place would
