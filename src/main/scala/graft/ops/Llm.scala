@@ -159,11 +159,26 @@ object Llm {
     * broadcast scalar (corpus size), and a global top-k that plans as
     * TakeOrderedAndProject (bounded heap per partition — no global sort).
     */
-  def l7(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
+  def l7(s: SparkSession, d: String): DataFrame =
+    tfidfScores(s, d)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"), col("term"))
+      .limit(100)
+
+  /** Shared TF-IDF scoring frame for l7/l9 (one definition, the queries
+    * cannot drift). The (doc, term, tf) frame feeds BOTH its own join side
+    * and the document-frequency aggregate — without lineage truncation the
+    * planner derives it twice (explode + shuffle ×2; runtime ReusedExchange
+    * measured absent on this shape), so it is materialized ONCE through
+    * Ckpt (corpus-linear, 3 narrow columns). The corpus-size scan stays a
+    * separate count-star (column-pruned metadata read — deriving n from
+    * the tf frame would silently miscount empty documents).
+    */
+  private[graft] def tfidfScores(s: SparkSession, d: String): DataFrame = {
+    val tf = graft.Ckpt(Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     tf.join(df, Seq("term"))
@@ -176,8 +191,6 @@ object Llm {
       // the 9th idf digit (observed: 8.98719682 vs exact 8.987196822).
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf").cast("decimal(10,0)") * col("idf")).cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id"), col("term"))
-      .limit(100)
   }
 
   /** l8 — PMI collocation mining (the classic corpus-statistics pass that
@@ -238,21 +251,9 @@ object Llm {
     * isn't (l8's discipline).
     */
   def l9(s: SparkSession, d: String): DataFrame = {
-    val tf = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, Seq("term"))
-      .crossJoin(broadcast(n))
-      .withColumn("idf",
-        round(log(col("n").cast("double") / col("df").cast("double")), 9)
-          .cast("decimal(18,9)"))
-      .withColumn("score",
-        (col("tf").cast("decimal(10,0)") * col("idf")).cast("double"))
+    tfidfScores(s, d)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
