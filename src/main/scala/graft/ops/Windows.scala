@@ -252,8 +252,11 @@ object Windows {
     * division (D2/D4 — decimal→double casts are exact at these magnitudes).
     */
   def w10(s: SparkSession, d: String): DataFrame = {
-    val rev = Tables.orders(s, d).groupBy(col("o_custkey"))
-      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    // the per-customer revenue frame feeds BOTH the total and the top-20
+    // cut — Ckpt it so the orders scan + customer-keyed shuffle run once
+    // (l7/l9's shared-frame discipline), not once per consumer
+    val rev = graft.Ckpt(Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev")))
     val tot = rev.agg(sum(col("rev")).as("tot"))
     val top = rev.orderBy(col("rev").desc, col("o_custkey")).limit(20)
     val w = Window.orderBy(col("rev").desc, col("o_custkey"))

@@ -41,11 +41,13 @@ class CkptSpec extends SparkSpec {
     // x21_semdedup_learned (Lloyd trainer), r7 (edge frame); round-8
     // continuation: r9 (edge + orientation frames), r11 (BFS rounds),
     // w8 (sampled range cells); continuation 2: a22 (shared level frame),
-    // x41 (x27's cells via composition), l7/l9 (shared Ckpt'd TF frame).
+    // x41 (x27's cells via composition), l7/l9 (shared Ckpt'd TF frame),
+    // w10 (shared revenue frame).
     val qs = Seq("x20_dup_clusters", "x27_shard_pack",
       "x21_semdedup_learned", "r7_pagerank",
       "r9_triangles", "r11_bfs", "w8_ntile_spend",
-      "a22_mad", "x41_shard_audit", "l7_tfidf", "l9_keyword_topk")
+      "a22_mad", "x41_shard_audit", "l7_tfidf", "l9_keyword_topk",
+      "w10_pareto_share")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>
