@@ -90,6 +90,17 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           -1.0
+      } finally {
+        // Ckpt (localCheckpoint) pins its RDD in storage memory and nothing
+        // downstream releases it — across 3 interleaved passes of the full
+        // board the checkpoint-using queries (x20's 8 CC rounds, x25, r7,
+        // a22, l7/l9, w10, ...) would accumulate hundreds of persisted
+        // block sets and squeeze later queries' execution memory. The
+        // result is fully at the sink by now, so dropping them is safe
+        // (unpersisting a localCheckpoint invalidates it — only ever do
+        // this BETWEEN queries, never while a frame may still be read).
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
       }
     }
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()

@@ -26,7 +26,11 @@ object Profile {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         graft.BenchAction.exec(fn(spark, sf)) // full plan, not count-pruned
-        (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        // release Ckpt'd blocks between reps (Bench.once's discipline)
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        t
       }
       val rows = fn(spark, sf).count() // untimed, display only
       println(f"$name%-22s ${times.min}%6.2f min  " +

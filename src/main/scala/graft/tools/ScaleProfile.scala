@@ -75,6 +75,9 @@ object ScaleProfile {
           val t0 = System.nanoTime()
           graft.BenchAction.exec(graft.SparkEntry.queries(q)(spark, s"$base/m$m"))
           val t = (System.nanoTime() - t0) / 1e9
+          // release Ckpt'd blocks between reps (Bench.once's discipline)
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
           val k = (q, m)
           best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
         }
