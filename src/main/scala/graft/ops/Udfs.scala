@@ -134,6 +134,12 @@ object Udfs {
     def zero: (Array[Long], Long) = (Array.empty[Long], 0L)
     def reduce(b: (Array[Long], Long), a: VecIn): (Array[Long], Long) = {
       val sums = if (b._1.nonEmpty) b._1 else new Array[Long](a.emb.length)
+      // Ragged input fails LOUDLY and identically under any partitioning:
+      // without this, a longer later row would throw AIOOBE only when it
+      // isn't the partition's first row (order-dependent), and a shorter
+      // one would silently sum a prefix.
+      require(a.emb.length == sums.length,
+        s"Centroid: ragged embedding (got ${a.emb.length}, expected ${sums.length})")
       var i = 0
       while (i < a.emb.length) {
         sums(i) += (BigDecimal(a.emb(i))
@@ -146,7 +152,12 @@ object Udfs {
     def merge(b1: (Array[Long], Long), b2: (Array[Long], Long)): (Array[Long], Long) =
       if (b1._1.isEmpty) b2
       else if (b2._1.isEmpty) b1
-      else (b1._1.zip(b2._1).map { case (x, y) => x + y }, b1._2 + b2._2)
+      else {
+        // zip would silently truncate mismatched partials — guard instead
+        require(b1._1.length == b2._1.length,
+          s"Centroid: merging partials of dims ${b1._1.length} vs ${b2._1.length}")
+        (b1._1.zip(b2._1).map { case (x, y) => x + y }, b1._2 + b2._2)
+      }
     def finish(b: (Array[Long], Long)): Seq[Double] =
       b._1.toSeq.map { s =>
         BigDecimal(s.toDouble / 1e6 / b._2)
@@ -160,14 +171,20 @@ object Udfs {
 
   /** u6 — array-valued UDAF: per-label embedding centroid (count + 64-dim
     * 4-dp mean vector). ONE keyed shuffle; the buffer is 520 bytes per
-    * group regardless of group size. */
+    * group regardless of group size. The AGGREGATION is array-valued (the
+    * declared point); the DECLARED OUTPUT is the posexploded long format
+    * `(label, n_vecs, dim, c)` — scalar, pandas-stable columns per D9
+    * (the round-8 array output was ungradable by the driver's comparator).
+    */
   def u6(s: SparkSession, d: String): DataFrame = {
     val cent = udaf(Centroid, Encoders.product[VecIn])
     Tables.embeddings(s, d)
       .select(col("label"), col("embedding").cast("array<double>").as("emb"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), cent(col("emb")).as("centroid"))
-      .orderBy("label")
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim", "c")))
+      .orderBy("label", "dim")
   }
 
   /** u7 — TYPED Dataset groupByKey + mapGroups (the Encoder-backed typed

@@ -1675,11 +1675,10 @@ object OracleSql {
         | m AS (SELECT label, j,
         |   ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 4) + 0.0 AS c
         |  FROM x GROUP BY label, j),
-        | cent AS (SELECT label, list(c ORDER BY j) AS centroid
-        |  FROM m GROUP BY label),
         | n AS (SELECT label, COUNT(*) AS n_vecs FROM e GROUP BY label)
-        |SELECT n.label, n.n_vecs, cent.centroid
-        |FROM n JOIN cent ON n.label = cent.label ORDER BY n.label""".stripMargin,
+        |SELECT m.label, n.n_vecs, CAST(m.j AS INT) AS dim, m.c AS c
+        |FROM m JOIN n ON m.label = n.label
+        |ORDER BY m.label, dim""".stripMargin,
 
     // x35: registers are order-free maxes over md5-derived ints and the
     // dyadic register sum is exact in double, so the "approximation" is a
@@ -1722,7 +1721,7 @@ object OracleSql {
         | cells AS (SELECT i AS r,
         |   CAST(('0x' || substr(md5(i || ':' || w), 1, 8)) AS UBIGINT)
         |     % 1024 AS c,
-        |   SUM(cnt) AS reg
+        |   CAST(SUM(cnt) AS BIGINT) AS reg
         |  FROM wc, (SELECT unnest(range(4)) AS i) iis GROUP BY 1, 2),
         | top AS (SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT 20),
         | probes AS (SELECT w, cnt, i AS pr,
@@ -1773,7 +1772,7 @@ object OracleSql {
         |   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT l_suppkey, d, n,
-        | SUM(n) OVER w AS n7,
+        | CAST(SUM(n) OVER w AS BIGINT) AS n7,
         | CAST(CAST(SUM(rev) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS rev7
         |FROM daily
         |WINDOW w AS (PARTITION BY l_suppkey ORDER BY d
@@ -1825,8 +1824,9 @@ object OracleSql {
         |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau,
         | COALESCE(new_users, 0) AS new_users,
         | dau - COALESCE(new_users, 0) AS returning,
-        | SUM(COALESCE(new_users, 0)) OVER (ORDER BY day_idx
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+        | CAST(SUM(COALESCE(new_users, 0)) OVER (ORDER BY day_idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_users
         |FROM dau LEFT JOIN news USING (day_idx) ORDER BY day""".stripMargin,
 
     "a21_mode" ->
@@ -1851,7 +1851,7 @@ object OracleSql {
         |  FROM e)
         |SELECT user_id, COUNT(*) AS n_events,
         | MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
-        | SUM(gap) AS total_gap_us,
+        | CAST(SUM(gap) AS BIGINT) AS total_gap_us,
         | ROUND(CAST(SUM(gap) AS DOUBLE)
         |   / CAST(COUNT(*) - 1 AS DOUBLE) / 1000000.0, 4) AS avg_gap_s
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,

@@ -55,6 +55,33 @@ class ContractSpec extends SparkSpec {
     assert(m.values.toSet.size === m.size)
   }
 
+  test("D9: every declared output schema is scalar (no array/map/struct)") {
+    // Round 8: u6's array<double> column made the driver's pandas
+    // sort_values throw — the query could never be graded. Declared
+    // outputs are scalar, pandas-stable columns only (SURVEY §2.0 D9);
+    // array-valued results go out in long format (posexplode).
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val sf = "/root/testdata/sf0.001"
+    val complex = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (k, q) =>
+        q(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+            f.dataType.isInstanceOf[MapType] ||
+            f.dataType.isInstanceOf[StructType] => s"$k.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(complex.isEmpty, s"D9 violations: ${complex.mkString("; ")}")
+  }
+
+  // NOTE on the HUGEINT half of D9: a static Scala sweep of the oracle
+  // strings can't know CTE column types (SUM(rev) is safe when rev is a
+  // decimal CTE column, a leak when it's an int literal count), so the
+  // authoritative check is tools/verify_oracle.py's pandas dtype gate —
+  // it fetches the oracle exactly the way the driver does (.df()), fails
+  // on float64-vs-int64 drift and on object/ndarray cells, and carries
+  // HUGEINT + array negative controls under --selftest. It runs on every
+  // board verify at every SF.
+
   test("oracle SQL contains no tab/CR characters (Verify JSON escaping)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(!sql.contains("\t") && !sql.contains("\r"), s"$k has tab/CR")

@@ -1062,12 +1062,14 @@ class OperatorSpec extends SparkSpec {
       }
       lbl -> (n.toLong, cent)
     }
+    // Long-format declared output (D9: scalar columns only): one row per
+    // (label, dim), the Aggregator's array posexploded.
     val rows = Udfs.u6(spark, sf001).collect()
-    assert(rows.length === expect.size)
+    assert(rows.length === expect.values.map(_._2.length).sum)
     rows.foreach { r =>
       val (n, cent) = expect(r.getInt(0))
       assert(r.getLong(1) === n)
-      assert(r.getSeq[Double](2) === cent)
+      assert(r.getDouble(3) === cent(r.getInt(2)))
     }
   }
 
@@ -1481,5 +1483,31 @@ class OperatorSpec extends SparkSpec {
       assert(r.getAs[Long]("dropped_docs") ===
         r.getAs[Long]("total_docs") - r.getAs[Long]("kept_docs"))
     }
+  }
+
+  test("centroid aggregator fails loudly on ragged embeddings") {
+    // Unguarded, a longer later row threw AIOOBE only when it wasn't the
+    // partition's first row (order-dependent) and merge's zip silently
+    // truncated mismatched partials — both must fail identically under any
+    // partitioning.
+    val b2 = Udfs.Centroid.reduce(Udfs.Centroid.zero, Udfs.VecIn(Seq(0.1, 0.2)))
+    intercept[IllegalArgumentException] {
+      Udfs.Centroid.reduce(b2, Udfs.VecIn(Seq(0.1)))
+    }
+    intercept[IllegalArgumentException] {
+      Udfs.Centroid.reduce(b2, Udfs.VecIn(Seq(0.1, 0.2, 0.3)))
+    }
+    val b1 = Udfs.Centroid.reduce(Udfs.Centroid.zero, Udfs.VecIn(Seq(0.3)))
+    intercept[IllegalArgumentException] { Udfs.Centroid.merge(b2, b1) }
+    // same-length partials still merge exactly
+    val m = Udfs.Centroid.merge(b2,
+      Udfs.Centroid.reduce(Udfs.Centroid.zero, Udfs.VecIn(Seq(0.3, 0.4))))
+    assert(Udfs.Centroid.finish(m) === Seq(0.2, 0.3))
+  }
+
+  test("r7 mass guard rejects node counts that overflow the scaled unit") {
+    Rdf.r7MassGuard(2000000L) // an sf1-class graph is fine
+    intercept[IllegalArgumentException] { Rdf.r7MassGuard(3000000000L) }
+    Rdf.r7MassGuard(3000000000L, s = 100000000L) // the documented cure
   }
 }
