@@ -84,6 +84,11 @@ object Bench {
     // A failed run records the sentinel -1.0, never its wall-clock-to-failure
     // (a fast crash must not win the min over a slow success).
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      // Snapshot persisted-RDD ids BEFORE the run so cleanup releases only
+      // the blocks THIS query created: a blanket unpersist would silently
+      // invalidate any future harness-level cross-query cache (e.g. a
+      // shared Tables frame) and skew timings with no error.
+      val preexisting = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       try { BenchAction.exec(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
       catch {
@@ -99,8 +104,10 @@ object Bench {
         // result is fully at the sink by now, so dropping them is safe
         // (unpersisting a localCheckpoint invalidates it — only ever do
         // this BETWEEN queries, never while a frame may still be read).
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+          }
       }
     }
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()

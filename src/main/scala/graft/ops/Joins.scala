@@ -362,7 +362,11 @@ object Joins {
     * build) and applied as a scan-adjacent filter, so non-matching fact rows
     * die before the shuffle — the manual form of Spark's
     * `runtime.bloomFilter` rewrite, pinned on rather than left to cost
-    * estimation.
+    * estimation. The filter is sized from a dim-side count (expectedDim ≤ 0
+    * → derive), so it cannot silently saturate at higher SFs the way a
+    * hard-coded capacity would; the membership probe is Spark's native
+    * `BloomFilterMightContain` codegen predicate (no Scala UDF on the hot
+    * path — PlanLintSpec asserts it).
     */
   def j17(s: SparkSession, d: String): DataFrame = {
     val dim = Tables.supplier(s, d)
@@ -373,7 +377,7 @@ object Joins {
     val fact = Tables.lineitem(s, d)
       .select(col("l_suppkey"), dec2(col("l_extendedprice")).as("price"))
     Sketches.bloomPreFilter(fact, dim, "l_suppkey", "s_suppkey",
-        expectedDim = 65536L, fpp = 0.01)
+        expectedDim = -1L, fpp = 0.01)
       .groupBy(col("s_suppkey"), col("s_name"))
       .agg(count(lit(1)).as("n_items"), sum(col("price")).as("revenue"))
       .select(col("s_suppkey"), col("s_name"), col("n_items"),

@@ -314,6 +314,7 @@ object Rdf {
     val nodes = graft.Ckpt(
       ed.select(col("dst").as("node")).union(srcs).distinct())
     val n = nodes.count()
+    r7MassGuard(n) // r7Step's BIGINT sum wraps, not errors — fail loudly here
     // dangling = no out-edges = dst-only; every dangling node HAS in-edges,
     // so its rank always lives in the in-edge rank frame below and the
     // per-round mass aggregation never needs the full node set
@@ -368,7 +369,23 @@ object Rdf {
     * passes `pr = None`: every rank is the init constant, so contributions
     * come straight off the edge scan with NO join. All integer math
     * (see [[r7]]); using-column joins keep the shared-lineage
-    * self-references unambiguous. UN-checkpointed — callers materialize. */
+    * self-references unambiguous. UN-checkpointed — callers materialize.
+    *
+    * Overflow bound: `SUM(contrib)` is BIGINT and Spark integer SUM wraps
+    * (non-ANSI) rather than erroring. Per-dst the sum is bounded by the
+    * total rank mass ≈ N·S (S = 10^12), so Long range holds while
+    * N < 2^63/S ≈ 9.2·10^6 nodes — ~10× the sf0.1 graph (0.86M). Callers
+    * guard via [[r7MassGuard]] wherever a node count is in hand; past the
+    * bound, shrink S (the scaled-integer unit) one decade per 10× nodes —
+    * rank precision degrades gracefully, wraparound does not. */
+  /** Loud guard for [[r7Step]]'s wrapping BIGINT sum (see its scaladoc):
+    * worst-case per-dst contribution mass n·S must sit well inside Long —
+    * the 4× margin absorbs the damping constant and share additions. */
+  private[graft] def r7MassGuard(n: Long, s: Long = 1000000000000L): Unit =
+    require(n <= Long.MaxValue / s / 4,
+      s"PageRank scaled-integer unit $s overflows BIGINT mass at n=$n " +
+        "nodes — shrink the unit (S) one decade per 10x nodes")
+
   private[graft] def r7Step(ed: DataFrame, pr: Option[(DataFrame, Long)]): DataFrame = {
     val contribs = pr match {
       case None =>

@@ -24,27 +24,55 @@ import graft.Tables
   *    sized), the skew-DETECTION companion to [[Skew.saltedJoin]]'s
   *    mitigation: overestimates only, never misses a hot key.
   *
-  * Both build on `DataFrame.stat` (driver-side sketch objects of FIXED
-  * size — KB–MB regardless of corpus; the aggregation itself is
-  * distributed with mergeable partials). The Bloom membership test rides a
-  * scala UDF: Spark's `might_contain` Catalyst expression is internal-only
-  * (BloomFilterAggregate is not in the public function registry), and the
-  * UDF sits in a FILTER on the pre-shuffle map side — off the
-  * whole-stage-codegen hot path concern PlanLintSpec polices for declared
-  * queries (capability tier; the filter's per-row cost is two hashes).
+  * [[heavyHitters]] builds on `DataFrame.stat` (driver-side sketch object
+  * of FIXED size; the aggregation itself is distributed with mergeable
+  * partials). [[bloomPreFilter]] is built from Spark's own internal
+  * runtime-filter expressions via `GraftBridge` (they are not in the
+  * public function registry): `BloomFilterAggregate` builds the filter as
+  * a distributed typed-imperative aggregate over `xxhash64(key)`, and
+  * `BloomFilterMightContain` probes it as a NATIVE codegen predicate — the
+  * pre-shuffle fact filter stays inside whole-stage codegen (round 8 rode
+  * a Scala UDF here, which broke codegen on j17's hot path; PlanLintSpec
+  * now asserts the UDF is gone).
   */
 object Sketches {
 
   /** Exact join result, Bloom-pruned fact side: `fact ⋈ dim` on
     * `factKey = dimKey` where fact rows failing the dim-key Bloom test are
-    * dropped before the join shuffle. `expectedDim` sizes the filter
-    * (number of distinct dim keys), `fpp` the false-positive rate.
+    * dropped before the join shuffle. `fpp` is the false-positive rate;
+    * `expectedDim` (distinct dim keys) sizes the filter — pass ≤ 0 to
+    * derive it from a dim-side count (a dimension-sized job). A hard-coded
+    * capacity saturates silently once the dim outgrows it — fpp drifts
+    * toward 1 and the pre-filter stops pruning with no error, exactly at
+    * the scales it exists for — so deriving is the default posture.
+    *
+    * Build and probe are Spark's own runtime-filter expressions (the
+    * internal machinery behind `spark.sql.optimizer.runtime.bloomFilter`),
+    * reached through `GraftBridge`: the filter is a distributed
+    * `BloomFilterAggregate` over `xxhash64(dimKey)` (mergeable partials,
+    * KB–MB result regardless of corpus), and the probe is the
+    * `BloomFilterMightContain` codegen predicate over `xxhash64(factKey)`
+    * — the fact-side filter runs inside whole-stage codegen at the scan.
     */
   def bloomPreFilter(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedDim: Long, fpp: Double): DataFrame = {
-    val bf = dim.stat.bloomFilter(dimKey, expectedDim, fpp)
-    val mightContain = udf((k: Long) => bf.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val n = if (expectedDim > 0) expectedDim else math.max(dim.count(), 64L)
+    // optimal m = -n·ln(p)/ln²2 (standard Bloom sizing; same formula
+    // BloomFilterAggregate's convenience ctor applies to its conf default)
+    val numBits = math.ceil(
+      -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val build = new BloomFilterAggregate(
+      new XxHash64(Seq(GraftBridge.expression(col(dimKey)))),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    val bytes = dim.select(GraftBridge.column(build).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val probe = BloomFilterMightContain(Literal(bytes, BinaryType),
+      new XxHash64(Seq(GraftBridge.expression(col(factKey)))))
+    fact.filter(GraftBridge.column(probe))
       .join(dim, col(factKey) === col(dimKey))
   }
 

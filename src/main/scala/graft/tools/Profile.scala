@@ -24,12 +24,17 @@ object Profile {
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
+        val preexisting = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         graft.BenchAction.exec(fn(spark, sf)) // full plan, not count-pruned
         val t = (System.nanoTime() - t0) / 1e9
-        // release Ckpt'd blocks between reps (Bench.once's discipline)
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // release only the Ckpt'd blocks THIS rep created (Bench.once's
+        // discipline — a blanket unpersist would invalidate any future
+        // cross-query cache silently)
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) =>
+            if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+          }
         t
       }
       val rows = fn(spark, sf).count() // untimed, display only

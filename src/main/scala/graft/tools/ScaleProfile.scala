@@ -72,12 +72,16 @@ object ScaleProfile {
     (1 to 3).foreach { _ =>
       Mults.foreach { m =>
         qs.foreach { q =>
+          val preexisting = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
           graft.BenchAction.exec(graft.SparkEntry.queries(q)(spark, s"$base/m$m"))
           val t = (System.nanoTime() - t0) / 1e9
-          // release Ckpt'd blocks between reps (Bench.once's discipline)
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = false))
+          // release only the Ckpt'd blocks THIS rep created (Bench.once's
+          // discipline — blanket unpersist invalidates future caches)
+          spark.sparkContext.getPersistentRDDs
+            .foreach { case (id, rdd) =>
+              if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
+            }
           val k = (q, m)
           best(k) = math.min(best.getOrElse(k, Double.MaxValue), t)
         }
@@ -143,6 +147,17 @@ object ScaleProfile {
       "regionkey" -> domMax("region", "r_regionkey"))
     def copyKeyed(name: String, keyCols: Map[String, String]): Unit = {
       val t = spark.read.parquet(s"$src/$name.parquet")
+      // Disjointness requires every referencing value to live INSIDE its
+      // owning domain: if a regenerated fixture ever ships an FK above its
+      // PK max, copy i's offset rows would collide with copy i+1's range
+      // and the disjoint-subgraph baseline would silently corrupt. Fail
+      // loudly instead (one dimension-sized agg per key col, build-time only).
+      keyCols.foreach { case (c, d) =>
+        val mx = t.agg(max(col(c).cast("bigint"))).head().getLong(0)
+        require(mx < dom(d),
+          s"$name.$c max $mx breaches its key domain '$d' (${dom(d)}) — " +
+            "fixture violates referential containment; offsets would collide")
+      }
       (0 until m).map { i =>
         t.select(t.columns.map { c =>
           keyCols.get(c) match {
