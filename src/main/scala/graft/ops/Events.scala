@@ -323,4 +323,35 @@ object Events {
         col("cnt"), col("n_days"), col("s").as("total_events"))
       .orderBy("user_id", "day")
   }
+
+  /** s14 — OUT-OF-ORDER arrival audit (the batch twin of a streaming
+    * watermark decision: how late do events actually arrive, per user?):
+    * arrival order = event_id (unique, FixtureContractSpec); an event is
+    * LATE when its timestamp sits more than 5 minutes behind the running
+    * maximum of all prior arrivals. Per user: event count, late count, and
+    * the worst regression in µs.
+    *
+    * Determinism: all integer ns/µs math on the epoch-ns longs (D3) —
+    * running MAX over the unique event_id order, lateness threshold and
+    * the µs floor-division exact on both engines; no float anywhere. One
+    * user-keyed window + one user-keyed agg, corpus-linear; per-user
+    * partition length is fixture-bounded (events per user ~constant
+    * across SF).
+    */
+  def s14(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev_max", max("ts").over(w))
+      .withColumn("late", col("prev_max").isNotNull &&
+        col("prev_max") - col("ts") > lit(300000000000L)) // 5 min in ns
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("late"), 1)).as("n_late"),
+        coalesce(max(when(col("late"),
+          expr("(prev_max - ts) DIV 1000"))), lit(0L)).as("max_lag_us"))
+      .orderBy("user_id")
+  }
 }

@@ -56,7 +56,7 @@ object Pipeline {
     * both encoded sets joined on but NO intersection computed (isolates
     * shuffle volume from per-pair intersection CPU). */
   private[graft] def x1Parts(s: SparkSession, d: String): Map[String, DataFrame] = {
-    val (cand, enc) = x1CandEnc(s, d)
+    val (cand, enc, _) = x1CandEnc(s, d)
     Map(
       "cand" -> cand,
       "verify_no_inter" -> cand
@@ -74,7 +74,7 @@ object Pipeline {
   }
 
   def x1(s: SparkSession, d: String): DataFrame = {
-    val (cand, enc) = x1CandEnc(s, d)
+    val (cand, enc, _) = x1CandEnc(s, d)
     cand
       .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
       .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
@@ -90,7 +90,10 @@ object Pipeline {
       .orderBy("lang", "a_id", "b_id")
   }
 
-  private def x1CandEnc(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+  /** x1's 8-slot MinHash signature frame (one row per doc) — split out so
+    * x44 can [[graft.Ckpt]] it once and feed BOTH the banding and the
+    * per-pair slot-agreement probes from the same materialization. */
+  private def x1Sig(s: SparkSession, d: String): DataFrame = {
     val t = toks(s, d)
     // MinHash per DISTINCT token (vocabulary × 8 md5s), joined back and
     // min-aggregated per doc — identical minima to hashing inside each doc's
@@ -117,6 +120,28 @@ object Pipeline {
         min(col("h2")).as("mh2"), min(col("h3")).as("mh3"),
         min(col("h4")).as("mh4"), min(col("h5")).as("mh5"),
         min(col("h6")).as("mh6"), min(col("h7")).as("mh7"))
+    sig
+  }
+
+  private def x1CandEnc(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
+    val sig = x1Sig(s, d)
+    (x1CandFromSig(s, sig), x1Enc(s, d), sig)
+  }
+
+  private def x1Enc(s: SparkSession, d: String): DataFrame =
+    // enc is one row PER DOCUMENT — corpus-sized at 100 TB — so neither
+    // verify lookup may carry a broadcast hint (the hint would collect the
+    // whole corpus' token sets onto the driver and every executor). Each is
+    // a plain keyed join on the pair id; AQE still broadcasts when the
+    // frame is genuinely small (it is at every test SF), so nothing is
+    // lost locally. Both joins consume the SAME projection keyed on doc_id
+    // (renames happen AFTER each join), so when the planner picks shuffle
+    // joins the two enc exchanges are canonically identical and
+    // ReuseExchange materializes the encoded frame once, not twice.
+    SetSim.tokenSets(toks(s, d))
+      .select(col("doc_id"), col("small"), col("set"), col("sz"))
+
+  private def x1CandFromSig(s: SparkSession, sig: DataFrame): DataFrame = {
     // Candidate generation, in 100 TB order of importance:
     //  1. Each doc pair is emitted by its FIRST colliding band only (the
     //     firstCollision filter checks all earlier band hashes differ), so
@@ -166,18 +191,7 @@ object Pipeline {
         && col("a_id") < col("b_id"))
       .filter(firstCollision)
       .select(col("lang"), col("a_id"), col("b_id"))
-    // enc is one row PER DOCUMENT — corpus-sized at 100 TB — so neither
-    // verify lookup may carry a broadcast hint (the hint would collect the
-    // whole corpus' token sets onto the driver and every executor). Each is
-    // a plain keyed join on the pair id; AQE still broadcasts when the
-    // frame is genuinely small (it is at every test SF), so nothing is
-    // lost locally. Both joins consume the SAME projection keyed on doc_id
-    // (renames happen AFTER each join), so when the planner picks shuffle
-    // joins the two enc exchanges are canonically identical and
-    // ReuseExchange materializes the encoded frame once, not twice.
-    val enc = SetSim.tokenSets(t)
-      .select(col("doc_id"), col("small"), col("set"), col("sz"))
-    (cand, enc)
+    cand
   }
 
   /** 16-bit SimHash signatures: per bit position, majority vote of the low
@@ -1701,4 +1715,120 @@ object Pipeline {
       .select(col("shard"), col("n_docs"), col("tokens"), col("start_tok"),
         col("end_tok"), col("fill_frac"))
       .orderBy("shard")
+
+  /** x44 — SKETCH-ACCURACY AUDIT for MinHash (completing the trilogy x35
+    * and x36 run for HLL and CMS): for every LSH candidate pair, the TRUE
+    * token-set Jaccard next to the 8-slot MinHash ESTIMATE
+    * (slot-agreement fraction) — the recall/precision evidence behind
+    * "trust the sketch at 100 TB, verify only candidates".
+    *
+    * Determinism: the estimate is k/8 with k an integer slot-agreement
+    * count — every value an EXACT dyadic (0.125 grid), no rounding needed;
+    * true Jaccard is x1's exact integer inter/union, D4-rounded. The
+    * signature frame is [[graft.Ckpt]]'d — it feeds the banding AND both
+    * per-pair probes (3 consumers; l7/l9's shared-frame discipline); the
+    * candidate set and both verify joins are exactly x1's scale shape.
+    */
+  def x44(s: SparkSession, d: String): DataFrame = {
+    val sig = graft.Ckpt(x1Sig(s, d))
+    val cand = x1CandFromSig(s, sig)
+    val enc = x1Enc(s, d)
+    // doc_id + the 8 slots only — sig also carries lang, which would
+    // be ambiguous against cand's after the probe joins
+    val sigSlots = sig.select(
+      col("doc_id") +: (0 until 8).map(i => col(s"mh$i")): _*)
+    val agree = (0 until 8).map(i =>
+      when(col(s"sa.mh$i") === col(s"sb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        col("ea.small").as("small"),
+        col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
+        col("eb.set").as("b_set"), col("eb.sz").as("b_sz"))
+      .withColumn("inter", SetSim.interCol)
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .join(sigSlots.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sigSlots.as("sb"), col("b_id") === col("sb.doc_id"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        graft.Det.round4fast(col("inter").cast("double") / col("uni"))
+          .as("jaccard"),
+        (agree.cast("double") / lit(8.0)).as("mh_est"))
+      .orderBy("lang", "a_id", "b_id")
+  }
+
+  /** x42 — FIRST-OCCURRENCE n-gram NOVELTY scoring (the curation signal
+    * behind "keep documents that add new content": a doc whose trigrams
+    * all appeared in earlier docs contributes nothing a dedup pass hasn't
+    * already kept). Per doc: its distinct-trigram count, how many of those
+    * trigrams FIRST appear in this doc (ingest order = doc_id), and the
+    * novel fraction.
+    *
+    * Scale: the (doc, trigram) posting frame is corpus-linear and consumed
+    * twice (trigram-keyed MIN(doc_id) index + join back), so it goes
+    * through [[graft.Ckpt]] (l7/l9's shared-frame discipline — runtime
+    * ReusedExchange was measured ABSENT on this shape) and the query joins
+    * CkptSpec's reliable-checkpoint list. Both aggs and the join are
+    * keyed on the trigram — corpus-linear shuffles, never all-pairs; a
+    * super-common trigram is one hot join key, AQE-skew territory, not a
+    * blowup. The novelty division is one correctly-rounded double op (D4).
+    */
+  def x42(s: SparkSession, d: String): DataFrame = {
+    val tri = graft.Ckpt(Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 3))
+          .as("tri"))
+      .distinct())
+    val first = tri.groupBy("tri").agg(min("doc_id").as("first_doc"))
+    tri.join(first, "tri")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"),
+        count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_tri"), col("n_novel"),
+        graft.Det.round4fast(
+          col("n_novel").cast("double") / col("n_tri").cast("double"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** x43 — per-source DISTRIBUTION DRIFT: KL(source unigram dist ‖ corpus
+    * unigram dist), the mixture-health metric a data pipeline tracks per
+    * ingest source (a source whose token distribution drifts from the
+    * corpus is over/under-represented or broken upstream).
+    *
+    * Determinism (x30's ln-parity discipline): with p_w = c_sw/n_s and
+    * q_w = c_w/N,  KL = (A − B)/n_s − ln(n_s) + ln(N)  where
+    * A = Σ_w c_sw·ln(c_sw) and B = Σ_w c_sw·ln(c_w) — every ln argument is
+    * an INTEGER count, each term is quantized to DECIMAL(18,9) before the
+    * sum (exact, order-free), and the final combination is one fixed-shape
+    * double expression mirrored textually in the oracle. Every source word
+    * is in the corpus, so q_w > 0 always.
+    *
+    * Scale: tokens → ONE (source, word)-keyed count; the corpus word
+    * counts DERIVE from that frame (no second scan) — it is consumed
+    * twice, so it goes through [[graft.Ckpt]]; one word-keyed join
+    * (vocab-sized build side, aggregate-topped — AQE's broadcast call) and
+    * one source-keyed rollup. All corpus-linear.
+    */
+  def x43(s: SparkSession, d: String): DataFrame = {
+    val sw = graft.Ckpt(Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c")))
+    val corpus = sw.groupBy("w").agg(sum(col("c")).as("cw"))
+    val total = sw.agg(sum(col("c")).as("n_corpus")) // 1-row totals frame
+    sw.join(corpus, "w")
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+        sum(expr("CAST(round(c * ln(c), 9) AS DECIMAL(18,9))")).as("a"),
+        sum(expr("CAST(round(c * ln(cw), 9) AS DECIMAL(18,9))")).as("b"))
+      .crossJoin(broadcast(total)) // provably 1 row — the allowed tiny class
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        graft.Det.round4nz(expr(
+          "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))" +
+            " / CAST(n_tokens AS DOUBLE)" +
+            " - ln(CAST(n_tokens AS DOUBLE))" +
+            " + ln(CAST(n_corpus AS DOUBLE))")).as("kl"))
+      .orderBy("source")
+  }
 }

@@ -576,4 +576,53 @@ object Rdf {
     }
     visited.select(col("n"), col("dist")).orderBy("n")
   }
+
+  /** r12 — bounded-round WEIGHTED single-source shortest path (min-plus
+    * Bellman–Ford, 3 relaxation rounds) over the part co-purchase graph,
+    * edge weight w = max(1, 10 − co-purchase count): strongly co-purchased
+    * parts are "closer", so the result differs from r11's hop metric.
+    * Declared contract = distances over paths of ≤ 3 edges from the
+    * minimum part key — exactly what the oracle's three unrolled
+    * relax-then-MIN CTEs state.
+    *
+    * Scale shape (r11's frontier discipline, upgraded to weights): the
+    * rounds are DELTA relaxations — only nodes whose distance IMPROVED
+    * last round relax their out-edges, which is exact for min-plus because
+    * a non-improved node's contributions were already folded into the
+    * running minimum the round it last improved (classic delta-stepping
+    * argument; the full-relax oracle computes the identical ≤ k-edge
+    * minimum). Per round: ONE keyed join (shrinking frontier as the
+    * SHUFFLE_HASH build side against the checkpointed edge frame — same
+    * hint rationale as r11) and ONE keyed MIN; the distance map and each
+    * round's frontier go through [[graft.Ckpt]]. All integer math — longs
+    * end-to-end, no float anywhere (D2 trivially).
+    */
+  def r12(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val pairs = li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
+        col("ok") === col("ok2") && col("p") < col("p2"))
+      .groupBy(col("p").as("u"), col("p2").as("v"))
+      .agg(count(lit(1)).as("co"))
+    val w = greatest(lit(1L), lit(10L) - col("co")).as("w")
+    val e = graft.Ckpt(
+      pairs.select(col("u"), col("v"), w)
+        .union(pairs.select(col("v"), col("u"), w)))
+    var dist = graft.Ckpt(
+      e.agg(min(col("u")).as("n")).withColumn("dist", lit(0L)))
+    var frontier = dist
+    for (_ <- 1 to 3) {
+      val relaxed = frontier.hint("SHUFFLE_HASH")
+        .join(e, col("n") === col("u"))
+        .select(col("v").as("n"), (col("dist") + col("w")).as("dist"))
+      val next = graft.Ckpt(dist.union(relaxed)
+        .groupBy("n").agg(min("dist").as("dist")))
+      frontier = graft.Ckpt(next
+        .join(dist.withColumnRenamed("dist", "old"), Seq("n"), "left")
+        .filter(col("old").isNull || col("dist") < col("old"))
+        .select(col("n"), col("dist")))
+      dist = next
+    }
+    dist.select(col("n").as("p_partkey"), col("dist")).orderBy("p_partkey")
+  }
 }

@@ -47,8 +47,21 @@ object Udfs {
     def finish(b: (BigDecimal, BigDecimal)): Double =
       // zero total weight → NaN (BigDecimal(NaN) would throw and kill the job)
       if (b._2.signum == 0) Double.NaN
-      else BigDecimal(b._1.toDouble / b._2.toDouble)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else {
+        // EXACT rational half-up at 4 dp: r = ⌊(2N + D) ∕ 2D⌋ with
+        // N = num·10⁸ and D = den·10⁴ integral by construction (the buffer
+        // holds scale-8/scale-4 decimals). Rounding the double quotient
+        // instead (the round-8 form) diverges from DuckDB's ROUND ~1 in
+        // 10⁴ here: quantized decimal inputs concentrate quotients ON the
+        // .00005 boundaries, where shortest-repr HALF_UP and DuckDB's
+        // round disagree — u8's 54k-row window surfaced it at sf0.01.
+        // The oracle states the same integer formula (HUGEINT-safe).
+        val n = b._1.bigDecimal.movePointRight(8).toBigIntegerExact
+        val dd = b._2.bigDecimal.movePointRight(4).toBigIntegerExact
+        val two = java.math.BigInteger.TWO
+        val r = n.multiply(two).add(dd).divide(dd.multiply(two))
+        r.doubleValue / 1e4
+      }
     def bufferEncoder: Encoder[(BigDecimal, BigDecimal)] =
       Encoders.product[(BigDecimal, BigDecimal)]
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -223,5 +236,42 @@ object Udfs {
       }
       .toDF("c_nationkey", "n_cust", "total_bal", "min_custkey", "max_custkey")
       .orderBy("c_nationkey")
+  }
+
+  /** u8 — custom Aggregator as a WINDOW function: [[WAvg]] (u2's typed
+    * UDAF) evaluated over a running per-supplier frame — the third and
+    * last UDAF execution surface after grouped (u2) and grouped-typed
+    * (u7). Spark runs the TypedImperativeAggregate incrementally inside
+    * WindowExec's UnboundedPreceding frame (one buffer per partition,
+    * update-per-row — no per-row recompute), so the shape is one keyed
+    * shuffle + one sorted pass, identical in cost to a built-in running
+    * SUM.
+    *
+    * Determinism: zero-discount rows are filtered first (a running weight
+    * sum of 0 is NaN on one engine, NULL on the other); the window order
+    * key extends to (price, discount) so any remaining order ties are
+    * between rows IDENTICAL in every aggregated field — the running value
+    * sequence is tie-order invariant. Partition length is fixture-bounded
+    * (lineitems per supplier is ~constant across SF), so the window never
+    * concentrates a corpus on one key.
+    */
+  def u8(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wavg = udaf(WAvg, Encoders.product[WIn])
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("ship_date"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, d)
+      .filter(col("l_discount") > 0)
+      .select(col("l_suppkey"), col("l_shipdate").cast("date").as("ship_date"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .withColumn("run_wavg",
+        wavg(col("l_extendedprice"), col("l_discount")).over(w))
+      .select(col("l_suppkey"), col("ship_date"), col("l_orderkey"),
+        col("l_linenumber"), col("run_wavg"))
+      .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber",
+        "run_wavg")
   }
 }

@@ -573,13 +573,48 @@ object OracleSql {
         | CAST(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS score
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, score""".stripMargin,
 
+    // u2/u8: wavg = exact rational half-up at 4 dp, mirrored as integer
+    // math — N = num·10⁸, D = den·10⁴ (both integral: the sums carry
+    // scale-8/scale-4 decimals), r = (2N + D) // 2D. Rounding the DOUBLE
+    // quotient instead diverges at the .00005 boundaries quantized inputs
+    // concentrate on (round-9 u8 lesson).
     "u2_udaf_wavg" ->
-      """SELECT c_mktsegment,
-        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
-        |  / CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 4) AS wavg_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        | JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+      """WITH g AS (SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * CAST(l_discount AS DECIMAL(18,4))) * 100000000 AS HUGEINT) AS n,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) * 10000 AS HUGEINT) AS dd
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment)
+        |SELECT c_mktsegment,
+        | CAST(CAST((2 * n + dd) // (2 * dd) AS BIGINT) AS DOUBLE) / 10000.0
+        |  AS wavg_price
+        |FROM g ORDER BY c_mktsegment""".stripMargin,
+
+    // u8: WAvg-as-window-function mirror — same decimal quantization as
+    // u2, running frame; order ties beyond (price, discount) are identical
+    // rows, so the running sequence is tie-order invariant on both engines
+    "u8_udaf_window" ->
+      """WITH li AS (SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_date,
+        |  l_orderkey, l_linenumber, l_extendedprice, l_discount
+        | FROM lineitem WHERE l_discount > 0),
+        | r AS (SELECT l_suppkey, ship_date, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+        |      * CAST(l_discount AS DECIMAL(18,4))) OVER w
+        |    * 100000000 AS HUGEINT) AS n,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) OVER w
+        |    * 10000 AS HUGEINT) AS dd
+        | FROM li
+        | WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY ship_date, l_orderkey, l_linenumber, l_extendedprice,
+        |    l_discount
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, ship_date, l_orderkey, l_linenumber,
+        | CAST(CAST((2 * n + dd) // (2 * dd) AS BIGINT) AS DOUBLE) / 10000.0
+        |  AS run_wavg
+        |FROM r
+        |ORDER BY l_suppkey, ship_date, l_orderkey, l_linenumber,
+        | run_wavg""".stripMargin,
 
     "u3_generator" ->
       """SELECT o_orderkey, UNNEST(generate_series(1, o_orderkey % 3 + 1)) AS installment
@@ -922,6 +957,43 @@ object OracleSql {
         |FROM cand c JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
         |WHERE 10 * len(list_intersect(ta.t, tb.t)) >= 7 * len(list_distinct(ta.t || tb.t))
         |ORDER BY c.lang, a_id, b_id""".stripMargin),
+
+    // x44: mh_est = slot-agreement k/8 — every value an exact dyadic
+    // (0.125 grid), so no ROUND anywhere on that column
+    "x44_minhash_accuracy" -> (x1Ctes +
+      """
+        |SELECT c.lang, c.a_id, c.b_id,
+        | ROUND(CAST(len(list_intersect(ta.t, tb.t)) AS DOUBLE)
+        |   / len(list_distinct(ta.t || tb.t)), 4) AS jaccard,
+        | CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) AS DOUBLE) / 8.0
+        |  AS mh_est
+        |FROM cand c
+        | JOIN toks ta ON c.a_id = ta.doc_id JOIN toks tb ON c.b_id = tb.doc_id
+        | JOIN sig sa ON c.a_id = sa.doc_id JOIN sig sb ON c.b_id = sb.doc_id
+        |ORDER BY c.lang, a_id, b_id""".stripMargin),
+
+    // s14: all integer ns/µs math over the unique event_id arrival order
+    "s14_late_events" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tns FROM events),
+        | r AS (SELECT user_id, event_id, tns,
+        |   MAX(tns) OVER (PARTITION BY user_id ORDER BY event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM e),
+        | l AS (SELECT user_id, tns, prev_max,
+        |   (prev_max IS NOT NULL
+        |     AND prev_max - tns > 300000000000) AS late FROM r)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | COUNT(*) FILTER (WHERE late) AS n_late,
+        | COALESCE(MAX(CASE WHEN late THEN (prev_max - tns) // 1000 END), 0)
+        |  AS max_lag_us
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "x17_cross_source" -> (x1Ctes +
       """,
@@ -1664,6 +1736,28 @@ object OracleSql {
         |SELECT n, CAST(MIN(dist) AS INT) AS dist FROM bfs
         |GROUP BY n ORDER BY n""".stripMargin,
 
+    // r12: full-relax unrolled CTEs — identical ≤k-edge minimum to the
+    // Spark side's delta relaxation; all BIGINT integer math
+    "r12_sssp_bounded" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | p0 AS (SELECT a.p AS u, b.p AS v, COUNT(*) AS co
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY a.p, b.p),
+        | e AS (SELECT u, v, GREATEST(1, 10 - co) AS w FROM p0
+        |  UNION ALL SELECT v, u, GREATEST(1, 10 - co) FROM p0),
+        | d0 AS (SELECT MIN(u) AS n, CAST(0 AS BIGINT) AS dist FROM e),
+        | d1 AS (SELECT n, MIN(dist) AS dist FROM (
+        |   SELECT n, dist FROM d0 UNION ALL
+        |   SELECT e.v, d0.dist + e.w FROM d0 JOIN e ON e.u = d0.n) GROUP BY n),
+        | d2 AS (SELECT n, MIN(dist) AS dist FROM (
+        |   SELECT n, dist FROM d1 UNION ALL
+        |   SELECT e.v, d1.dist + e.w FROM d1 JOIN e ON e.u = d1.n) GROUP BY n),
+        | d3 AS (SELECT n, MIN(dist) AS dist FROM (
+        |   SELECT n, dist FROM d2 UNION ALL
+        |   SELECT e.v, d2.dist + e.w FROM d2 JOIN e ON e.u = d2.n) GROUP BY n)
+        |SELECT n AS p_partkey, dist FROM d3 ORDER BY p_partkey""".stripMargin,
+
     // u6: buffer scaling is an IMPLEMENTATION property — the oracle states
     // per-dimension DECIMAL(18,6) sums, the exact value the scaled-long
     // buffer carries
@@ -2042,6 +2136,42 @@ object OracleSql {
         | MIN(cum_tokens - wc) AS start_tok, MAX(cum_tokens) AS end_tok,
         | ROUND(CAST(SUM(wc) AS DOUBLE) / 2500.0, 4) AS fill_frac
         |FROM cs GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    // x42: trigram extraction is x3's idiom; COUNT/COUNT-FILTER are BIGINT
+    // in DuckDB (no HUGEINT risk); novelty mirrors round4fast = plain ROUND
+    "x42_ngram_novelty" ->
+      """WITH tg AS (SELECT DISTINCT doc_id,
+        |  unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |   i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1]
+        |        || ' ' || string_split(text, ' ')[i+2]))) AS tri
+        | FROM documents),
+        | f AS (SELECT tri, MIN(doc_id) AS first_doc FROM tg GROUP BY tri)
+        |SELECT tg.doc_id, COUNT(*) AS n_tri,
+        | COUNT(*) FILTER (WHERE f.first_doc = tg.doc_id) AS n_novel,
+        | ROUND(CAST(COUNT(*) FILTER (WHERE f.first_doc = tg.doc_id) AS DOUBLE)
+        |   / COUNT(*), 4) AS novelty
+        |FROM tg JOIN f USING (tri)
+        |GROUP BY tg.doc_id ORDER BY tg.doc_id""".stripMargin,
+
+    // x43: ln-parity discipline (x30): every ln argument is an integer
+    // count, each term quantized to DECIMAL(18,9) before the exact sum;
+    // integer SUMs cast to BIGINT (D9); kl crosses 0 under quantization
+    // noise -> ROUND + 0.0 (round4nz mirror)
+    "x43_kl_drift" ->
+      """WITH sw AS (SELECT source, w, COUNT(*) AS c
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY source, w),
+        | cw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM sw GROUP BY w),
+        | tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_corpus FROM sw)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        | COUNT(*) AS vocab,
+        | ROUND((CAST(SUM(CAST(round(c * ln(c), 9) AS DECIMAL(18,9))) AS DOUBLE)
+        |    - CAST(SUM(CAST(round(c * ln(cw), 9) AS DECIMAL(18,9))) AS DOUBLE))
+        |   / CAST(SUM(c) AS DOUBLE)
+        |   - ln(CAST(SUM(c) AS DOUBLE)) + ln(CAST(n_corpus AS DOUBLE)), 4)
+        |  + 0.0 AS kl
+        |FROM sw JOIN cw USING (w), tot
+        |GROUP BY source, n_corpus ORDER BY source""".stripMargin,
 
     "s13_anomaly_days" ->
       """WITH daily AS (SELECT user_id,

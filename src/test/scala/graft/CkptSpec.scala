@@ -43,11 +43,15 @@ class CkptSpec extends SparkSpec {
     // w8 (sampled range cells); continuation 2: a22 (shared level frame),
     // x41 (x27's cells via composition), l7/l9 (shared Ckpt'd TF frame),
     // w10 (shared revenue frame).
+    // round 9: r12 (edge frame + per-round dist/frontier), x42 (shared
+    // posting frame), x43 (shared (source, word) count frame)
     val qs = Seq("x20_dup_clusters", "x27_shard_pack",
       "x21_semdedup_learned", "r7_pagerank",
       "r9_triangles", "r11_bfs", "w8_ntile_spend",
       "a22_mad", "x41_shard_audit", "l7_tfidf", "l9_keyword_topk",
-      "w10_pareto_share")
+      "w10_pareto_share",
+      "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
+      "x44_minhash_accuracy")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

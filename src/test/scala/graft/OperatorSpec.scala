@@ -1485,6 +1485,148 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x42 novelty equals a driver-side first-occurrence recomputation") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val triSets = docs.map { case (id, ws) =>
+      id -> ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val firstDoc = triSets.toSeq.flatMap { case (id, ts) => ts.map(_ -> id) }
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).min }
+    val rows = ops.Pipeline.x42(spark, sf001).collect()
+    assert(rows.length === triSets.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val (id, nTri, nNovel) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val ts = triSets(id)
+      assert(nTri === ts.size)
+      assert(nNovel === ts.count(t => firstDoc(t) == id))
+      assert(math.abs(r.getDouble(3) - nNovel.toDouble / nTri) < 5e-5)
+    }
+  }
+
+  test("x43 KL drift: non-negative (Gibbs), token masses reconcile") {
+    val rows = ops.Pipeline.x43(spark, sf001).collect()
+    assert(rows.length === 20) // fixture has 20 sources
+    val corpusTokens = Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.expr(
+        "sum(size(split(text, ' ')))")).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum === corpusTokens)
+    rows.foreach { r =>
+      // quantization noise can push a true-0 KL a hair negative; the
+      // declared output rounds at 4 dp, so -0.0001 is the worst legal case
+      assert(r.getDouble(3) >= -1e-4, s"KL < 0 for ${r.getString(0)}")
+      assert(r.getLong(2) > 0) // vocab
+    }
+  }
+
+  test("r12 distances equal a driver-side 3-round Bellman-Ford") {
+    val li = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val co = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size) yield (ps(i), ps(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val adj = co.toSeq.flatMap { case ((a, b), c) =>
+      val w = math.max(1L, 10L - c)
+      Seq((a, b, w), (b, a, w))
+    }.groupBy(_._1)
+    val src = co.keys.flatMap(p => Seq(p._1, p._2)).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (u, du) =>
+        adj.getOrElse(u, Seq()).map { case (_, v, w) => v -> (du + w) }
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, xs) => n -> xs.map(_._2).min }
+    }
+    val rows = ops.Rdf.r12(spark, sf001).collect()
+    assert(rows.length === dist.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) === dist(r.getLong(0)),
+        s"dist mismatch at part ${r.getLong(0)}")
+    }
+  }
+
+  test("u8 running WAvg equals a driver-side quantized running recomputation") {
+    import org.apache.spark.sql.functions._
+    def d4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val input = Tables.lineitem(spark, sf001)
+      .filter(col("l_discount") > 0)
+      .select(col("l_suppkey"), col("l_shipdate").cast("date").cast("string"),
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4), r.getDouble(5)))
+    val expect = input.groupBy(_._1).toSeq.flatMap { case (sk, rs) =>
+      var sw = BigDecimal(0)
+      var ww = BigDecimal(0)
+      rs.sortBy(t => (t._2, t._3, t._4, t._5, t._6)).map { t =>
+        sw += d4(t._5) * d4(t._6)
+        ww += d4(t._6)
+        // finish IS the declared rounding contract (exact rational
+        // half-up) — reuse it so this test checks the WINDOW plumbing
+        (sk, t._2, t._3, t._4, ops.Udfs.WAvg.finish((sw, ww)))
+      }
+    }.sorted
+    val got = ops.Udfs.u8(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2),
+        r.getInt(3), r.getDouble(4))).toSeq.sorted
+    assert(got === expect)
+  }
+
+  test("x44 estimate and truth both recompute driver-side per output pair") {
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").distinct.toSet).toMap
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val sigs = docs.map { case (id, ts) =>
+      id -> (0 until 8).map(i => ts.map(t => md5hex(s"$i:$t")).min)
+    }
+    val rows = ops.Pipeline.x44(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      val (sa, sb) = (docs(a), docs(b))
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(r.getDouble(3) - j) < 5e-5, s"jaccard pair ($a,$b)")
+      val k = (0 until 8).count(i => sigs(a)(i) == sigs(b)(i))
+      assert(r.getDouble(4) === k / 8.0, s"mh_est pair ($a,$b)")
+      assert(k >= 2, s"candidate ($a,$b) lacks an agreeing band") // LSH sanity
+    }
+  }
+
+  test("s14 lateness flags equal a driver-side recomputation") {
+    val evs = Tables.events(spark, sf001)
+      .select("user_id", "event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = evs.groupBy(_._1).map { case (u, rs) =>
+      var mx = Long.MinValue
+      var late = 0L
+      var worst = 0L
+      rs.sortBy(_._2).foreach { case (_, _, t) =>
+        if (mx != Long.MinValue && mx - t > 300000000000L) {
+          late += 1
+          worst = math.max(worst, (mx - t) / 1000)
+        }
+        mx = math.max(mx, t)
+      }
+      u -> ((rs.length.toLong, late, worst))
+    }
+    val rows = ops.Events.s14(spark, sf001).collect()
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) === expect(r.getLong(0)),
+        s"user ${r.getLong(0)}")
+    }
+  }
+
   test("centroid aggregator fails loudly on ragged embeddings") {
     // Unguarded, a longer later row threw AIOOBE only when it wasn't the
     // partition's first row (order-dependent) and merge's zip silently
