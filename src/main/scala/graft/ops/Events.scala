@@ -354,4 +354,45 @@ object Events {
           expr("(prev_max - ts) DIV 1000"))), lit(0L)).as("max_lag_us"))
       .orderBy("user_id")
   }
+
+  /** s15 — activity STREAKS (gaps-and-islands, the one classic event-time
+    * idiom the s-family hadn't declared): per user, total active days,
+    * number of maximal consecutive-day runs, the longest run, and the
+    * start date of the longest run (earliest start on ties). Island id =
+    * day_idx − row_number over the per-user day order — consecutive days
+    * share one id, a gap opens a new one.
+    *
+    * Determinism: pure integer day indices off the epoch-ns longs (s13's
+    * day convention, D3) and a DATE emission — no float anywhere; the
+    * longest-run start resolves ties by MIN(start), stated identically in
+    * the oracle. Scale: one user-keyed distinct + one user-keyed window +
+    * keyed aggs; per-user partition length is CALENDAR-bounded (distinct
+    * active days ≤ days in the fixture window at any corpus size). The
+    * streaks frame feeds two consumers (totals + longest-run start), so
+    * it goes through [[graft.Ckpt]].
+    */
+  def s15(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("day_idx")
+    val streaks = graft.Ckpt(days
+      .withColumn("grp", col("day_idx") - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day_idx").as("start_idx")))
+    val mx = streaks.groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), sum(col("len")).as("n_active_days"),
+        max(col("len")).as("max_streak"))
+    val best = streaks
+      .join(mx.select(col("user_id"), col("max_streak").as("ms")), Seq("user_id"))
+      .filter(col("len") === col("ms"))
+      .groupBy("user_id").agg(min("start_idx").as("bs"))
+    mx.join(best, Seq("user_id"))
+      .select(col("user_id"), col("n_active_days"), col("n_streaks"),
+        col("max_streak"),
+        asDate(timestamp_seconds(col("bs") * 86400)).as("streak_start"))
+      .orderBy("user_id")
+  }
 }

@@ -404,4 +404,43 @@ object Joins {
              ORDER BY c_custkey""")
     finally { s.catalog.dropTempView(vc); s.catalog.dropTempView(vo) }
   }
+
+  /** j19 — BAND join (|s_acctbal − c_acctbal| ≤ 25) as a BUCKETED
+    * equi-join: j8 declares the theta-join surface and Spark executes it
+    * as a broadcast nested loop — correct, but O(n·m) predicate
+    * evaluations and a broadcast that cannot hold a corpus-sized side.
+    * This is the standard scale rewrite: quantize the band axis into
+    * width-25 integer buckets, explode the PROBE side to its own bucket
+    * ±1 (any in-band partner provably lands there), equi-join on the
+    * bucket key, keep the residual band predicate. Each qualifying pair
+    * matches EXACTLY once — the build row's bucket is a function of its
+    * own value, so only one of the probe's three bucket rows can collide
+    * with it (no post-join dedup). Cost: one keyed shuffle of 3n + m rows
+    * on a dense integer key — broadcast-free, skew-safe, linear; the
+    * pattern every interval/tolerance join (sensor alignment, price
+    * matching, j15's interval overlap) reduces to at 100 TB.
+    *
+    * Determinism: bucket = floor(bal ∕ 25) and the residual |Δ| ≤ 25 are
+    * single IEEE ops on parquet-exact operands — identical on both
+    * engines; the oracle states the PLAIN band predicate (the bucketing
+    * is a plan property, invisible in the result); diff is one exact
+    * subtraction, 4-dp rounded (D4).
+    */
+  def j19(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        floor(col("c_acctbal") / lit(25.0)).cast("long").as("bucket"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"),
+        floor(col("s_acctbal") / lit(25.0)).cast("long").as("sb"))
+      .select(col("s_suppkey"), col("s_acctbal"),
+        (col("sb") + col("off")).as("bucket"))
+    supp.join(cust, Seq("bucket"))
+      .filter(abs(col("s_acctbal") - col("c_acctbal")) <= lit(25.0))
+      .select(col("s_suppkey"), col("c_custkey"),
+        col("s_acctbal"), col("c_acctbal"),
+        round4nz(abs(col("s_acctbal") - col("c_acctbal"))).as("bal_diff"))
+      .orderBy("s_suppkey", "c_custkey")
+  }
 }

@@ -1831,4 +1831,154 @@ object Pipeline {
             " + ln(CAST(n_corpus AS DOUBLE))")).as("kl"))
       .orderBy("source")
   }
+
+  /** x45 — DSIR-style IMPORTANCE WEIGHTS (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per document, the
+    * log importance weight of a unigram-LM likelihood ratio between a
+    * TARGET domain (the `en` slice) and the whole corpus — the published
+    * recipe for "sample the web corpus so it looks like the target".
+    * log w_d = Σ_w c_dw·[ln p̂_t(w) − ln p̂_c(w)] with the target LM
+    * Laplace-smoothed over the corpus vocabulary V (an unseen-in-target
+    * word contributes ln 1 = 0 to the A-sum) and the corpus LM unsmoothed
+    * (every scored word has c_w ≥ 1 by construction).
+    *
+    * Determinism (x43's ln-parity discipline): expanding the ratio,
+    * log w_d = A_d − B_d + n_d·(ln N_c − ln(N_t + V)) with
+    * A_d = Σ c_dw·ln(ct_w + 1) and B_d = Σ c_dw·ln(c_w) — every ln
+    * argument an INTEGER count, each term round(·,9)-quantized to
+    * DECIMAL(18,9) before the exact order-free sum, and the final
+    * combination one fixed-shape double expression mirrored textually in
+    * the oracle.
+    *
+    * Scale: ONE corpus scan into the (doc, lang, word) count frame, which
+    * is consumed THREE times (target counts, corpus counts, join-back) —
+    * [[graft.Ckpt]]'d per the shared-frame discipline; both derived vocab
+    * frames and the join are word-keyed (corpus-linear, a hub word is AQE
+    * skew territory, never a blowup); totals ride a provably-1-row
+    * broadcast like x28/x43.
+    */
+  def x45(s: SparkSession, d: String): DataFrame = {
+    val dw = graft.Ckpt(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c")))
+    val ct = dw.filter(col("lang") === "en")
+      .groupBy("w").agg(sum(col("c")).as("ct"))
+    val cc = dw.groupBy("w").agg(sum(col("c")).as("cw"))
+    val tot = cc.agg(sum(col("cw")).as("n_corpus"),
+        count(lit(1)).as("vocab"))
+      .crossJoin(ct.agg(sum(col("ct")).as("n_target")))
+    dw.join(cc, "w")
+      .join(ct, Seq("w"), "left")
+      .withColumn("tc", coalesce(col("ct"), lit(0L)) + lit(1L))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(expr("CAST(round(c * ln(tc), 9) AS DECIMAL(18,9))")).as("a"),
+        sum(expr("CAST(round(c * ln(cw), 9) AS DECIMAL(18,9))")).as("b"))
+      .crossJoin(broadcast(tot)) // provably 1 row — the allowed tiny class
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        graft.Det.round4nz(expr(
+          "CAST(a AS DOUBLE) - CAST(b AS DOUBLE)" +
+            " + CAST(n_tokens AS DOUBLE)" +
+            " * (ln(CAST(n_corpus AS DOUBLE))" +
+            "    - ln(CAST(n_target + vocab AS DOUBLE)))")).as("logw"))
+      .orderBy("doc_id")
+  }
+
+  /** x46 — mixture TEMPERATURE reweighting (the GLaM/PaLM τ-sampling knob;
+    * x28 is the uniform-target special case): per source, token share
+    * p_s and the τ = 0.5 tempered sampling weight q_s = p_s^τ / Σ p^τ —
+    * the standard smoothing between "proportional to size" (τ=1) and
+    * "uniform over sources" (τ=0).
+    *
+    * Determinism: p_s is one exact-operand double division (D4); sqrt is
+    * IEEE-correctly-rounded on both engines; each √p is round(·,9)-
+    * quantized to DECIMAL(18,9) BEFORE the normalizing sum (double
+    * addition over the source axis would be order-dependent — the same
+    * trap D2 exists for), so the denominator is exact and order-free; the
+    * final quotient is one fixed-shape double op, 4-dp rounded.
+    *
+    * Scale: ONE source-keyed agg over the corpus + two provably-1-row
+    * broadcast totals — x28's shape exactly; the source axis is
+    * domain-bounded (20), never corpus-sized.
+    */
+  def x46(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("wc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("wc")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("n_total"))
+    val withR = per.crossJoin(broadcast(tot))
+      .withColumn("r", expr(
+        "CAST(round(sqrt(CAST(tokens AS DOUBLE) / CAST(n_total AS DOUBLE))," +
+          " 9) AS DECIMAL(18,9))"))
+    val norm = withR.agg(sum(col("r")).as("sum_r"))
+    withR.crossJoin(broadcast(norm))
+      .select(col("source"), col("docs"), col("tokens"),
+        graft.Det.round4nz(
+          col("tokens").cast("double") / col("n_total").cast("double"))
+          .as("share"),
+        graft.Det.round4nz(
+          col("r").cast("double") / col("sum_r").cast("double"))
+          .as("tweight"))
+      .orderBy("source")
+  }
+
+  /** x47 — embedding CLUSTER-SEPARATION audit (the Davies–Bouldin-style
+    * health check a team runs on a labeled embedding space before trusting
+    * it for SemDedup/IVF routing): per label, the mean squared distance of
+    * members to their centroid (compactness), the nearest other centroid
+    * and its squared distance (separation), and the separation∕compactness
+    * ratio — sep ≪ 1 means the clusters x11/x21 route by are mush.
+    *
+    * Determinism: centroids are u6's exact algebra (per-dim DECIMAL(18,6)
+    * sums ∕ n, one correctly-rounded double division); every squared
+    * deviation is round(·,9)-quantized to DECIMAL(18,9) BEFORE its sum
+    * (order-free — the 64-dim and per-member sums never ride raw double
+    * addition); the nearest-centroid argmin breaks ties by label; ratios
+    * are single fixed-shape double ops mirrored textually in the oracle.
+    *
+    * Scale: ONE embeddings scan into the Ckpt'd long-format (vec, dim,
+    * value) frame (feeds the centroid agg AND the member-distance join);
+    * centroids are label×64 rows — broadcast-class forever; the member
+    * join is (label, dim)-keyed, corpus-linear; the centroid self-join is
+    * |labels|² × 64, domain-bounded.
+    */
+  def x47(s: SparkSession, d: String): DataFrame = {
+    val x = graft.Ckpt(Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v"))))
+    val cent = graft.Ckpt(x.groupBy("label", "j")
+      .agg(sum(expr("CAST(v AS DECIMAL(18,6))")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("j"),
+        expr("CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)").as("c")))
+    val perVec = x.join(cent, Seq("label", "j"))
+      .withColumn("t", expr("CAST(round((v - c) * (v - c), 9) AS DECIMAL(18,9))"))
+      .groupBy("vec_id", "label").agg(sum(col("t")).as("d2"))
+    val intra = perVec.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), expr("CAST(SUM(d2) AS DOUBLE)").as("sd2"))
+    val cd = cent.as("a")
+      .join(cent.as("b"),
+        col("a.j") === col("b.j") && col("a.label") =!= col("b.label"))
+      .withColumn("t",
+        expr("CAST(round((a.c - b.c) * (a.c - b.c), 9) AS DECIMAL(18,9))"))
+      .groupBy(col("a.label").as("label"), col("b.label").as("other"))
+      .agg(sum(col("t")).as("cd2"))
+    val nearest = cd
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("label").orderBy(col("cd2"), col("other"))))
+      .filter(col("rn") === 1)
+      .select(col("label"), col("other").as("nearest_label"),
+        expr("CAST(cd2 AS DOUBLE)").as("inter_raw"))
+    intra.join(nearest, Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        graft.Det.round4nz(expr("sd2 / CAST(n_vecs AS DOUBLE)")).as("intra_msd"),
+        col("nearest_label"),
+        graft.Det.round4nz(col("inter_raw")).as("inter_d2"),
+        graft.Det.round4nz(
+          expr("inter_raw / (sd2 / CAST(n_vecs AS DOUBLE))")).as("sep"))
+      .orderBy("label")
+  }
 }

@@ -2214,6 +2214,118 @@ object OracleSql {
         | CAST(CAST(mad.mad AS DECIMAL(18,2)) AS DOUBLE) AS mad,
         | CAST(med.n AS BIGINT) AS n_items
         |FROM med JOIN mad ON med.l_returnflag = mad.l_returnflag
-        |ORDER BY med.l_returnflag""".stripMargin
+        |ORDER BY med.l_returnflag""".stripMargin,
+
+    // x45: ln args all INTEGER counts; per-term round(.,9) DECIMAL(18,9)
+    // quantization before each sum (exact, order-free); the final
+    // combination textually mirrors the Spark expression (x43 discipline)
+    "x45_dsir_weights" ->
+      """WITH dw AS (SELECT doc_id, lang, w, COUNT(*) AS c
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) GROUP BY doc_id, lang, w),
+        | ct AS (SELECT w, CAST(SUM(c) AS BIGINT) AS ct FROM dw
+        |        WHERE lang = 'en' GROUP BY w),
+        | cc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM dw GROUP BY w),
+        | tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_corpus,
+        |        COUNT(*) AS vocab FROM cc),
+        | tt AS (SELECT CAST(SUM(ct) AS BIGINT) AS n_target FROM ct)
+        |SELECT dw.doc_id, dw.lang, CAST(SUM(dw.c) AS BIGINT) AS n_tokens,
+        | ROUND(
+        |   CAST(SUM(CAST(round(dw.c * ln(COALESCE(ct.ct, 0) + 1), 9)
+        |     AS DECIMAL(18,9))) AS DOUBLE)
+        |   - CAST(SUM(CAST(round(dw.c * ln(cc.cw), 9)
+        |     AS DECIMAL(18,9))) AS DOUBLE)
+        |   + CAST(SUM(dw.c) AS DOUBLE)
+        |     * (ln(CAST(n_corpus AS DOUBLE))
+        |        - ln(CAST(n_target + vocab AS DOUBLE))), 4) + 0.0 AS logw
+        |FROM dw JOIN cc USING (w) LEFT JOIN ct USING (w), tot, tt
+        |GROUP BY dw.doc_id, dw.lang, n_corpus, vocab, n_target
+        |ORDER BY doc_id""".stripMargin,
+
+    // x46: sqrt is IEEE-correctly-rounded on both engines; each sqrt(p)
+    // quantized to DECIMAL(18,9) before the normalizing sum
+    "x46_temperature_mix" ->
+      """WITH per AS (SELECT source, COUNT(*) AS docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        | FROM documents GROUP BY source),
+        | tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS n_total FROM per),
+        | wr AS (SELECT source, docs, tokens, n_total,
+        |   CAST(round(sqrt(CAST(tokens AS DOUBLE) / CAST(n_total AS DOUBLE)),
+        |     9) AS DECIMAL(18,9)) AS r
+        |  FROM per, tot),
+        | nm AS (SELECT SUM(r) AS sum_r FROM wr)
+        |SELECT source, docs, tokens,
+        | ROUND(CAST(tokens AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+        |   + 0.0 AS share,
+        | ROUND(CAST(r AS DOUBLE) / CAST(sum_r AS DOUBLE), 4)
+        |   + 0.0 AS tweight
+        |FROM wr, nm ORDER BY source""".stripMargin,
+
+    // j19: the oracle states the PLAIN band predicate — the bucketed
+    // equi-join rewrite is a plan property, invisible in the result
+    "j19_band_bucket" ->
+      """SELECT s_suppkey, c_custkey, s_acctbal, c_acctbal,
+        | ROUND(abs(s_acctbal - c_acctbal), 4) + 0.0 AS bal_diff
+        |FROM supplier, customer
+        |WHERE abs(s_acctbal - c_acctbal) <= 25.0
+        |ORDER BY s_suppkey, c_custkey""".stripMargin,
+
+    // s15: pure integer day indices (s13's day convention) + DATE emission;
+    // longest-run start resolves ties by MIN(start) on both engines
+    "s15_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |   epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx
+        |  FROM events),
+        | isl AS (SELECT user_id, day_idx,
+        |   day_idx - ROW_NUMBER() OVER (PARTITION BY user_id
+        |     ORDER BY day_idx) AS grp FROM days),
+        | streaks AS (SELECT user_id, grp, COUNT(*) AS len,
+        |   MIN(day_idx) AS start_idx FROM isl GROUP BY user_id, grp),
+        | mx AS (SELECT user_id, COUNT(*) AS n_streaks,
+        |   CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |   MAX(len) AS max_streak FROM streaks GROUP BY user_id),
+        | best AS (SELECT s.user_id, MIN(s.start_idx) AS bs
+        |  FROM streaks s JOIN mx ON s.user_id = mx.user_id
+        |    AND s.len = mx.max_streak GROUP BY s.user_id)
+        |SELECT mx.user_id, mx.n_active_days, mx.n_streaks, mx.max_streak,
+        | CAST(to_timestamp(best.bs * 86400) AS DATE) AS streak_start
+        |FROM mx JOIN best ON mx.user_id = best.user_id
+        |ORDER BY mx.user_id""".stripMargin,
+
+    // x47: u6's exact centroid algebra; every squared deviation
+    // round(.,9)-quantized to DECIMAL(18,9) before its sum (order-free);
+    // argmin tie-broken by label; ratios textually mirror the Spark expr
+    "x47_cluster_sep" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |   FROM embeddings),
+        | x AS (SELECT vec_id, label, j, emb[j + 1] AS v
+        |   FROM e, (SELECT unnest(range(64)) AS j) js),
+        | cent AS (SELECT label, j,
+        |   CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE) AS c
+        |  FROM x GROUP BY label, j),
+        | pv AS (SELECT x.vec_id, x.label,
+        |   SUM(CAST(round((x.v - cent.c) * (x.v - cent.c), 9)
+        |     AS DECIMAL(18,9))) AS d2
+        |  FROM x JOIN cent ON x.label = cent.label AND x.j = cent.j
+        |  GROUP BY x.vec_id, x.label),
+        | intra AS (SELECT label, COUNT(*) AS n_vecs,
+        |   CAST(SUM(d2) AS DOUBLE) AS sd2 FROM pv GROUP BY label),
+        | cd AS (SELECT a.label AS label, b.label AS other,
+        |   SUM(CAST(round((a.c - b.c) * (a.c - b.c), 9)
+        |     AS DECIMAL(18,9))) AS cd2
+        |  FROM cent a JOIN cent b ON a.j = b.j AND a.label <> b.label
+        |  GROUP BY a.label, b.label),
+        | nearest AS (SELECT label, other, CAST(cd2 AS DOUBLE) AS inter_raw,
+        |   ROW_NUMBER() OVER (PARTITION BY label
+        |     ORDER BY cd2, other) AS rn FROM cd)
+        |SELECT i.label, i.n_vecs,
+        | ROUND(i.sd2 / CAST(i.n_vecs AS DOUBLE), 4) + 0.0 AS intra_msd,
+        | n.other AS nearest_label,
+        | ROUND(n.inter_raw, 4) + 0.0 AS inter_d2,
+        | ROUND(n.inter_raw / (i.sd2 / CAST(i.n_vecs AS DOUBLE)), 4)
+        |   + 0.0 AS sep
+        |FROM intra i JOIN nearest n ON i.label = n.label AND n.rn = 1
+        |ORDER BY i.label""".stripMargin
   )
 }

@@ -30,7 +30,10 @@ object ExplainAudit {
       "x35_hll_users", "x36_cms_words", "x37_corpus_stats",
       "j16_asof_nearest", "j17_bloom_semi", "j18_not_exists",
       "w10_pareto_share", "a22_mad", "l9_keyword_topk", "s12_sessionize",
-      "x39_domain_cap", "x40_curation_funnel", "x41_shard_audit")
+      "x39_domain_cap", "x40_curation_funnel", "x41_shard_audit",
+      "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
+      "x44_minhash_accuracy", "u8_udaf_window", "s14_late_events",
+      "x45_dsir_weights", "x46_temperature_mix", "j19_band_bucket")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

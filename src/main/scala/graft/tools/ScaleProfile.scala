@@ -50,7 +50,16 @@ object ScaleProfile {
     // doc-keyed rank, s12's user-keyed sessionization over m× events,
     // x40's five chained survivor stages, j16's two-frame as-of window)
     "l9_keyword_topk", "s12_sessionize", "x40_curation_funnel",
-    "j16_asof_nearest")
+    "j16_asof_nearest",
+    // round 9: x42/x44's token shapes scale ×m (copy vocabularies are
+    // disjoint — suffixed tokens — so posting lists and LSH bands grow
+    // linearly, never across copies); x43's (source, word) counts grow ×m
+    // under the SHARED source axis; u8/s14 replicate per-key windows over
+    // disjoint supplier/user populations; r12's frontier stays inside copy
+    // 0's component (single-source from the global min key) while its edge
+    // build scales ×m — the row isolates the build-dominated regime
+    "x42_ngram_novelty", "x43_kl_drift", "x44_minhash_accuracy",
+    "u8_udaf_window", "s14_late_events", "r12_sssp_bounded")
 
   val Mults = Seq(1, 2, 4, 8)
 

@@ -51,7 +51,8 @@ class CkptSpec extends SparkSpec {
       "a22_mad", "x41_shard_audit", "l7_tfidf", "l9_keyword_topk",
       "w10_pareto_share",
       "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
-      "x44_minhash_accuracy")
+      "x44_minhash_accuracy", "x45_dsir_weights", "s15_streaks",
+      "x47_cluster_sep")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

@@ -1652,4 +1652,132 @@ class OperatorSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Rdf.r7MassGuard(3000000000L) }
     Rdf.r7MassGuard(3000000000L, s = 100000000L) // the documented cure
   }
+
+  test("x45 DSIR log-weights recompute driver-side; en-target separation") {
+    val out = ops.Pipeline.x45(spark, sf001).collect()
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(out.length === docs.length)
+    // driver-side recompute of the declared decomposition
+    val perDoc = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ").groupBy(identity).map { case (w, a) => w -> a.length.toLong })
+    }
+    val ctM = scala.collection.mutable.Map.empty[String, Long]
+    val ccM = scala.collection.mutable.Map.empty[String, Long]
+    perDoc.foreach { case (_, lang, m) =>
+      m.foreach { case (w, c) =>
+        ccM(w) = ccM.getOrElse(w, 0L) + c
+        if (lang == "en") ctM(w) = ctM.getOrElse(w, 0L) + c
+      }
+    }
+    val nC = ccM.values.sum; val v = ccM.size.toLong; val nT = ctM.values.sum
+    def q9(x: Double): BigDecimal =
+      BigDecimal(java.lang.Double.toString(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expByDoc = perDoc.map { case (id, _, m) =>
+      val a = m.map { case (w, c) => q9(c * math.log(ctM.getOrElse(w, 0L) + 1.0)) }.sum
+      val b = m.map { case (w, c) => q9(c * math.log(ccM(w).toDouble)) }.sum
+      val n = m.values.sum
+      id -> (a.toDouble - b.toDouble + n.toDouble * (math.log(nC.toDouble) - math.log((nT + v).toDouble)))
+    }.toMap
+    out.foreach { r =>
+      val exp = expByDoc(r.getLong(0))
+      assert(math.abs(r.getDouble(3) - exp) < 1.01e-4,
+        s"doc ${r.getLong(0)}: ${r.getDouble(3)} vs $exp")
+    }
+    // semantics: the en slice IS the target — its mean log-weight must sit
+    // above the non-en mean (likelihood ratio favors in-domain docs)
+    val (en, rest) = out.partition(_.getString(1) == "en")
+    val mEn = en.map(_.getDouble(3)).sum / en.length
+    val mRest = rest.map(_.getDouble(3)).sum / rest.length
+    assert(mEn > mRest, s"en mean $mEn !> non-en mean $mRest")
+  }
+
+  test("x46 temperature weights recompute; tempering compresses toward uniform") {
+    val out = ops.Pipeline.x46(spark, sf001).collect()
+    assert(out.length === 20)
+    // Σ tweight ≈ 1 (each of 20 weights 4-dp rounded)
+    val sumW = out.map(_.getDouble(4)).sum
+    assert(math.abs(sumW - 1.0) <= 20 * 5.1e-5)
+    // recompute from raw token masses
+    val toks = out.map(r => r.getString(0) -> r.getLong(2)).toMap
+    val n = toks.values.sum.toDouble
+    def q9(x: Double): BigDecimal =
+      BigDecimal(java.lang.Double.toString(x)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val rs = toks.map { case (s0, t) => s0 -> q9(math.sqrt(t / n)) }
+    val sumR = rs.values.sum
+    out.foreach { r =>
+      val exp = (rs(r.getString(0)) .toDouble) / sumR.toDouble
+      assert(math.abs(r.getDouble(4) - exp) < 1.01e-4)
+      // τ = 0.5 compresses: above-average sources shrink, below-average grow
+      val share = r.getDouble(3)
+      if (share > 0.051) assert(r.getDouble(4) < share)
+      if (share < 0.049) assert(r.getDouble(4) > share)
+    }
+  }
+
+  test("j19 bucketed band join equals the brute-force theta join") {
+    val got = Joins.j19(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exp = Tables.supplier(spark, sf001).select($"s_suppkey", $"s_acctbal")
+      .crossJoin(Tables.customer(spark, sf001).select($"c_custkey", $"c_acctbal"))
+      .filter(org.apache.spark.sql.functions.abs($"s_acctbal" - $"c_acctbal") <= 25.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got === exp)
+    assert(got.nonEmpty) // fixture probe: 5 pairs at sf0.001
+  }
+
+  test("s15 streaks equal a driver-side gaps-and-islands recomputation") {
+    val out = ops.Events.s15(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4).toString))).toMap
+    val days = Tables.events(spark, sf001)
+      .select($"user_id", org.apache.spark.sql.functions.expr(
+        "(ts div 1000) div 86400000000").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, a) => u -> a.map(_._2).sorted }
+    assert(out.keySet === days.keySet)
+    days.foreach { case (u, ds) =>
+      var runs = List.empty[(Long, Long)] // (start, len)
+      ds.foreach { d =>
+        runs = runs match {
+          case (s0, l) :: t if d == s0 + l => (s0, l + 1) :: t
+          case t => (d, 1L) :: t
+        }
+      }
+      val maxLen = runs.map(_._2).max
+      val bs = runs.filter(_._2 == maxLen).map(_._1).min
+      val expDate = java.time.LocalDate.ofEpochDay(bs).toString
+      assert(out(u) === ((ds.length.toLong, runs.length.toLong, maxLen, expDate)),
+        s"user $u: ${out(u)} vs (${ds.length}, ${runs.length}, $maxLen, $expDate)")
+    }
+  }
+
+  test("x47 cluster separation recomputes driver-side; sane geometry") {
+    val out = ops.Pipeline.x47(spark, sf001).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(1)).sum === 500)
+    val vecs = Tables.embeddings(spark, sf001)
+      .select($"label", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    val byL = vecs.groupBy(_._1).map { case (l, a) => l -> a.map(_._2) }
+    val cent = byL.map { case (l, vs) =>
+      l -> Array.tabulate(64)(j => vs.map(_(j)).sum / vs.length)
+    }
+    out.foreach { r =>
+      val l = r.getInt(0)
+      val intraExp = byL(l).map(v =>
+        v.zip(cent(l)).map { case (a, b) => (a - b) * (a - b) }.sum).sum / byL(l).length
+      assert(math.abs(r.getDouble(2) - intraExp) < 1e-3,
+        s"label $l intra ${r.getDouble(2)} vs $intraExp")
+      val cds = cent.keys.filter(_ != l).map { o =>
+        o -> cent(l).zip(cent(o)).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toSeq
+      val (expNear, expD2) = cds.minBy { case (o, d2) => (d2, o) }
+      assert(r.getInt(3) === expNear, s"label $l nearest ${r.getInt(3)} vs $expNear")
+      assert(math.abs(r.getDouble(4) - expD2) < 1e-3)
+      assert(math.abs(r.getDouble(5) - r.getDouble(4) / intraExp) < 1e-2)
+      assert(r.getDouble(2) > 0 && r.getDouble(4) > 0)
+    }
+  }
 }
