@@ -20,6 +20,7 @@ import graft.functions.{DotProduct, NGrams, SignBands}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.YearEqualsToRange)
+    ext.injectOptimizerRule(_ => graft.plans.BandJoinToBucket)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
@@ -56,6 +57,7 @@ object GraftExtensions {
   /** Idempotent runtime install into a live session. */
   def install(spark: SparkSession): Unit = {
     graft.plans.YearEqualsToRange.install(spark)
+    graft.plans.BandJoinToBucket.install(spark)
     graft.plans.TopKStrategy.install(spark)
     functions.foreach { case (ident, info, builder) =>
       GraftBridge.registerFunction(spark, ident, info, builder)
