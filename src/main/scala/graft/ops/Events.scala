@@ -395,4 +395,41 @@ object Events {
         asDate(timestamp_seconds(col("bs") * 86400)).as("streak_start"))
       .orderBy("user_id")
   }
+
+  /** s16 — PEAK-HOUR concentration per event type (the diurnal-profile
+    * audit behind capacity planning and bot detection — a type whose
+    * traffic concentrates in one hour-of-day is a cron job, not people):
+    * per type, total events, the modal hour of day (smallest hour on
+    * ties), the modal hour's count, and its share of the type's traffic.
+    *
+    * Determinism: hour-of-day is pure integer math on the epoch-ns longs
+    * ((ts div ns∕h) % 24, D3); the argmax resolves ties by hour, stated
+    * identically in the oracle's ROW_NUMBER; the share is one
+    * correctly-rounded double division, 4-dp (D4).
+    *
+    * Scale: one scan → one (type, hour)-keyed count (corpus-linear, the
+    * only shuffle that sees data) → a 24-rows-per-type argmax window +
+    * type-keyed rollup over a DOMAIN-bounded frame (|types|·24 rows at
+    * any corpus).
+    */
+  def s16(s: SparkSession, d: String): DataFrame = {
+    val perHour = Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"(ts div $NsPerHour) % 24").as("hod"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cnt").desc, col("hod"))
+    val tot = perHour.groupBy("event_type").agg(sum(col("cnt")).as("total"))
+    perHour
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(tot, Seq("event_type"))
+      .select(col("event_type"), col("total"),
+        col("hod").cast("int").as("peak_hour"), col("cnt").as("peak_cnt"),
+        graft.Det.round4nz(
+          col("cnt").cast("double") / col("total").cast("double"))
+          .as("peak_share"))
+      .orderBy("event_type")
+  }
 }

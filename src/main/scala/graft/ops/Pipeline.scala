@@ -1981,4 +1981,100 @@ object Pipeline {
           expr("inter_raw / (sd2 / CAST(n_vecs AS DOUBLE))")).as("sep"))
       .orderBy("label")
   }
+
+  /** x48 — BENFORD first-digit audit over order totals (the classic
+    * fabricated-/degenerate-data screen a pipeline runs on any numeric
+    * feed): per leading digit 1–9, the observed count and share next to
+    * the Benford expectation log10(1 + 1∕d), plus the signed gap.
+    *
+    * Determinism: the leading digit is extracted WITHOUT stringifying a
+    * double (Spark renders big doubles in scientific notation, DuckDB
+    * doesn't) — cents = CAST(round(price·100) AS BIGINT) (prices carry 2dp,
+    * so this is exact; ×100 shifts the decimal and leaves the leading
+    * digit unchanged) and the digit is the first character of the INTEGER
+    * string, identical on both engines. share and the Benford constant
+    * are single fixed-shape double expressions (ln of small-integer
+    * arguments — x43's ln-parity), each 4-dp rounded before the gap
+    * subtraction of the two ROUNDED values.
+    *
+    * Scale: one scan → one 9-group agg + a provably-1-row broadcast
+    * total. Nothing else.
+    */
+  def x48(s: SparkSession, d: String): DataFrame = {
+    val digit = Tables.orders(s, d)
+      .select(substring(
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").cast("string"),
+        1, 1).cast("int").as("digit"))
+    val per = digit.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val tot = per.agg(sum(col("cnt")).as("n_total"))
+    per.crossJoin(broadcast(tot)) // provably 1 row — the allowed tiny class
+      .withColumn("share", graft.Det.round4nz(
+        col("cnt").cast("double") / col("n_total").cast("double")))
+      .withColumn("benford", graft.Det.round4nz(expr(
+        "(ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))" +
+          " / ln(10.0)")))
+      .select(col("digit"), col("cnt"), col("share"), col("benford"),
+        graft.Det.round4nz(col("share") - col("benford")).as("gap"))
+      .orderBy("digit")
+  }
+
+  /** x49 — tokenizer FERTILITY by (lang, source): characters per
+    * whitespace token and per BPE-ish piece (x7's [a-z]{1,4} greedy
+    * chunks) — the table a team reads before picking a tokenizer budget
+    * per language slice (fertility drift across sources flags encoding
+    * damage; across languages it prices the context window).
+    *
+    * Determinism: all masses are integer sums (bigint, order-free); each
+    * fertility is ONE correctly-rounded double division, 4-dp rounded
+    * (D4). Scale: one scan with the two regex counts computed per row →
+    * one (lang, source)-keyed agg; group axis is domain-bounded.
+    */
+  def x49(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"),
+        length(col("text")).cast("bigint").as("chars"),
+        size(split(col("text"), " ")).cast("bigint").as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+          .cast("bigint").as("bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("docs"), sum(col("chars")).as("n_chars"),
+        sum(col("ws")).as("ws_tokens"), sum(col("bpe")).as("bpe_pieces"))
+      .select(col("lang"), col("source"), col("docs"), col("n_chars"),
+        col("ws_tokens"), col("bpe_pieces"),
+        graft.Det.round4nz(
+          col("n_chars").cast("double") / col("ws_tokens").cast("double"))
+          .as("fert_ws"),
+        graft.Det.round4nz(
+          col("n_chars").cast("double") / col("bpe_pieces").cast("double"))
+          .as("fert_bpe"))
+      .orderBy("lang", "source")
+
+  /** Context length for [[x50]]'s padding account (tokens per packed
+    * sequence; mirrored as a literal in the oracle). */
+  val CtxLen = 2048L
+
+  /** x50 — PADDING-WASTE account at context length [[CtxLen]] (the
+    * pad-vs-pack decision table: x27/x41 measure the PACKED layout, this
+    * prices the naive one-doc-per-sequence alternative): per source, docs,
+    * token mass, sequences = Σ ⌈wc∕L⌉, padded slots = sequences·L − tokens
+    * and the waste fraction.
+    *
+    * Determinism: everything up to the final share is INTEGER math
+    * (⌈a∕b⌉ = (a + L − 1) div L on non-negative longs, floor-div identical
+    * on both engines); the share is one correctly-rounded double division,
+    * 4-dp (D4). Scale: one scan, one source-keyed agg — domain-bounded.
+    */
+  def x50(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("wc"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("wc")).as("tokens"),
+        sum(expr(s"(wc + ${CtxLen - 1}L) div ${CtxLen}L")).as("seqs"))
+      .select(col("source"), col("docs"), col("tokens"), col("seqs"),
+        (col("seqs") * lit(CtxLen) - col("tokens")).as("pad_tokens"),
+        graft.Det.round4nz(
+          (col("seqs") * lit(CtxLen) - col("tokens")).cast("double")
+            / (col("seqs") * lit(CtxLen)).cast("double")).as("waste"))
+      .orderBy("source")
 }

@@ -625,4 +625,56 @@ object Rdf {
     }
     dist.select(col("n").as("p_partkey"), col("dist")).orderBy("p_partkey")
   }
+
+  /** r13 — bounded-radius HARMONIC CENTRALITY from a seed panel (the
+    * standard sampled estimator — Boldi & Vigna's centrality survey form
+    * Σ_s 1∕d(n,s) with the sum over a fixed seed set and d capped):
+    * per node, how many of the 1%-panel seeds (key % 100 = 0, r11's panel)
+    * it reaches at distance exactly 1, 2 and 3 over the undirected part
+    * co-purchase graph, plus the integer-scaled harmonic score
+    * h6 = 6·r1 + 3·r2 + 2·r3 (6 = lcm(1,2,3), so 6∕d stays INTEGER —
+    * no float in the query at all, D2 trivially).
+    *
+    * This is the multi-source upgrade of r11's single-merged BFS: state is
+    * (node, seed) PAIRS, so the same frontier-BSP discipline now tracks
+    * which source reached the node — the shape one round of a
+    * HyperBall-style closeness job takes when run exactly.
+    *
+    * Scale shape: per round ONE keyed equi-join (shrinking (n,src)
+    * frontier as the SHUFFLE_HASH build side against the Ckpt'd edge
+    * frame — r11's hint rationale) + distinct + anti-join against
+    * visited; every frame through [[graft.Ckpt]]. State is |panel|·|V|
+    * worst-case — the panel is the knob that keeps it linear in V at any
+    * corpus (1% here; 100 TB runs pick panel ∝ 1∕V for fixed state).
+    * The oracle is the same BFS as a (n, src, dist) recursive CTE with
+    * MIN(dist) per pair — textually r11's with one added column.
+    */
+  def r13(s: SparkSession, d: String): DataFrame = {
+    val und = graft.Ckpt {
+      val e = coEdges(s, d)
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    }
+    val seeds = und.select(col("u").as("n")).filter(col("n") % 100 === 0)
+      .distinct().withColumn("src", col("n")).withColumn("dist", lit(0))
+    var visited = graft.Ckpt(seeds)
+    var frontier = visited
+    for (k <- 1 to 3) {
+      val next = graft.Ckpt(
+        frontier.hint("SHUFFLE_HASH").join(und, col("n") === col("u"))
+          .select(col("v").as("n"), col("src")).distinct()
+          .join(visited.select(col("n"), col("src")), Seq("n", "src"), "left_anti")
+          .withColumn("dist", lit(k)))
+      visited = graft.Ckpt(visited.union(next))
+      frontier = next
+    }
+    visited.filter(col("dist") > 0) // drops exactly the (seed, itself, 0) rows
+      .groupBy(col("n"))
+      .agg(count(when(col("dist") === 1, 1)).as("r1"),
+        count(when(col("dist") === 2, 1)).as("r2"),
+        count(when(col("dist") === 3, 1)).as("r3"))
+      .withColumn("h6", col("r1") * 6 + col("r2") * 3 + col("r3") * 2)
+      .select(col("n").as("p_partkey"), col("r1"), col("r2"), col("r3"),
+        col("h6"))
+      .orderBy("p_partkey")
+  }
 }

@@ -2326,6 +2326,103 @@ object OracleSql {
         | ROUND(n.inter_raw / (i.sd2 / CAST(i.n_vecs AS DOUBLE)), 4)
         |   + 0.0 AS sep
         |FROM intra i JOIN nearest n ON i.label = n.label AND n.rn = 1
-        |ORDER BY i.label""".stripMargin
+        |ORDER BY i.label""".stripMargin,
+
+    // r13: r11's recursive BFS with the seed tracked as a column —
+    // MIN(dist) per (n, src) pair is the BFS distance; dist >= 1 drops
+    // exactly the (seed, itself, 0) rows; all-integer harmonic h6
+    "r13_harmonic" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) a
+        |  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem) b
+        |   ON a.ok = b.ok AND a.p < b.p),
+        | und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        | bfs(n, src, dist) AS (
+        |  SELECT DISTINCT u AS n, u AS src, 0 AS dist FROM und WHERE u % 100 = 0
+        |  UNION
+        |  SELECT und.v AS n, bfs.src, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN und ON bfs.n = und.u WHERE bfs.dist < 3),
+        | md AS (SELECT n, src, MIN(dist) AS dist FROM bfs GROUP BY n, src)
+        |SELECT n AS p_partkey,
+        | CAST(COUNT(CASE WHEN dist = 1 THEN 1 END) AS BIGINT) AS r1,
+        | CAST(COUNT(CASE WHEN dist = 2 THEN 1 END) AS BIGINT) AS r2,
+        | CAST(COUNT(CASE WHEN dist = 3 THEN 1 END) AS BIGINT) AS r3,
+        | CAST(COUNT(CASE WHEN dist = 1 THEN 1 END) * 6
+        |   + COUNT(CASE WHEN dist = 2 THEN 1 END) * 3
+        |   + COUNT(CASE WHEN dist = 3 THEN 1 END) * 2 AS BIGINT) AS h6
+        |FROM md WHERE dist >= 1 GROUP BY n ORDER BY p_partkey""".stripMargin,
+
+    // s16: integer hour-of-day off the epoch-ns longs; argmax tie-broken
+    // by hour via ROW_NUMBER; share is one rounded double division
+    "s16_peak_hour" ->
+      """WITH ph AS (SELECT event_type,
+        |   (epoch_ns(ts) // (3600 * 1000000000::BIGINT)) % 24 AS hod,
+        |   COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | tot AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM ph GROUP BY event_type),
+        | pk AS (SELECT event_type, hod, cnt,
+        |   ROW_NUMBER() OVER (PARTITION BY event_type
+        |     ORDER BY cnt DESC, hod) AS rn FROM ph)
+        |SELECT pk.event_type, tot.total, CAST(pk.hod AS INT) AS peak_hour,
+        | pk.cnt AS peak_cnt,
+        | ROUND(CAST(pk.cnt AS DOUBLE) / CAST(tot.total AS DOUBLE), 4)
+        |   + 0.0 AS peak_share
+        |FROM pk JOIN tot ON pk.event_type = tot.event_type AND pk.rn = 1
+        |ORDER BY pk.event_type""".stripMargin,
+
+    // x48: leading digit via exact integer cents (never stringify a
+    // double); ln-of-integer parity for the Benford constant; the gap
+    // subtracts the two ROUNDED doubles, then rounds once more
+    "x48_benford" ->
+      """WITH dig AS (SELECT CAST(substr(CAST(
+        |     CAST(round(o_totalprice * 100.0) AS BIGINT) AS VARCHAR),
+        |     1, 1) AS INTEGER) AS digit FROM orders),
+        | per AS (SELECT digit, COUNT(*) AS cnt FROM dig GROUP BY digit),
+        | tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM per),
+        | sh AS (SELECT digit, cnt,
+        |   ROUND(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE), 4)
+        |     + 0.0 AS share,
+        |   ROUND((ln(CAST(digit + 1 AS DOUBLE)) - ln(CAST(digit AS DOUBLE)))
+        |     / ln(10.0), 4) + 0.0 AS benford
+        |  FROM per, tot)
+        |SELECT digit, cnt, share, benford,
+        | ROUND(share - benford, 4) + 0.0 AS gap
+        |FROM sh ORDER BY digit""".stripMargin,
+
+    // x49: integer masses (bigint sums), one rounded double division per
+    // fertility; x7's token-count conventions
+    "x49_fertility" ->
+      """WITH m AS (SELECT lang, source,
+        |   CAST(length(text) AS BIGINT) AS chars,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+        |   CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS bpe
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS docs,
+        | CAST(SUM(chars) AS BIGINT) AS n_chars,
+        | CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        | CAST(SUM(bpe) AS BIGINT) AS bpe_pieces,
+        | ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(ws) AS DOUBLE), 4)
+        |   + 0.0 AS fert_ws,
+        | ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(bpe) AS DOUBLE), 4)
+        |   + 0.0 AS fert_bpe
+        |FROM m GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    // x50: ceil-division in integers ((wc + L-1) // L), one rounded double
+    // division for the waste share; L = 2048 mirrors Pipeline.CtxLen
+    "x50_pad_waste" ->
+      """WITH m AS (SELECT source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+        |  FROM documents),
+        | per AS (SELECT source, COUNT(*) AS docs,
+        |   CAST(SUM(wc) AS BIGINT) AS tokens,
+        |   CAST(SUM((wc + 2047) // 2048) AS BIGINT) AS seqs
+        |  FROM m GROUP BY source)
+        |SELECT source, docs, tokens, seqs,
+        | seqs * 2048 - tokens AS pad_tokens,
+        | ROUND(CAST(seqs * 2048 - tokens AS DOUBLE)
+        |   / CAST(seqs * 2048 AS DOUBLE), 4) + 0.0 AS waste
+        |FROM per ORDER BY source""".stripMargin
   )
 }

@@ -44,7 +44,8 @@ class CkptSpec extends SparkSpec {
     // x41 (x27's cells via composition), l7/l9 (shared Ckpt'd TF frame),
     // w10 (shared revenue frame).
     // round 9: r12 (edge frame + per-round dist/frontier), x42 (shared
-    // posting frame), x43 (shared (source, word) count frame)
+    // posting frame), x43 (shared (source, word) count frame),
+    // r13 (edge frame + per-round (n, src) frontier/visited)
     val qs = Seq("x20_dup_clusters", "x27_shard_pack",
       "x21_semdedup_learned", "r7_pagerank",
       "r9_triangles", "r11_bfs", "w8_ntile_spend",
@@ -52,7 +53,7 @@ class CkptSpec extends SparkSpec {
       "w10_pareto_share",
       "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
       "x44_minhash_accuracy", "x45_dsir_weights", "s15_streaks",
-      "x47_cluster_sep")
+      "x47_cluster_sep", "r13_harmonic")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

@@ -1780,4 +1780,100 @@ class OperatorSpec extends SparkSpec {
       assert(r.getDouble(2) > 0 && r.getDouble(4) > 0)
     }
   }
+
+  test("r13 harmonic counts equal a driver-side multi-source BFS") {
+    val out = ops.Rdf.r13(spark, sf001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) adj(a) = adj(a) + b
+    }
+    val nodes = adj.keySet
+    val seeds = nodes.filter(_ % 100 == 0)
+    // dist(n, s) for every node within 3 hops of seed s
+    val reach = scala.collection.mutable.Map.empty[(Long, Long), Int]
+    seeds.foreach { s0 =>
+      var frontier = Set(s0); var seen = Set(s0)
+      for (k <- 1 to 3) {
+        val next = frontier.flatMap(adj) -- seen
+        next.foreach(n => reach((n, s0)) = k)
+        seen ++= next; frontier = next
+      }
+    }
+    val exp = reach.toSeq.groupBy(_._1._1).map { case (n, rs) =>
+      val ds = rs.map(_._2)
+      val (r1, r2, r3) = (ds.count(_ == 1).toLong, ds.count(_ == 2).toLong,
+        ds.count(_ == 3).toLong)
+      n -> ((r1, r2, r3, 6 * r1 + 3 * r2 + 2 * r3))
+    }
+    assert(out.keySet === exp.keySet)
+    exp.foreach { case (n, e) => assert(out(n) === e, s"node $n") }
+  }
+
+  test("s16 peak hour equals a driver-side argmax; smallest hour on ties") {
+    val out = ops.Events.s16(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val ev = Tables.events(spark, sf001)
+      .select($"event_type", expr("(ts div 3600000000000) % 24").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exp = ev.groupBy(_._1).map { case (t, a) =>
+      val hist = a.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      val (ph, pc) = hist.toSeq.minBy { case (h, c) => (-c, h) }
+      t -> ((a.length.toLong, ph.toInt, pc))
+    }
+    assert(out.keySet === exp.keySet)
+    exp.foreach { case (t, (tot, ph, pc)) =>
+      val (gTot, gPh, gPc, gShare) = out(t)
+      assert((gTot, gPh, gPc) === ((tot, ph, pc)), s"type $t")
+      assert(math.abs(gShare - pc.toDouble / tot) < 1.01e-4)
+    }
+  }
+
+  test("x48 benford digits partition the orders; expectation matches ln") {
+    val out = ops.Pipeline.x48(spark, sf001).collect()
+    assert(out.map(_.getInt(0)).toSeq === (1 to 9))
+    val nOrders = Tables.orders(spark, sf001).count()
+    assert(out.map(_.getLong(1)).sum === nOrders)
+    out.foreach { r =>
+      val d = r.getInt(0)
+      val expB = math.round((math.log(d + 1.0) - math.log(d.toDouble))
+        / math.log(10.0) * 1e4) / 1e4
+      assert(math.abs(r.getDouble(3) - expB) < 1.01e-4, s"digit $d benford")
+      assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / nOrders) < 1.01e-4)
+      assert(math.abs(r.getDouble(4) - (r.getDouble(2) - r.getDouble(3))) < 1.01e-4)
+    }
+    // the fixture's totalprice spread is Benford-ish: low digits dominate
+    val byDigit = out.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) > byDigit(9))
+  }
+
+  test("x49 fertility recomputes from raw masses; x50 waste account closes") {
+    val f = ops.Pipeline.x49(spark, sf001).collect()
+    f.foreach { r =>
+      val (chars, ws, bpe) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ws > 0 && bpe > 0)
+      assert(math.abs(r.getDouble(6) - chars.toDouble / ws) < 1.01e-4)
+      assert(math.abs(r.getDouble(7) - chars.toDouble / bpe) < 1.01e-4)
+    }
+    val docs = Tables.documents(spark, sf001).count()
+    assert(f.map(_.getLong(2)).sum === docs)
+    val w = ops.Pipeline.x50(spark, sf001).collect()
+    assert(w.map(_.getLong(1)).sum === docs)
+    val L = ops.Pipeline.CtxLen
+    w.foreach { r =>
+      val (dn, tok, seqs, pad) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pad === seqs * L - tok)
+      // Σ⌈wc∕L⌉ is bounded by ⌈Σwc∕L⌉ below and Σwc∕L + n_docs above
+      assert(seqs >= (tok + L - 1) / L && seqs <= tok / L + dn)
+      assert(math.abs(r.getDouble(5) - pad.toDouble / (seqs * L)) < 1.01e-4)
+    }
+  }
 }
