@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => graft.plans.YearEqualsToRange)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinToBucket)
+    ext.injectOptimizerRule(_ => graft.plans.OrJoinToUnion)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
@@ -58,6 +59,7 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     graft.plans.YearEqualsToRange.install(spark)
     graft.plans.BandJoinToBucket.install(spark)
+    graft.plans.OrJoinToUnion.install(spark)
     graft.plans.TopKStrategy.install(spark)
     functions.foreach { case (ident, info, builder) =>
       GraftBridge.registerFunction(spark, ident, info, builder)

@@ -443,4 +443,37 @@ object Joins {
         round4nz(abs(col("s_acctbal") - col("c_acctbal"))).as("bal_diff"))
       .orderBy("s_suppkey", "c_custkey")
   }
+
+  /** j20 — DISJUNCTIVE join (same nation OR identical account balance),
+    * stated as the plain OR predicate a user writes. Spark's planner
+    * cannot extract a hash key from a top-level OR, so unaided this is a
+    * broadcast nested loop — O(n·m) and a corpus can't broadcast. The
+    * [[graft.plans.OrJoinToUnion]] optimizer rule (round 9's second
+    * Catalyst piece, j19's sibling) rewrites it to UNION ALL of two hash
+    * joins with the second branch guarded by NOT coalesce(e1, false) —
+    * exact multiset, null-safe, each branch keyed. The declared output
+    * aggregates the pair classes per supplier nation: total OR-matched
+    * pairs, pairs from the nation key, pairs from the balance collision
+    * (counted on the ORIGINAL predicates, so the result is
+    * rewrite-invariant — the lint asserts the plan property).
+    *
+    * Determinism: balance equality on parquet-exact doubles is exact on
+    * both engines; all outputs are integer counts (D2 trivially).
+    */
+  def j20(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    sup.join(cust,
+        col("s_nationkey") === col("c_nationkey") ||
+          col("s_acctbal") === col("c_acctbal"))
+      .groupBy(col("s_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("s_nationkey") === col("c_nationkey"), 1))
+          .as("n_same_nation"),
+        count(when(col("s_acctbal") === col("c_acctbal"), 1))
+          .as("n_same_bal"))
+      .orderBy("nationkey")
+  }
 }

@@ -635,43 +635,78 @@ object Rdf {
     * h6 = 6·r1 + 3·r2 + 2·r3 (6 = lcm(1,2,3), so 6∕d stays INTEGER —
     * no float in the query at all, D2 trivially).
     *
-    * This is the multi-source upgrade of r11's single-merged BFS: state is
-    * (node, seed) PAIRS, so the same frontier-BSP discipline now tracks
-    * which source reached the node — the shape one round of a
-    * HyperBall-style closeness job takes when run exactly.
+    * This is HyperBall's layout run EXACTLY (Boldi & Vigna use HLL
+    * registers where this uses exact bitmaps — affordable because the
+    * panel, not V, sizes the register): per node a PANEL-WIDE BITSET in
+    * long format (node, word, bits), one 64-seed long per row, and each
+    * BFS round is one keyed join + one (node, word)-keyed BIT_OR. A
+    * seed's bit first appears at exactly its BFS distance, so popcounts
+    * of bits_k & ~bits_{k-1} are the per-distance counts.
     *
-    * Scale shape: per round ONE keyed equi-join (shrinking (n,src)
-    * frontier as the SHUFFLE_HASH build side against the Ckpt'd edge
-    * frame — r11's hint rationale) + distinct + anti-join against
-    * visited; every frame through [[graft.Ckpt]]. State is |panel|·|V|
-    * worst-case — the panel is the knob that keeps it linear in V at any
-    * corpus (1% here; 100 TB runs pick panel ∝ 1∕V for fixed state).
-    * The oracle is the same BFS as a (n, src, dist) recursive CTE with
-    * MIN(dist) per pair — textually r11's with one added column.
+    * The naive alternative — (node, seed) PAIR rows through r11's
+    * frontier BSP — was MEASURED first: 24.6 s floor at sf0.1 (the
+    * round-3 frontier×degree expansion is ~2·10⁸ pair rows before its
+    * distinct). The bitmap plan moves the same information into ≤
+    * reached×⌈panel∕64⌉ rows: per round ~10⁷ narrow join rows and a
+    * 64-way-packed shuffle — same three keyed rounds, 64× less state.
+    *
+    * Scale shape: per round ONE keyed equi-join (bitmap frame as the
+    * SHUFFLE_HASH build side against the Ckpt'd edge frame — r11's hint
+    * rationale) + one keyed BIT_OR; every round frame through
+    * [[graft.Ckpt]]. State is |V|·⌈panel∕64⌉ words worst-case — the
+    * panel density is the knob that keeps it linear in V at any corpus
+    * (1% here; 100 TB runs pick panel ∝ 1∕V for fixed state, exactly
+    * HyperBall's regime). The oracle states the same BFS as a
+    * (n, src, dist) recursive CTE with MIN(dist) per pair — textually
+    * r11's with one added column.
     */
   def r13(s: SparkSession, d: String): DataFrame = {
     val und = graft.Ckpt {
       val e = coEdges(s, d)
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     }
-    val seeds = und.select(col("u").as("n")).filter(col("n") % 100 === 0)
-      .distinct().withColumn("src", col("n")).withColumn("dist", lit(0))
-    var visited = graft.Ckpt(seeds)
-    var frontier = visited
+    // Dense bit index over the panel. The global row_number window runs on
+    // PANEL-sized data (1% of V) — the same knob that bounds the bitmap
+    // width; at production panel sizes this re-index is a sort of the
+    // panel, never of the graph.
+    val sidW = org.apache.spark.sql.expressions.Window.orderBy("n")
+    val seedBits = und.select(col("u").as("n")).filter(col("n") % 100 === 0)
+      .distinct()
+      .withColumn("sid", row_number().over(sidW).cast("bigint") - 1)
+      .select(col("n"), expr("sid div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))").as("bits"))
+    // Cumulative reach bitmaps in LONG format (n, word, bits) — only
+    // nonzero words are materialized, so state starts at one row per seed
+    // and grows toward reached-nodes × ceil(panel∕64). Each round:
+    //   bits_k(n) = bits_{k-1}(n) | OR_{u→n} bits_{k-1}(u)
+    // one keyed equi-join (bitmap frame as the SHUFFLE_HASH build side —
+    // r11's rationale: the Ckpt'd edge frame has unknown stats) + one
+    // (n, word)-keyed BIT_OR. A seed's bit first appears in bits_k exactly
+    // at BFS distance k, so the per-round popcount of bits_k & ~bits_{k-1}
+    // is the exact dist-k seed count — never a (node, seed) pair row.
+    var cur = graft.Ckpt(seedBits)
+    val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (k <- 1 to 3) {
       val next = graft.Ckpt(
-        frontier.hint("SHUFFLE_HASH").join(und, col("n") === col("u"))
-          .select(col("v").as("n"), col("src")).distinct()
-          .join(visited.select(col("n"), col("src")), Seq("n", "src"), "left_anti")
-          .withColumn("dist", lit(k)))
-      visited = graft.Ckpt(visited.union(next))
-      frontier = next
+        und.join(cur.hint("SHUFFLE_HASH"), col("u") === col("n"))
+          .select(col("v").as("n2"), col("w"), col("bits"))
+          .union(cur.select(col("n").as("n2"), col("w"), col("bits")))
+          .groupBy(col("n2"), col("w"))
+          .agg(expr("bit_or(bits)").as("bits"))
+          .select(col("n2").as("n"), col("w"), col("bits")))
+      perRound += next
+        .join(cur.select(col("n"), col("w"), col("bits").as("pb")),
+          Seq("n", "w"), "left")
+        .select(col("n"),
+          expr("bits & ~coalesce(pb, CAST(0 AS BIGINT))").as("nb"))
+        .groupBy("n").agg(sum(expr("bit_count(nb)")).as(s"r$k"))
+      cur = next
     }
-    visited.filter(col("dist") > 0) // drops exactly the (seed, itself, 0) rows
-      .groupBy(col("n"))
-      .agg(count(when(col("dist") === 1, 1)).as("r1"),
-        count(when(col("dist") === 2, 1)).as("r2"),
-        count(when(col("dist") === 3, 1)).as("r3"))
+    perRound.reduce((a, b) => a.join(b, Seq("n"), "full_outer"))
+      .select(col("n"), coalesce(col("r1"), lit(0L)).as("r1"),
+        coalesce(col("r2"), lit(0L)).as("r2"),
+        coalesce(col("r3"), lit(0L)).as("r3"))
+      .filter(col("r1") + col("r2") + col("r3") > 0) // ≡ the dist ≥ 1 filter
       .withColumn("h6", col("r1") * 6 + col("r2") * 3 + col("r3") * 2)
       .select(col("n").as("p_partkey"), col("r1"), col("r2"), col("r3"),
         col("h6"))

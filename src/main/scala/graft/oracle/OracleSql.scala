@@ -2423,6 +2423,19 @@ object OracleSql {
         | seqs * 2048 - tokens AS pad_tokens,
         | ROUND(CAST(seqs * 2048 - tokens AS DOUBLE)
         |   / CAST(seqs * 2048 AS DOUBLE), 4) + 0.0 AS waste
-        |FROM per ORDER BY source""".stripMargin
+        |FROM per ORDER BY source""".stripMargin,
+
+    // j20: the oracle states the PLAIN disjunctive predicate — the
+    // union-of-hash-joins decomposition is a plan property, invisible
+    // in the result; all counts integer
+    "j20_or_join" ->
+      """SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs,
+        | CAST(COUNT(CASE WHEN s_nationkey = c_nationkey THEN 1 END)
+        |   AS BIGINT) AS n_same_nation,
+        | CAST(COUNT(CASE WHEN s_acctbal = c_acctbal THEN 1 END)
+        |   AS BIGINT) AS n_same_bal
+        |FROM supplier JOIN customer
+        | ON s_nationkey = c_nationkey OR s_acctbal = c_acctbal
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
   )
 }

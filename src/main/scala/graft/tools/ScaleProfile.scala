@@ -59,7 +59,22 @@ object ScaleProfile {
     // 0's component (single-source from the global min key) while its edge
     // build scales ×m — the row isolates the build-dominated regime
     "x42_ngram_novelty", "x43_kl_drift", "x44_minhash_accuracy",
-    "u8_udaf_window", "s14_late_events", "r12_sssp_bounded")
+    "u8_udaf_window", "s14_late_events", "r12_sssp_bounded",
+    // round-9 batch 3: r13's copies are disjoint subgraphs and each
+    // copy's key range still contains exactly 1% ≡0-mod-100 keys (the
+    // offset shifts WHICH residue class, not its density), so panel AND
+    // state grow ×m — the multi-source regime the panel knob bounds;
+    // s15/s16/x48/x49/x50 are keyed-agg shapes over ×m rows with
+    // domain-bounded (or 9-row) outputs — flat-to-linear, recorded not
+    // assumed
+    "r13_harmonic", "s15_streaks", "s16_peak_hour", "x48_benford",
+    "x49_fertility", "x50_pad_waste",
+    // j20's nation axis is offset per copy (same-nation pairs ×m,
+    // disjoint) while acctbal values are SHARED across copies — the
+    // bal-equality branch's true matches grow m² (j19's shared-value
+    // regime) but stay collision-rare; the row isolates the two hash
+    // branches' keyed shuffles
+    "j20_or_join")
 
   val Mults = Seq(1, 2, 4, 8)
 
