@@ -13,6 +13,7 @@ object ExplainAudit {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.GraftExtensions.install(spark) // the driver-path plans (j20's rule)
     val interesting = Seq("c1_scan_project", "c2_filter_pred", "j2_broadcast",
       "j3_star_5way", "j9_asof", "a1_pricing_summary", "l3_cosine_topk",
       "x1_minhash_lsh", "x3_ngram_jaccard", "x4_embed_neardup",
@@ -33,7 +34,8 @@ object ExplainAudit {
       "x39_domain_cap", "x40_curation_funnel", "x41_shard_audit",
       "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
       "x44_minhash_accuracy", "u8_udaf_window", "s14_late_events",
-      "x45_dsir_weights", "x46_temperature_mix", "j19_band_bucket")
+      "x45_dsir_weights", "x46_temperature_mix", "j19_band_bucket",
+      "r13_harmonic", "s16_peak_hour", "x49_fertility", "j20_or_join")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
