@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -420,20 +420,34 @@ object Joins {
     * pattern every interval/tolerance join (sensor alignment, price
     * matching, j15's interval overlap) reduces to at 100 TB.
     *
-    * Determinism: bucket = floor(bal ∕ 25) and the residual |Δ| ≤ 25 are
-    * single IEEE ops on parquet-exact operands — identical on both
-    * engines; the oracle states the PLAIN band predicate (the bucketing
-    * is a plan property, invisible in the result); diff is one exact
-    * subtraction, 4-dp rounded (D4).
+    * Bucketing is EXACT-INTEGER-CENTS (r9 verdict fix): bal ∕ 25 on raw
+    * IEEE doubles can misbucket a pair whose |Δ| sits within one ulp of
+    * exactly 25 (the quotients straddle two integer boundaries and the ±1
+    * cover misses — [[graft.plans.BandJoinToBucket]]'s documented fp
+    * hazard). Balances are 2-dp money, so round(bal·100) recovers the
+    * exact integer cents, and floor(cents ∕ 2500) is exact: an
+    * integer-valued double over 2500 is at least 1∕2500 from any
+    * non-attained integer — far outside double rounding — so the floor
+    * can never cross a boundary, and a residual-accepted pair has integer
+    * cent distance ≤ 2500 ⇒ bucket distance ≤ 1: the ±1 cover is
+    * provably complete.
+    *
+    * Determinism: the residual |Δ| ≤ 25 is a single IEEE op on
+    * parquet-exact operands — identical on both engines; the oracle
+    * states the PLAIN band predicate (the bucketing is a plan property,
+    * invisible in the result); diff is one exact subtraction, 4-dp
+    * rounded (D4).
     */
   def j19(s: SparkSession, d: String): DataFrame = {
+    def centsBucket(c: Column): Column =
+      floor(round(c * lit(100)) / lit(2500.0)).cast("long")
     val cust = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_acctbal"),
-        floor(col("c_acctbal") / lit(25.0)).cast("long").as("bucket"))
+        centsBucket(col("c_acctbal")).as("bucket"))
     val supp = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_acctbal"),
         explode(array(lit(-1L), lit(0L), lit(1L))).as("off"),
-        floor(col("s_acctbal") / lit(25.0)).cast("long").as("sb"))
+        centsBucket(col("s_acctbal")).as("sb"))
       .select(col("s_suppkey"), col("s_acctbal"),
         (col("sb") + col("off")).as("bucket"))
     supp.join(cust, Seq("bucket"))

@@ -665,16 +665,16 @@ object Rdf {
       val e = coEdges(s, d)
       e.union(e.select(col("v").as("u"), col("u").as("v")))
     }
-    // Dense bit index over the panel. The global row_number window runs on
-    // PANEL-sized data (1% of V) — the same knob that bounds the bitmap
-    // width; at production panel sizes this re-index is a sort of the
-    // panel, never of the graph.
-    val sidW = org.apache.spark.sql.expressions.Window.orderBy("n")
-    val seedBits = und.select(col("u").as("n")).filter(col("n") % 100 === 0)
-      .distinct()
-      .withColumn("sid", row_number().over(sidW).cast("bigint") - 1)
-      .select(col("n"), expr("sid div 64").as("w"),
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))").as("bits"))
+    // Dense bit index over the panel via the x27 RANGE-PARTITIONED prefix
+    // sum — round 9 ran this as one global row_number window (a
+    // single-partition sort; tolerable at a 1% panel, but a 1% panel of a
+    // billion-node graph is 10⁷ rows through one task). The assignment is
+    // Ckpt'd because two consumers (within-cell ranks and cell offsets)
+    // must observe the SAME sampled range boundaries; sid values are
+    // boundary-invariant anyway (a prefix sum doesn't care where the
+    // sampler cuts), and the harmonic counts are invariant to the sid
+    // permutation entirely — bit position never leaves the query.
+    val seedBits = r13SeedBitsOn(graft.Ckpt(r13PanelCells(und)))
     // Cumulative reach bitmaps in LONG format (n, word, bits) — only
     // nonzero words are materialized, so state starts at one row per seed
     // and grows toward reached-nodes × ceil(panel∕64). Each round:
@@ -711,5 +711,34 @@ object Rdf {
       .select(col("n").as("p_partkey"), col("r1"), col("r2"), col("r3"),
         col("h6"))
       .orderBy("p_partkey")
+  }
+
+  /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
+    * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
+  private[graft] def r13PanelCells(und: DataFrame): DataFrame =
+    und.select(col("u").as("n")).filter(col("n") % 100 === 0).distinct()
+      .repartitionByRange(col("n"))
+      .withColumn("cell", spark_partition_id())
+
+  /** r13's dense panel re-index over a materialized cell-tagged frame:
+    * per-cell row_number + P-row exclusive-offset window + one keyed join —
+    * never a global data-sized sort (the r9 verdict's residual; the only
+    * unpartitioned window left runs on the P per-cell counts, P = shuffle
+    * parallelism, a config constant at any corpus). */
+  private[graft] def r13SeedBitsOn(panel: DataFrame): DataFrame = {
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy("n")
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy("cell")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val offsets = panel.groupBy("cell").agg(count(lit(1)).as("ct"))
+      .withColumn("off", sum(col("ct")).over(wOff) - col("ct"))
+      .select(col("cell"), col("off"))
+    panel
+      .withColumn("rn", row_number().over(wIn).cast("bigint") - 1)
+      .join(offsets, Seq("cell"))
+      .withColumn("sid", col("off") + col("rn"))
+      .select(col("n"), expr("sid div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))").as("bits"))
   }
 }

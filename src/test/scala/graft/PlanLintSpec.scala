@@ -189,6 +189,38 @@ class PlanLintSpec extends SparkSpec {
     }
   }
 
+  /** The distributed prefix-sum idiom (x27, and r13's panel re-index since
+    * round 10) tiles the global order into sampled range cells; the ONLY
+    * unpartitioned window it is allowed to keep runs over the P per-cell
+    * aggregates (P = shuffle parallelism, a config constant at any corpus).
+    * A data-sized `Window.orderBy(...)` — the single-partition sort the r9
+    * verdict flagged at Rdf.scala's old panel re-index — fails here.
+    */
+  test("prefix-sum blocks: unpartitioned windows only over per-cell aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.functions.col
+    val und = {
+      val e = ops.Rdf.coEdges(spark, sf001)
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+    }
+    val blocks = Seq(
+      "r13 seed re-index" ->
+        ops.Rdf.r13SeedBitsOn(ops.Rdf.r13PanelCells(und)),
+      "x27 body" -> ops.Pipeline.x27On(ops.Pipeline.x27Cells(spark, sf001)))
+    blocks.foreach { case (name, df) =>
+      val offenders = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            !w.child.exists {
+              case a: Aggregate => a.groupingExpressions
+                .exists(_.references.exists(_.name == "cell"))
+              case _ => false
+            } => w
+      }
+      assert(offenders.isEmpty,
+        s"$name keeps a data-sized unpartitioned window:\n${offenders.mkString("\n")}")
+    }
+  }
+
   /** A `broadcast()` hint on a frame whose cardinality grows with the
     * corpus is the one pattern AQE cannot save you from — the hint is
     * unconditional, so at 100 TB it collects the whole table onto the
