@@ -503,4 +503,41 @@ object Aggs {
       .groupBy(col("l_returnflag"))
       .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
   }
+
+  /** a23 — WINSORIZED MEAN per order priority: clamp o_totalprice to its
+    * group's [P5, P95] (exact interpolated percentiles — a10's
+    * `percentile` ≡ DuckDB `quantile_cont` parity) and average the
+    * clamped values — the outlier-robust mean every metrics pipeline
+    * prefers over a raw average.
+    *
+    * Determinism: the percentile bounds are 6-dp rounded on BOTH engines
+    * before clamping (the interpolated value of 2-dp money at rank
+    * fraction k∕20 is exact at 4 decimals, so the 6-dp round is far from
+    * any boundary); clamped values quantize to DECIMAL(18,6) — exact, so
+    * the SUM is order-free (D2) — and the mean is one double division,
+    * 4-dp rounded (D4).
+    *
+    * Scale: one group-keyed percentile agg (5 rows out) + one equi-join
+    * AQE broadcasts on its own (no hint — the build side is
+    * aggregate-topped, r8's lint rule) + one keyed sum. Two scans of
+    * orders, both pruned to 2 columns.
+    */
+  def a23(s: SparkSession, d: String): DataFrame = {
+    val bounds = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.05)), 6).as("p05"),
+        round(percentile(col("o_totalprice"), lit(0.95)), 6).as("p95"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .join(bounds, Seq("o_orderpriority"))
+      .withColumn("wz",
+        least(greatest(col("o_totalprice"), col("p05")), col("p95"))
+          .cast("decimal(18,6)"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("p05")).as("p05"), min(col("p95")).as("p95"),
+        round4nz(sum(col("wz")).cast("double")
+          / count(lit(1)).cast("double")).as("wins_mean"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -432,4 +432,29 @@ object Events {
           .as("peak_share"))
       .orderBy("event_type")
   }
+
+  /** s17 — BURST DETECTION: per user, how many events start a "burst" —
+    * three events from the same user inside a 5-minute span (the
+    * bot/abuse-rate primitive every event pipeline screens with). An
+    * event starts a burst iff the SECOND-following event (same user,
+    * (ts, event_id) order — D6 tie rule) lands within 300 s, i.e.
+    * `lead(ts, 2) − ts ≤ 3·10⁸ µs`; overlapping bursts each count (the
+    * per-event definition both engines state identically — no
+    * sessionization ambiguity).
+    *
+    * Scale: ONE user-keyed window (a single sort serves the lead) + one
+    * user-keyed agg; per-user state is the 2-row lead buffer. Exact
+    * integer µs end-to-end (D3), counts only (D2 trivially).
+    */
+  def s17(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .withColumn("t2", lead(col("ts_us"), 2).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("t2") - col("ts_us") <= lit(300000000L), 1))
+          .as("n_bursts"))
+      .orderBy("user_id")
+  }
 }

@@ -43,6 +43,16 @@ object Llm {
     * list is dense, and the prefix join measures 7× SLOWER than the bitmask
     * all-pairs (8.6 s vs 1.1 s at sf0.1) — token selectivity, not pair
     * enumeration, is what an LSH/prefix scheme needs to win.
+    *
+    * Measured 1×–8× (round 10, BASELINE.md): 1.46 → 38.1 s, 26× — the one
+    * super-linear curve on the board, and it is the DECLARED semantics,
+    * not a plan defect: exact threshold-Jaccard over a locally-dense
+    * corpus (every synthetic copy keeps a closed vocabulary) admits no
+    * exact pruning below pairwise enumeration, and lang buckets grow ×8 ⇒
+    * ×64 pairs. At 100 TB this operator is the exact PAIRWISE PRIMITIVE
+    * run downstream of candidate generation (x1's LSH / x3's PPJoin —
+    * both measured sublinear on the same corpora), never the corpus-wide
+    * driver.
     */
   def l2(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)

@@ -2077,4 +2077,113 @@ object Pipeline {
           (col("seqs") * lit(CtxLen) - col("tokens")).cast("double")
             / (col("seqs") * lit(CtxLen)).cast("double")).as("waste"))
       .orderBy("source")
+
+  /** x51 — ZIPF FIT: OLS of ln(count) on ln(rank) over the top-100
+    * vocabulary — the slope is the corpus's Zipf exponent, the one-number
+    * summary of vocabulary concentration every tokenizer/data-mix report
+    * quotes (natural text ≈ −1; the synthetic fixture's flat vocabulary
+    * reads much shallower, which is exactly what the metric is for).
+    *
+    * Determinism is a17's OLS discipline verbatim: both engines compute
+    * ln() on identical doubles (x30's ln-parity), 9-dp-round and quantize
+    * to DECIMAL(18,9) so all five moment SUMS are exact (D2), cast the
+    * sums to double, and state the closed-form slope/intercept/r² as the
+    * same textual double expression, 4-dp rounded (D4). Rank = count
+    * desc, token asc (D6) — a 100-row bounded sort, never corpus-sized.
+    *
+    * Scale: one scan → one token-keyed count (the only data shuffle) →
+    * top-100 via the ordered limit (TakeOrdered, no global sort) → a
+    * 100-row window + one 1-row agg.
+    */
+  def x51(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("token")) // 100-row bound
+    val xy = cnt.orderBy(col("cnt").desc, col("token")).limit(100)
+      .withColumn("rnk", row_number().over(w).cast("double"))
+      .select(round(log(col("rnk")), 9).cast("decimal(18,9)").as("x"),
+        round(log(col("cnt").cast("double")), 9).cast("decimal(18,9)").as("y"))
+    val g = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val m = g.select(col("n"), col("n").cast("double").as("nd"),
+      col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+      col("sxx").cast("double").as("sxxd"),
+      col("syy").cast("double").as("syyd"),
+      col("sxy").cast("double").as("sxyd"))
+    m.select(col("n").as("n_terms"),
+      graft.Det.round4nz((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+        / (col("nd") * col("sxxd") - col("sxd") * col("sxd"))).as("slope"),
+      graft.Det.round4nz((col("syd")
+        - ((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+          / (col("nd") * col("sxxd") - col("sxd") * col("sxd"))) * col("sxd"))
+        / col("nd")).as("intercept"),
+      graft.Det.round4nz(((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+        * (col("nd") * col("sxyd") - col("sxd") * col("syd")))
+        / ((col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+          * (col("nd") * col("syyd") - col("syd") * col("syd")))).as("r2"))
+      .orderBy("n_terms")
+  }
+
+  /** x52 — FIRST-OCCURRENCE POSITION of the 20 highest-document-frequency
+    * tokens: average 1-based position of each token's first appearance
+    * across the documents containing it — the lead-bias probe (boilerplate
+    * headers score low, long-tail content scores high) that feeds
+    * dedup-by-prefix and header-strip heuristics.
+    *
+    * Scale: one generator pass (posexplode — Spark's codegen'd UNNEST
+    * WITH ORDINALITY twin) → one (doc, token)-keyed MIN → one token-keyed
+    * (count, sum) agg → top-20 ordered limit (TakeOrdered). Sums are
+    * exact longs; the average is one double division, 4-dp (D4); ties on
+    * df break by token (D6).
+    */
+  def x52(s: SparkSession, d: String): DataFrame = {
+    val firsts = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(min(col("pos") + 1).as("fp"))
+    firsts.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("fp").cast("bigint")).as("sfp"))
+      .orderBy(col("df").desc, col("token")).limit(20)
+      .select(col("token"), col("df"),
+        graft.Det.round4nz(col("sfp").cast("double")
+          / col("df").cast("double")).as("avg_first_pos"))
+      .orderBy(col("df").desc, col("token"))
+  }
+
+  /** x53 — SOURCE GINI: the Gini coefficient of per-source token mass —
+    * the single-number concentration audit (0 = perfectly balanced
+    * mixture, →1 = one source dominates) that pairs with x15's entropy
+    * and x28's mixture weights in every data-mix report.
+    *
+    * Exact integer formulation: with sources ranked i = 1..n by ascending
+    * mass (source-name tiebreak, D6), G = (2·Σ i·mᵢ − (n+1)·Σ mᵢ)
+    * ∕ (n·Σ mᵢ) — every sum an exact BIGINT (Σ i·mᵢ < 2⁶³ even at 10¹³
+    * tokens × small source count), so the ONLY float op is the final
+    * stated-identically double expression, 4-dp rounded (D4).
+    *
+    * Scale: one scan → one source-keyed agg (domain-bounded output) → a
+    * |sources|-row window (domain-bounded, a20/a22's argument) → one
+    * 1-row agg.
+    */
+  def x53(s: SparkSession, d: String): DataFrame = {
+    val m = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("wc"))
+      .groupBy("source").agg(sum(col("wc")).as("mass"))
+    val w = Window.orderBy(col("mass"), col("source")) // |sources| rows
+    m.withColumn("i", row_number().over(w).cast("bigint"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("mass")).as("total_tokens"),
+        sum(col("i") * col("mass")).as("wsum"))
+      .select(col("n_sources"), col("total_tokens"),
+        graft.Det.round4nz((lit(2.0) * col("wsum").cast("double")
+          - (col("n_sources") + 1).cast("double")
+            * col("total_tokens").cast("double"))
+          / (col("n_sources").cast("double")
+            * col("total_tokens").cast("double"))).as("gini"))
+      .orderBy("n_sources")
+  }
 }

@@ -713,6 +713,93 @@ object Rdf {
       .orderBy("p_partkey")
   }
 
+  /** r14 — BOUNDED K-CORE (k = 3, three peel rounds) over the undirected
+    * part co-purchase graph: each round removes every node whose current
+    * degree is < 3 (and the edges touching it), the standard cohesion
+    * filter that strips the tail before community/embedding passes.
+    * Declared as EXACTLY three peels (r11's bounded-radius convention) so
+    * the oracle states the identical computation as three chained CTE
+    * rounds; a fixpoint run only adds rounds, never changes a round.
+    * Output: the surviving nodes with their post-round-3 degree.
+    *
+    * Scale shape: per round ONE degree agg (keyed count on the edge
+    * endpoint) + TWO left-semi joins of the edge frame against the
+    * survivor set (keyed on u, then v) — all hash-keyed shuffles, no
+    * node-set broadcast (the survivor frame is corpus-sized at round 0);
+    * every round's edge frame goes through [[graft.Ckpt]] because two
+    * consumers (next round's degree agg + semi joins) read it. All
+    * integer math (D2 trivially).
+    */
+  def r14(s: SparkSession, d: String): DataFrame = {
+    val e0 = coEdges(s, d)
+    var und = graft.Ckpt(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
+    for (_ <- 1 to 3) {
+      val surv = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= 3).select(col("u").as("n"))
+      und = graft.Ckpt(und
+        .join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v")))
+    }
+    und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .select(col("u").as("p_partkey"), col("deg"))
+      .orderBy("p_partkey")
+  }
+
+  /** r15 — NEIGHBOR-JACCARD link scores (the classic link-prediction /
+    * edge-strength primitive): for every co-purchase edge (u, v) that
+    * closes at least one triangle, the Jaccard of the two endpoints'
+    * neighborhoods — |N(u) ∩ N(v)| ∕ (deg(u) + deg(v) − |N(u) ∩ N(v)|),
+    * where the common-neighbor count IS the edge's triangle count.
+    *
+    * Never an unoriented wedge explosion: common neighbors are counted by
+    * re-running r9's ORIENTED triangle enumeration (wedges rooted at the
+    * lower-degree endpoint — O(√m) out-degree bound, SHUFFLE_HASH pinned
+    * for r9's measured reason) and exploding each found triangle into its
+    * three canonical (min, max) edges — one keyed count per edge, so the
+    * heavy-hub quadratic blowup the naive e ⋈ und ⋈ und plan pays (the
+    * oracle's formulation, fine single-node at toy SF) never happens.
+    * Jaccard is one exact-integer division, 4-dp rounded (D4); ties are
+    * data (u, v ordering is D1's output sort).
+    */
+  def r15(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.Ckpt(coEdges(s, d))
+    val deg = graft.Ckpt(edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg")))
+    val asc = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Ckpt(edges
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(when(asc, col("u")).otherwise(col("v")).as("s"),
+        when(asc, struct(col("dv").as("dg"), col("v").as("n")))
+          .otherwise(struct(col("du").as("dg"), col("u").as("n"))).as("tk")))
+    val wedges = oriented
+      .join(oriented.select(col("s").as("s2"), col("tk").as("tk2"))
+          .hint("SHUFFLE_HASH"),
+        col("s") === col("s2") && col("tk") < col("tk2"))
+      .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
+    val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
+    val cn = wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c"))
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    cn.join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+        graft.Det.round4nz(col("cn").cast("double")
+          / (col("du") + col("dv") - col("cn")).cast("double")).as("jac"))
+      .orderBy("u", "v")
+  }
+
   /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
     * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
   private[graft] def r13PanelCells(und: DataFrame): DataFrame =

@@ -256,4 +256,22 @@ object Scalars {
           .cast("bigint").as("days_in_month"))
       .orderBy("o_orderkey")
   }
+
+  /** f15 — string functions, third batch: pad/translate/repeat/reverse/
+    * position, the formatting-and-probe family f1/f7 left out. Every
+    * function is a deterministic pure-string op with an exact DuckDB
+    * twin (`lpad`/`rpad` truncate to the target length on both engines
+    * when the input is longer; `instr` is 1-based, 0 when absent, on
+    * both). The position lands as BIGINT on both sides (Spark's INT
+    * out-cast to match DuckDB's wire type — the D9 dtype rule).
+    */
+  def f15(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"), col("p_name"),
+      lpad(col("p_name"), 30, ".").as("padded"),
+      rpad(col("p_name"), 30, "*").as("rpadded"),
+      translate(col("p_name"), "aeiou", "AEIOU").as("shouted"),
+      reverse(col("p_name")).as("reversed"),
+      repeat(substring(col("p_name"), 1, 3), 2).as("echoed"),
+      instr(col("p_name"), "a").cast("bigint").as("first_a"))
+      .orderBy("p_partkey")
 }

@@ -45,6 +45,14 @@ object Sketches {
     * capacity saturates silently once the dim outgrows it — fpp drifts
     * toward 1 and the pre-filter stops pruning with no error, exactly at
     * the scales it exists for — so deriving is the default posture.
+    * Deriving alone is NOT sufficient (r9 advice): `BloomFilterAggregate`
+    * internally clamps its item/bit arguments to the session's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * ceilings (defaults ~4M items / 67M bits), silently ignoring any
+    * larger derived sizing — results stay correct (the exact join
+    * follows) but pruning power decays. The helper therefore RAISES those
+    * two session confs to cover the derived size before building, so the
+    * sizing contract actually holds at the dim cardinalities it targets.
     *
     * Build and probe are Spark's own runtime-filter expressions (the
     * internal machinery behind `spark.sql.optimizer.runtime.bloomFilter`),
@@ -65,6 +73,15 @@ object Sketches {
     // BloomFilterAggregate's convenience ctor applies to its conf default)
     val numBits = math.ceil(
       -n.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // lift the aggregate's internal conf clamps to the derived sizing —
+    // otherwise anything past ~4M items / 67M bits is silently truncated
+    // and fpp drifts toward 1 with no error (see scaladoc)
+    val sess = dim.sparkSession
+    def lift(key: String, v: Long): Unit =
+      if (sess.conf.getOption(key).forall(_.toLong < v))
+        sess.conf.set(key, v.toString)
+    lift("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n)
+    lift("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val build = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(col(dimKey)))),
       Literal(n), Literal(numBits)).toAggregateExpression()

@@ -2436,6 +2436,151 @@ object OracleSql {
         |   AS BIGINT) AS n_same_bal
         |FROM supplier JOIN customer
         | ON s_nationkey = c_nationkey OR s_acctbal = c_acctbal
-        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
+        |GROUP BY s_nationkey ORDER BY nationkey""".stripMargin,
+
+    // r14: three peel rounds stated as three chained CTE rounds — the
+    // identical bounded computation the Spark loop runs; all integer
+    "r14_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |   JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p),
+        | u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        | n1 AS (SELECT u AS n FROM u0 GROUP BY u HAVING COUNT(*) >= 3),
+        | u1 AS (SELECT u0.u, u0.v FROM u0
+        |   JOIN n1 a ON u0.u = a.n JOIN n1 b ON u0.v = b.n),
+        | n2 AS (SELECT u AS n FROM u1 GROUP BY u HAVING COUNT(*) >= 3),
+        | u2 AS (SELECT u1.u, u1.v FROM u1
+        |   JOIN n2 a ON u1.u = a.n JOIN n2 b ON u1.v = b.n),
+        | n3 AS (SELECT u AS n FROM u2 GROUP BY u HAVING COUNT(*) >= 3),
+        | u3 AS (SELECT u2.u, u2.v FROM u2
+        |   JOIN n3 a ON u2.u = a.n JOIN n3 b ON u2.v = b.n)
+        |SELECT u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS deg
+        |FROM u3 GROUP BY u ORDER BY p_partkey""".stripMargin,
+
+    // r15: the oracle states the NAIVE unoriented wedge count per edge
+    // (fine single-node at toy SF) — the Spark side reaches the same
+    // per-edge triangle counts through r9's oriented enumeration
+    "r15_jaccard_links" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |   JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p),
+        | und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        | deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS dg
+        |   FROM und GROUP BY u),
+        | cn AS (SELECT e0.u, e0.v, CAST(COUNT(*) AS BIGINT) AS cn
+        |  FROM e0 JOIN und a ON a.u = e0.u JOIN und b
+        |   ON b.u = e0.v AND b.v = a.v
+        |  GROUP BY e0.u, e0.v)
+        |SELECT cn.u, cn.v, cn.cn, du.dg AS du, dv.dg AS dv,
+        | ROUND(CAST(cn.cn AS DOUBLE)
+        |   / CAST(du.dg + dv.dg - cn.cn AS DOUBLE), 4) + 0.0 AS jac
+        |FROM cn JOIN deg du ON cn.u = du.n JOIN deg dv ON cn.v = dv.n
+        |ORDER BY cn.u, cn.v""".stripMargin,
+
+    // s17: per-event burst-start flag via lead(ts, 2); D6 tie order
+    "s17_bursts" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+        |   FROM events),
+        | l AS (SELECT user_id, ts_us,
+        |   LEAD(ts_us, 2) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id) AS t2
+        |  FROM e)
+        |SELECT user_id, COUNT(*) AS n_events,
+        | CAST(COUNT(CASE WHEN t2 - ts_us <= 300000000 THEN 1 END)
+        |   AS BIGINT) AS n_bursts
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // a23: 6-dp-rounded quantile_cont bounds (≡ Spark percentile), exact
+    // DECIMAL(18,6) clamped sums, one rounded double division
+    "a23_winsorized" ->
+      """WITH b AS (SELECT o_orderpriority,
+        |   ROUND(quantile_cont(o_totalprice, 0.05), 6) AS p05,
+        |   ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+        |  FROM orders GROUP BY 1),
+        | w AS (SELECT o.o_orderpriority, b.p05, b.p95,
+        |   CAST(LEAST(GREATEST(o_totalprice, p05), p95)
+        |     AS DECIMAL(18,6)) AS wz
+        |  FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | MIN(p05) AS p05, MIN(p95) AS p95,
+        | ROUND(CAST(SUM(wz) AS DOUBLE) / COUNT(*), 4) + 0.0 AS wins_mean
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f15_string3" ->
+      """SELECT p_partkey, p_name,
+        | lpad(p_name, 30, '.') AS padded,
+        | rpad(p_name, 30, '*') AS rpadded,
+        | translate(p_name, 'aeiou', 'AEIOU') AS shouted,
+        | reverse(p_name) AS reversed,
+        | repeat(substr(p_name, 1, 3), 2) AS echoed,
+        | CAST(instr(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // x51: a17's OLS discipline on (ln rank, ln count) — 9-dp-rounded
+    // DECIMAL(18,9) terms, exact moment sums, double closed form
+    "x51_zipf_fit" ->
+      """WITH cnt AS (SELECT unnest(string_split(text, ' ')) AS token
+        |   FROM documents),
+        | c AS (SELECT token, COUNT(*) AS cnt FROM cnt GROUP BY 1),
+        | top AS (SELECT token, cnt FROM c
+        |   ORDER BY cnt DESC, token LIMIT 100),
+        | xy AS (SELECT
+        |   CAST(ROUND(ln(CAST(ROW_NUMBER() OVER
+        |       (ORDER BY cnt DESC, token) AS DOUBLE)), 9)
+        |     AS DECIMAL(18,9)) AS x,
+        |   CAST(ROUND(ln(CAST(cnt AS DOUBLE)), 9) AS DECIMAL(18,9)) AS y
+        |  FROM top),
+        | g AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |   SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM xy),
+        | m AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+        |   CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |   CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+        |   CAST(sxy AS DOUBLE) AS sxyd FROM g)
+        |SELECT n AS n_terms,
+        | ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4)
+        |   + 0.0 AS slope,
+        | ROUND((syd - ((nd * sxyd - sxd * syd)
+        |     / (nd * sxxd - sxd * sxd)) * sxd) / nd, 4) + 0.0 AS intercept,
+        | ROUND(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |   / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 4)
+        |   + 0.0 AS r2
+        |FROM m ORDER BY n_terms""".stripMargin,
+
+    // x52: generate_subscripts is DuckDB's 1-based UNNEST WITH ORDINALITY
+    // (zips with the unnest of the same list) ≡ Spark posexplode + 1
+    "x52_first_position" ->
+      """WITH tok AS (SELECT doc_id,
+        |   unnest(string_split(text, ' ')) AS token,
+        |   generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        | f AS (SELECT doc_id, token, MIN(pos) AS fp FROM tok GROUP BY 1, 2),
+        | t AS (SELECT token, COUNT(*) AS df, CAST(SUM(fp) AS BIGINT) AS sfp
+        |   FROM f GROUP BY 1 ORDER BY df DESC, token LIMIT 20)
+        |SELECT token, df,
+        | ROUND(CAST(sfp AS DOUBLE) / CAST(df AS DOUBLE), 4) + 0.0
+        |   AS avg_first_pos
+        |FROM t ORDER BY df DESC, token""".stripMargin,
+
+    // x53: exact-integer Gini — the only float op is the final stated
+    // double expression
+    "x53_source_gini" ->
+      """WITH m AS (SELECT source,
+        |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS mass
+        |  FROM documents GROUP BY 1),
+        | r AS (SELECT mass,
+        |   CAST(ROW_NUMBER() OVER (ORDER BY mass, source) AS BIGINT) AS i
+        |  FROM m),
+        | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+        |   CAST(SUM(mass) AS BIGINT) AS total_tokens,
+        |   CAST(SUM(i * mass) AS BIGINT) AS wsum FROM r)
+        |SELECT n_sources, total_tokens,
+        | ROUND((2.0 * CAST(wsum AS DOUBLE)
+        |    - CAST(n_sources + 1 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+        |  / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 4)
+        |   + 0.0 AS gini
+        |FROM g ORDER BY n_sources""".stripMargin
   )
 }

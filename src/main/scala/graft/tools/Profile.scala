@@ -37,7 +37,16 @@ object Profile {
           }
         t
       }
-      val rows = fn(spark, sf).count() // untimed, display only
+      // untimed, display only — but it still creates Ckpt'd blocks, and
+      // under the snapshot-scoped unpersist above those would land in every
+      // LATER query's `preexisting` set and never be released (memory
+      // pressure skewing later timings); release its delta the same way
+      val preDisplay = spark.sparkContext.getPersistentRDDs.keySet
+      val rows = fn(spark, sf).count()
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!preDisplay.contains(id)) rdd.unpersist(blocking = false)
+        }
       println(f"$name%-22s ${times.min}%6.2f min  " +
         f"${times.sum / reps}%6.2f avg  $rows%d rows")
     }

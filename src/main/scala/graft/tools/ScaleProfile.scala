@@ -74,7 +74,13 @@ object ScaleProfile {
     // bal-equality branch's true matches grow m² (j19's shared-value
     // regime) but stay collision-rare; the row isolates the two hash
     // branches' keyed shuffles
-    "j20_or_join")
+    "j20_or_join",
+    // round 10 (verdict item 6): the two pre-round-8 heavies whose 1×–8×
+    // rows predated the current plans — l2's shingle sets and x17's
+    // cross-source MinHash bands are both built from the per-copy
+    // SUFFIXED token streams, so copies are shingle-disjoint and the true
+    // pair output grows linearly in m (same argument as x1/x3)
+    "l2_neardup_jaccard", "x17_cross_source")
 
   val Mults = Seq(1, 2, 4, 8)
 

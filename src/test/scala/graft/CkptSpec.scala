@@ -53,7 +53,10 @@ class CkptSpec extends SparkSpec {
       "w10_pareto_share",
       "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
       "x44_minhash_accuracy", "x45_dsir_weights", "s15_streaks",
-      "x47_cluster_sep", "r13_harmonic")
+      "x47_cluster_sep", "r13_harmonic",
+      // round 10: r14 (per-round peeled edge frames), r15 (edge +
+      // degree + oriented frames through r9's machinery)
+      "r14_kcore", "r15_jaccard_links")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

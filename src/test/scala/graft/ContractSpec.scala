@@ -29,17 +29,48 @@ class ContractSpec extends SparkSpec {
   test("bench JSON line fits the driver's 2000-char stdout tail at worst-case precision") {
     // The bench line emits ALIAS keys (Bench.aliasMap + the committed
     // bench_keys.json sidecar) because 105 full-name keys hit 1,999/2,000
-    // chars — zero growth headroom. Guard the REGROWN worst case the r7
-    // verdict set as the bar: 120 hypothetical keys (current aliases plus
-    // synthetic 5-char pads), EVERY value 2 chars (a -1 sentinel or a
-    // 10-99 s heavy — stricter than the old 12-wide model), ≤ 1,900 chars.
+    // chars — zero growth headroom. The r7-era guard padded to a fixed
+    // 120 hypothetical keys, which the 165-key round-9 board silently
+    // outgrew (the pad clause became a no-op) — re-derived for 165+
+    // (r9 verdict item 8): current aliases average ~3.3 chars, each key
+    // costs len+6 chars at 2-char values ("\"a12\":99,"), so the REAL
+    // line sits near 95 + 165·9.3 ≈ 1,630. Guard the NEXT round's growth
+    // instead of a fixed count: current aliases plus 25 synthetic 5-char
+    // pads (> the 17 keys round 9 added), EVERY value 2 chars, ≤ 1,900.
+    // If this trips, aliases must shrink (or the driver tail grows) BEFORE
+    // more queries land — not after the bench line already truncates.
     val aliases = Bench.aliasMap(SparkEntry.queries.keys.toSeq).values.toSeq.sorted
-    val padded = aliases ++ (aliases.size until 120).map(i => f"zz$i%03dx")
+    val padded = aliases ++ (0 until 25).map(i => f"zz$i%03dx")
     val qs = padded.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":999.99,"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"sf0.1"}"""
     assert(line.length <= 1900,
-      s"worst-case 120-key bench line is ${line.length} chars (> 1900): " +
+      s"worst-case ${padded.size}-key bench line is ${line.length} chars (> 1900): " +
         "aliases have outgrown the driver's stdout tail")
+  }
+
+  test("declared queries are install-independent (vanilla session ≡ extensions)") {
+    // j20 (and any band/OR-shaped query) relies on GraftExtensions for its
+    // PLAN, never its ANSWER (r9 verdict item 7): Verify/Bench install the
+    // rules, so rule-install drift could otherwise flip correctness
+    // unnoticed. Snapshot every declared result on this suite's VANILLA
+    // session, install the extensions, re-run, and require bit-identical
+    // row multisets; the experimental rule/strategy lists are restored so
+    // suite ordering stays hermetic.
+    def snap(): Map[String, Seq[String]] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (k, fn) =>
+        k -> fn(spark, sf001).collect().map(_.toString).toSeq.sorted
+      }.toMap
+    val priorOpt = spark.experimental.extraOptimizations
+    val priorStrat = spark.experimental.extraStrategies
+    val vanilla = snap()
+    val installed =
+      try { GraftExtensions.install(spark); snap() }
+      finally {
+        spark.experimental.extraOptimizations = priorOpt
+        spark.experimental.extraStrategies = priorStrat
+      }
+    val drift = vanilla.keys.filter(k => vanilla(k) != installed(k)).toSeq.sorted
+    assert(drift.isEmpty, s"install-dependent results: ${drift.mkString(", ")}")
   }
 
   test("committed bench_keys.json matches Bench.aliasMap over the query set") {

@@ -1876,4 +1876,164 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(r.getDouble(5) - pad.toDouble / (seqs * L)) < 1.01e-4)
     }
   }
+
+  /** Driver-side undirected co-purchase adjacency at sf0.001 (shared by the
+    * r14/r15 recomputation tests — ~200 nodes, collectable). */
+  private def undAdj(): Map[Long, Set[Long]] = {
+    val e = ops.Rdf.coEdges(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    (e ++ e.map(_.swap)).groupBy(_._1).map { case (k, vs) =>
+      k -> vs.map(_._2).toSet
+    }
+  }
+
+  test("r14 k-core equals a driver-side 3-round peel") {
+    var adj = undAdj()
+    for (_ <- 1 to 3) {
+      val keep = adj.filter { case (n, nb) => nb.count(adj.contains) >= 3 }
+        .keySet
+      adj = adj.collect { case (n, nb) if keep(n) =>
+        n -> nb.filter(keep)
+      }.filter(_._2.nonEmpty).toMap
+    }
+    val expected = adj.map { case (n, nb) => n -> nb.size.toLong }
+    val got = ops.Rdf.r14(spark, sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  test("r15 jaccard links equal a driver-side common-neighbor recomputation") {
+    val adj = undAdj()
+    val expected = (for {
+      (u, nu) <- adj.toSeq; v <- nu if u < v
+      cn = (nu intersect adj(v)).size if cn >= 1
+    } yield (u, v) -> (cn.toLong, nu.size.toLong, adj(v).size.toLong)).toMap
+    val got = ops.Rdf.r15(spark, sf001).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val (cn, du, dv) = expected(key)
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((cn, du, dv)), key)
+      assert(math.abs(r.getDouble(5) - cn.toDouble / (du + dv - cn)) < 1.01e-4)
+    }
+  }
+
+  test("s17 bursts equal a driver-side lead-2 recomputation") {
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"event_id", expr("ts div 1000").as("ts_us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val ts = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      u -> (ts.length.toLong,
+        ts.indices.count(i => i + 2 < ts.length &&
+          ts(i + 2) - ts(i) <= 300000000L).toLong)
+    }
+    val got = ops.Events.s17(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+  }
+
+  test("a23 winsorized mean equals a driver-side clamp at interpolated bounds") {
+    val rows = Tables.orders(spark, sf001)
+      .select($"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def pct(v: Array[Double], p: Double): Double = {
+      // Spark `percentile` ≡ DuckDB quantile_cont: rank p·(n−1), linear
+      val s = v.sorted; val rk = p * (s.length - 1)
+      val lo = rk.toInt; val f = rk - lo
+      if (lo + 1 < s.length) s(lo) + f * (s(lo + 1) - s(lo)) else s(lo)
+    }
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val v = rs.map(_._2)
+      val p05 = BigDecimal(pct(v, 0.05)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val p95 = BigDecimal(pct(v, 0.95)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val wz = v.map(x => BigDecimal(math.min(math.max(x, p05), p95))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      g -> (v.length.toLong, (wz.sum / v.length).toDouble)
+    }
+    ops.Aggs.a23(spark, sf001).collect().foreach { r =>
+      val (n, m) = expected(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(4) - m) < 1.01e-4, r.getString(0))
+      assert(r.getDouble(2) <= r.getDouble(3)) // p05 ≤ p95
+    }
+  }
+
+  test("f15 string batch: literal probes incl. lpad/rpad truncation") {
+    val out = ops.Scalars.f15(spark, sf001).limit(50).collect()
+    out.foreach { r =>
+      val name = r.getString(1)
+      assert(r.getString(2).length === 30 && r.getString(3).length === 30)
+      if (name.length <= 30) {
+        assert(r.getString(2).endsWith(name)) // left-padded
+        assert(r.getString(3).startsWith(name)) // right-padded
+      } else {
+        assert(r.getString(2) === name.take(30)) // both truncate
+        assert(r.getString(3) === name.take(30))
+      }
+      assert(r.getString(5) === name.reverse)
+      assert(r.getString(6) === name.take(3) * 2)
+      val ia = name.indexOf('a') + 1
+      assert(r.getLong(7) === ia.toLong)
+    }
+  }
+
+  test("x51 zipf fit equals a driver-side OLS on the same quantized terms") {
+    val cnts = Tables.documents(spark, sf001)
+      .select(explode(split($"text", " ")).as("t")).groupBy("t").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(t => (-t._2, t._1)).take(100)
+    def q9(d: Double): BigDecimal =
+      BigDecimal(d).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val xs = cnts.indices.map(i => q9(math.log(i + 1.0)))
+    val ys = cnts.map(c => q9(math.log(c._2.toDouble)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxx = xs.map(x => x * x).sum.toDouble
+    val syy = ys.map(y => y * y).sum.toDouble
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val r = ops.Pipeline.x51(spark, sf001).head()
+    assert(r.getLong(0) === xs.length.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1.01e-4)
+    assert(r.getDouble(1) < 0) // counts fall with rank
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1) // r²
+  }
+
+  test("x52 first positions recompute driver-side (1-based)") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val firsts = docs.flatMap { case (id, t) =>
+      t.split(" ").zipWithIndex.groupBy(_._1)
+        .map { case (tok, occ) => (tok, occ.map(_._2).min + 1) }
+    }
+    val expected = firsts.groupBy(_._1).map { case (tok, fs) =>
+      tok -> (fs.length.toLong, fs.map(_._2.toLong).sum)
+    }.toSeq.sortBy { case (t, (df, _)) => (-df, t) }.take(20)
+    val got = ops.Pipeline.x52(spark, sf001).collect()
+    assert(got.map(_.getString(0)).toSeq === expected.map(_._1))
+    got.zip(expected).foreach { case (r, (_, (df, sfp))) =>
+      assert(r.getLong(1) === df)
+      assert(math.abs(r.getDouble(2) - sfp.toDouble / df) < 1.01e-4)
+    }
+  }
+
+  test("x53 gini recomputes driver-side; bounds and balance sanity") {
+    val masses = Tables.documents(spark, sf001)
+      .select($"source", size(split($"text", " ")).cast("long").as("wc"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rs) => (s, rs.map(_._2).sum) }
+      .toSeq.sortBy { case (s, m) => (m, s) }
+    val n = masses.length.toLong
+    val tot = masses.map(_._2).sum
+    val wsum = masses.zipWithIndex.map { case ((_, m), i) => (i + 1) * m }.sum
+    val gini = (2.0 * wsum - (n + 1).toDouble * tot) / (n.toDouble * tot)
+    val r = ops.Pipeline.x53(spark, sf001).head()
+    assert(r.getLong(0) === n && r.getLong(1) === tot)
+    assert(math.abs(r.getDouble(2) - gini) < 1.01e-4)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
 }
