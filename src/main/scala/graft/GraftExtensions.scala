@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.YearEqualsToRange)
     ext.injectOptimizerRule(_ => graft.plans.BandJoinToBucket)
     ext.injectOptimizerRule(_ => graft.plans.OrJoinToUnion)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopK)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
@@ -60,6 +61,7 @@ object GraftExtensions {
     graft.plans.YearEqualsToRange.install(spark)
     graft.plans.BandJoinToBucket.install(spark)
     graft.plans.OrJoinToUnion.install(spark)
+    graft.plans.RowNumberTopK.install(spark)
     graft.plans.TopKStrategy.install(spark)
     functions.foreach { case (ident, info, builder) =>
       GraftBridge.registerFunction(spark, ident, info, builder)

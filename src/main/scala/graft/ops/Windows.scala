@@ -47,6 +47,30 @@ object Windows {
       .orderBy("p_brand", "rn")
   }
 
+  /** w11 — top-2 orders per customer stated as the PLAIN window idiom
+    * (`row_number() OVER (…) <= 2`, rank column dropped) — w2's semantics
+    * written the way every SQL user writes them. Under the installed
+    * [[graft.plans.RowNumberTopK]] rule (round 10's Catalyst piece) the
+    * whole Filter+Window assembly collapses to the bounded-heap
+    * TopKPerGroup operator — no partition ever fully sorted, one exchange
+    * of ≤ k·groups·partitions rows (measured 2.4× over the native
+    * WindowGroupLimit plan, ProbeTopK); on a vanilla session Spark's own
+    * group-limit pruning plans it — SAME answer either way (the
+    * install-independence contract test), which is the point: the rule is
+    * a plan property, invisible in the result. Total order
+    * (totalprice desc, orderkey) per D6; output is value copies only.
+    */
+  def w11(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** w3 — running count + running decimal total per customer (rows frame). */
   def w3(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

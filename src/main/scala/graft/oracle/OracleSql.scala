@@ -2581,6 +2581,16 @@ object OracleSql {
         |    - CAST(n_sources + 1 AS DOUBLE) * CAST(total_tokens AS DOUBLE))
         |  / (CAST(n_sources AS DOUBLE) * CAST(total_tokens AS DOUBLE)), 4)
         |   + 0.0 AS gini
-        |FROM g ORDER BY n_sources""".stripMargin
+        |FROM g ORDER BY n_sources""".stripMargin,
+
+    // w11: the oracle states the same plain window idiom — the heap
+    // rewrite is a plan property, invisible in the result
+    "w11_topk_plain" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

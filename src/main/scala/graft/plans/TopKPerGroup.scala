@@ -49,6 +49,15 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     else if (groupExprs.isEmpty) Seq(AllTuples)
     else Seq(ClusteredDistribution(groupExprs))
 
+  // The operator never moves rows between partitions, so the child's
+  // partitioning survives. Without this override the UnaryExecNode default
+  // (UnknownPartitioning) made EVERY downstream group-keyed consumer —
+  // w2/r10's rank re-derivation window — pay a REDUNDANT exchange on the
+  // very keys the final phase was already clustered by (round-10 plan
+  // audit; TopKPerGroupSpec pins the single-exchange plan).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val gExprs = groupExprs
