@@ -522,6 +522,35 @@ object Aggs {
     * aggregate-topped, r8's lint rule) + one keyed sum. Two scans of
     * orders, both pruned to 2 columns.
     */
+  /** a24 — HERFINDAHL–HIRSCHMAN concentration of customer spend per
+    * nation: HHI = Σ (cust_rev ∕ nation_rev)², the antitrust-grade
+    * concentration index (w10's Pareto curve answers "how much do the top
+    * k hold", this answers "how concentrated is the whole distribution"
+    * in one number; 1∕n = perfectly even, 1 = monopsony).
+    *
+    * Exactness: HHI = (Σ revᵢ²) ∕ T² — the numerator sums SQUARED exact
+    * DECIMAL(18,2) revenues (products exact at scale 4, order-free D2),
+    * so the ONLY float math is the final stated-identically double
+    * division (D4). Never a per-customer double share in sight.
+    *
+    * Scale: customer-keyed revenue agg → nation-keyed (Σrev, Σrev², n)
+    * agg — two keyed shuffles, domain-bounded output.
+    */
+  def a24(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("c_custkey"))
+      .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+    rev.groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("rev")).as("t"),
+        sum((col("rev") * col("rev")).cast("decimal(38,4)")).as("sq"))
+      .select(col("nationkey"), col("n_custs"), out2(col("t")).as("total_rev"),
+        round4nz(col("sq").cast("double")
+          / (col("t").cast("double") * col("t").cast("double"))).as("hhi"))
+      .orderBy("nationkey")
+  }
+
   def a23(s: SparkSession, d: String): DataFrame = {
     val bounds = Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))

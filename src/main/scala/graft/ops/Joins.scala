@@ -474,6 +474,27 @@ object Joins {
     * Determinism: balance equality on parquet-exact doubles is exact on
     * both engines; all outputs are integer counts (D2 trivially).
     */
+  /** j21 — NULL-SAFE equi join (`<=>` / SQL `IS NOT DISTINCT FROM`): the
+    * join-surface member j1–j20 left out. Nation 24 is nulled out on both
+    * sides (`nullif`) so the fixture actually exercises the null-matches-
+    * null semantics a plain `=` silently drops; Spark plans EqualNullSafe
+    * as a HASH join key natively (the spec lints no nested loop), which
+    * is the whole point of the operator — null-safe keys keep the keyed
+    * shuffle at 100 TB. Declared output: pair counts per matched key
+    * class (null class surfaced as −1), all integers (D2 trivially).
+    */
+  def j21(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), expr("nullif(s_nationkey, 24)").as("sk"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), expr("nullif(c_nationkey, 24)").as("ck"))
+    sup.join(cust, col("sk") <=> col("ck"))
+      .groupBy(coalesce(col("sk"), lit(-1L)).as("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("sk").isNull, 1)).as("n_null_pairs"))
+      .orderBy("k")
+  }
+
   def j20(s: SparkSession, d: String): DataFrame = {
     val sup = Tables.supplier(s, d)
       .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))

@@ -2154,6 +2154,83 @@ object Pipeline {
       .orderBy(col("df").desc, col("token"))
   }
 
+  /** x54 — LENGTH-BIAS audit: does the x6 quality score systematically
+    * favor short or long documents? Per 10-token word-count bucket:
+    * doc count + mean quality; plus the corpus-wide OLS slope and r² of
+    * quality on word count (repeated per row — the two scalars every
+    * length-debiasing recipe needs next to the profile).
+    *
+    * Exactness: quality is x6's 4-dp-rounded engine-exact double —
+    * quantized to DECIMAL(9,4) it sums order-free (D2); wc moments ride
+    * exact integer/decimal sums (wc² through DECIMAL(38,0) — a BIGINT
+    * sum overflows at 10¹¹ docs × 10⁸ wc²); slope/r² are a17's textual
+    * double closed form (D4). Buckets are ABSOLUTE (wc div 10) — no
+    * global sort, scale-free, unlike a decile cut.
+    *
+    * Scale: one x6 pass (Ckpt'd — bucket and moment consumers share it)
+    * → one bucket-keyed agg + one 1-row moment agg + an AQE-broadcast
+    * 1-row join.
+    */
+  def x54(s: SparkSession, d: String): DataFrame = {
+    val base = graft.Ckpt(x6(s, d)
+      .select(col("wc").cast("bigint").as("wc"),
+        col("quality").cast("decimal(9,4)").as("qd")))
+    val buckets = base.groupBy(expr("wc DIV 10").as("wc_bucket"))
+      .agg(count(lit(1)).as("docs"), sum(col("qd")).as("qs"))
+      .select(col("wc_bucket"), col("docs"),
+        graft.Det.round4nz(col("qs").cast("double")
+          / col("docs").cast("double")).as("avg_quality"))
+    val m = base.agg(count(lit(1)).as("n"),
+      sum(col("wc")).as("sx"), sum(col("qd")).as("sy"),
+      sum((col("wc") * col("wc")).cast("decimal(38,0)")).as("sxx"),
+      sum(col("qd") * col("qd")).as("syy"),
+      sum(col("wc") * col("qd")).as("sxy"))
+    val stats = m.select(col("n").cast("double").as("nd"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"),
+        col("sxx").cast("double").as("sxxd"),
+        col("syy").cast("double").as("syyd"),
+        col("sxy").cast("double").as("sxyd"))
+      .select(
+        graft.Det.round4nz((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+          / (col("nd") * col("sxxd") - col("sxd") * col("sxd"))).as("lb_slope"),
+        graft.Det.round4nz(((col("nd") * col("sxyd") - col("sxd") * col("syd"))
+          * (col("nd") * col("sxyd") - col("sxd") * col("syd")))
+          / ((col("nd") * col("sxxd") - col("sxd") * col("sxd"))
+            * (col("nd") * col("syyd") - col("syd") * col("syd")))).as("lb_r2"))
+    buckets.crossJoin(stats)
+      .select(col("wc_bucket"), col("docs"), col("avg_quality"),
+        col("lb_slope"), col("lb_r2"))
+      .orderBy("wc_bucket")
+  }
+
+  /** x55 — SHINGLE DOCUMENT-FREQUENCY PROFILE: the log₂-bucketed df
+    * histogram of word trigram shingles — the index-sizing statistic
+    * every LSH/PPJoin deployment reads before choosing bands and df caps
+    * (x1/x3's knobs): how many shingles live in each df octave, and how
+    * much posting-list mass (Σ df) each octave carries.
+    *
+    * All integer: df per shingle from one (doc, shingle)-distinct keyed
+    * count; octave = bitlength(df) − 1 via the x35 base-2 string idiom
+    * (exact on both engines — no float log₂ to misround at powers of
+    * two); postings sums are exact longs (DuckDB side BIGINT-cast, D9).
+    *
+    * Scale: one generator pass → one distinct + two keyed aggs, all
+    * corpus-linear; output is ≤ 64 octave rows at any corpus.
+    */
+  def x55(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3)," +
+          " i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+      .distinct()
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .groupBy(expr("CAST(length(conv(CAST(df AS STRING), 10, 2)) AS INT) - 1")
+        .as("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("postings"))
+      .orderBy("df_bucket")
+
   /** x53 — SOURCE GINI: the Gini coefficient of per-source token mass —
     * the single-number concentration audit (0 = perfectly balanced
     * mixture, →1 = one source dominates) that pairs with x15's entropy

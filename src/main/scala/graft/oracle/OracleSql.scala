@@ -2591,6 +2591,74 @@ object OracleSql {
         |  ROW_NUMBER() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM orders) t
-        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin
+        |WHERE rn <= 2 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    // j21: IS NOT DISTINCT FROM ≡ Spark <=>; null class surfaced as -1
+    "j21_nullsafe" ->
+      """WITH s AS (SELECT s_suppkey, nullif(s_nationkey, 24) AS sk
+        |   FROM supplier),
+        | c AS (SELECT c_custkey, nullif(c_nationkey, 24) AS ck
+        |   FROM customer)
+        |SELECT COALESCE(sk, -1) AS k, COUNT(*) AS n_pairs,
+        | CAST(COUNT(CASE WHEN sk IS NULL THEN 1 END) AS BIGINT)
+        |   AS n_null_pairs
+        |FROM s JOIN c ON sk IS NOT DISTINCT FROM ck
+        |GROUP BY 1 ORDER BY k""".stripMargin,
+
+    // a24: HHI = (Σ rev²) / T² — exact decimal sums, one double division
+    "a24_hhi" ->
+      """WITH rev AS (SELECT c_nationkey, c_custkey,
+        |   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_nationkey AS nationkey, COUNT(*) AS n_custs,
+        | CAST(CAST(SUM(rev) AS DECIMAL(18,2)) AS DOUBLE) AS total_rev,
+        | ROUND(CAST(SUM(CAST(rev * rev AS DECIMAL(38,4))) AS DOUBLE)
+        |   / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 4)
+        |   + 0.0 AS hhi
+        |FROM rev GROUP BY 1 ORDER BY nationkey""".stripMargin,
+
+    // x54: x6's quality quantized DECIMAL(9,4) (4-dp exact), wc moments
+    // exact, a17's double closed form for slope/r²
+    "x54_length_bias" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents),
+        | c AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS wc,
+        |  CAST(len(list_filter(w, t -> list_contains(['the','a','of','and'], t))) AS INTEGER) AS stop_cnt,
+        |  CAST(len(list_filter(w, t -> length(t) <= 2)) AS INTEGER) AS short_cnt
+        |  FROM w),
+        | q AS (SELECT wc, CAST(ROUND(1.0
+        |    - 0.5 * (CAST(stop_cnt AS DOUBLE) / wc)
+        |    - 0.3 * (CAST(short_cnt AS DOUBLE) / wc), 4) + 0.0
+        |   AS DECIMAL(9,4)) AS qd FROM c),
+        | b AS (SELECT wc // 10 AS wc_bucket, COUNT(*) AS docs,
+        |   ROUND(CAST(SUM(qd) AS DOUBLE) / COUNT(*), 4) + 0.0 AS avg_quality
+        |  FROM q GROUP BY 1),
+        | g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+        |   CAST(SUM(wc) AS DOUBLE) AS sxd, CAST(SUM(qd) AS DOUBLE) AS syd,
+        |   CAST(SUM(wc * wc) AS DOUBLE) AS sxxd,
+        |   CAST(SUM(qd * qd) AS DOUBLE) AS syyd,
+        |   CAST(SUM(wc * qd) AS DOUBLE) AS sxyd FROM q),
+        | st AS (SELECT
+        |   ROUND((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 4)
+        |     + 0.0 AS lb_slope,
+        |   ROUND(((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |     / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 4)
+        |     + 0.0 AS lb_r2 FROM g)
+        |SELECT wc_bucket, docs, avg_quality, lb_slope, lb_r2
+        |FROM b, st ORDER BY wc_bucket""".stripMargin,
+
+    // x55: octave = bitlength(df) − 1 (exact base-2 string idiom, x35's)
+    "x55_shingle_df" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |   FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        | sh AS (SELECT DISTINCT doc_id,
+        |   unnest(list_transform(range(1, len(w) - 1),
+        |     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w),
+        | df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
+        |SELECT CAST(length(bin(df)) AS INT) - 1 AS df_bucket,
+        | COUNT(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS postings
+        |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin
   )
 }

@@ -80,7 +80,26 @@ object ScaleProfile {
     // cross-source MinHash bands are both built from the per-copy
     // SUFFIXED token streams, so copies are shingle-disjoint and the true
     // pair output grows linearly in m (same argument as x1/x3)
-    "l2_neardup_jaccard", "x17_cross_source")
+    "l2_neardup_jaccard", "x17_cross_source",
+    // round-10 new queries: r14/r15 run on the ×m disjoint co-purchase
+    // subgraphs (peels and triangle-edge counts replicate copy 0 → true
+    // answers ×m); s17 replicates per-user windows over disjoint user
+    // populations; a23 groups by the SHARED 5-priority axis (×m rows per
+    // group — the percentile/clamp cost axis); x51's top-100 vocabulary
+    // and x52's top-20 df lists draw from the ×m disjoint suffixed
+    // vocabularies (count shuffles scale, bounded tails constant); x53's
+    // source axis is shared (20 rows at any m); w11 is the heap-operator
+    // shape — shuffle ≤ k·groups·partitions at any m
+    "r14_kcore", "r15_jaccard_links", "s17_bursts", "a23_winsorized",
+    "x51_zipf_fit", "x52_first_position", "x53_source_gini",
+    "w11_topk_plain",
+    // round-10 batch 3: nation keys are OFFSET per copy (disjoint nation
+    // ranges), so j21's keyed pair classes and a24's nation groups grow
+    // ×m with no cross-copy matches, and only copy 0 carries the nulled
+    // nation 24 (constant null class); x54/x55 are token shapes over ×m
+    // docs with disjoint suffixed vocabularies (bounded bucket/octave
+    // outputs at any m)
+    "j21_nullsafe", "a24_hhi", "x54_length_bias", "x55_shingle_df")
 
   val Mults = Seq(1, 2, 4, 8)
 

@@ -55,8 +55,9 @@ class CkptSpec extends SparkSpec {
       "x44_minhash_accuracy", "x45_dsir_weights", "s15_streaks",
       "x47_cluster_sep", "r13_harmonic",
       // round 10: r14 (per-round peeled edge frames), r15 (edge +
-      // degree + oriented frames through r9's machinery)
-      "r14_kcore", "r15_jaccard_links")
+      // degree + oriented frames through r9's machinery), x54 (shared
+      // quantized-quality frame feeding buckets + moments)
+      "r14_kcore", "r15_jaccard_links", "x54_length_bias")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

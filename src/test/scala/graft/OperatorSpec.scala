@@ -2021,6 +2021,95 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("j21 null-safe join equals a driver-side null-matches-null recomputation") {
+    val sup = Tables.supplier(spark, sf001)
+      .select($"s_suppkey", $"s_nationkey").collect()
+      .map(r => r.getAs[Number](1).longValue)
+      .map(n => if (n == 24L) Option.empty[Long] else Some(n))
+    val cust = Tables.customer(spark, sf001)
+      .select($"c_custkey", $"c_nationkey").collect()
+      .map(r => r.getAs[Number](1).longValue)
+      .map(n => if (n == 24L) Option.empty[Long] else Some(n))
+    val expected = (for { sk <- sup; ck <- cust if sk == ck } yield sk)
+      .groupBy(identity).map { case (k, xs) =>
+        k.getOrElse(-1L) -> (xs.length.toLong,
+          if (k.isEmpty) xs.length.toLong else 0L)
+      }
+    val got = ops.Joins.j21(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    // the whole point: <=> plans as a hash join, never a nested loop
+    val plan = ops.Joins.j21(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+
+  test("a24 HHI recomputes driver-side; bounds sanity") {
+    val rows = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey", $"c_custkey", $"o_totalprice").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val expected = rows.groupBy(_._1).map { case (n, rs) =>
+      val perCust = rs.groupBy(_._2).map { case (_, cs) => cs.map(_._3).sum }
+      val t = perCust.sum
+      n -> (perCust.size.toLong,
+        ((perCust.map(r => r * r).sum).toDouble / (t.toDouble * t.toDouble)))
+    }
+    ops.Aggs.a24(spark, sf001).collect().foreach { r =>
+      val (n, hhi) = expected(r.getAs[Number](0).longValue)
+      assert(r.getLong(1) === n)
+      assert(math.abs(r.getDouble(3) - hhi) < 1.01e-4, r.get(0))
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(3) >= 1.0 / n - 1e-4) // HHI lower bound 1/n
+    }
+  }
+
+  test("x54 length-bias moments recompute from x6's quantized qualities") {
+    val q = ops.Pipeline.x6(spark, sf001)
+      .select($"wc", $"quality").collect()
+      .map(r => (r.getInt(0).toLong,
+        BigDecimal(r.getDouble(1)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val n = q.length.toDouble
+    val sx = q.map(_._1).sum.toDouble
+    val sy = q.map(_._2).sum.toDouble
+    val sxx = q.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+    val syy = q.map(p => p._2 * p._2).sum.toDouble
+    val sxy = q.map(p => BigDecimal(p._1) * p._2).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val out = ops.Pipeline.x54(spark, sf001).collect()
+    assert(out.map(_.getLong(1)).sum === q.length.toLong)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3) - slope) < 1.01e-4)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) <= 1)
+    }
+    // per-bucket means recompute
+    val byBucket = q.groupBy(_._1 / 10)
+    out.foreach { r =>
+      val vs = byBucket(r.getLong(0))
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(math.abs(r.getDouble(2) -
+        (vs.map(_._2).sum / vs.length).toDouble) < 1.01e-4)
+    }
+  }
+
+  test("x55 shingle octaves recompute driver-side; postings mass closes") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+      .filter(_._2.length >= 3)
+    val df = docs.flatMap { case (id, w) =>
+      (0 to w.length - 3).map(i => (id, s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+    }.distinct.groupBy(_._2).map { case (_, xs) => xs.length.toLong }
+    val expected = df.groupBy(d => 63 - java.lang.Long.numberOfLeadingZeros(d))
+      .map { case (b, ds) => b.toLong -> (ds.size.toLong, ds.sum) }
+    val got = ops.Pipeline.x55(spark, sf001).collect()
+      .map(r => r.getInt(0).toLong -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === expected)
+    assert(got.values.map(_._2).sum === df.sum) // Σ postings = Σ df
+  }
+
   test("x53 gini recomputes driver-side; bounds and balance sanity") {
     val masses = Tables.documents(spark, sf001)
       .select($"source", size(split($"text", " ")).cast("long").as("wc"))
