@@ -429,10 +429,20 @@ object Rdf {
       .select(col("p").as("u"), col("p2").as("v")).distinct()
   }
 
-  def r9(s: SparkSession, d: String): DataFrame = {
+  /** The (degree, triangles) frames shared by [[r9]]/[[r15]]: degree per
+    * node (Ckpt'd — both the orientation and the output joins read it)
+    * and the oriented-enumeration triangle list (a, b, c).
+    *
+    * SHUFFLE_HASH pinned on both pair joins: the inputs are checkpointed
+    * RDD scans with unknown stats, and the planner's SMJ fallback sorts
+    * the multi-million-row wedge stream twice for no benefit (hash join
+    * builds the 1.2M-edge side; measured 7.9 → 4.9 s at sf0.1). */
+  private[graft] def triangleFrames(s: SparkSession,
+      d: String): (DataFrame, DataFrame) = {
     val edges = graft.Ckpt(coEdges(s, d))
-    val deg = edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val deg = graft.Ckpt(
+      edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg")))
     val asc = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
     val oriented = graft.Ckpt(edges
@@ -441,17 +451,18 @@ object Rdf {
       .select(when(asc, col("u")).otherwise(col("v")).as("s"),
         when(asc, struct(col("dv").as("dg"), col("v").as("n")))
           .otherwise(struct(col("du").as("dg"), col("u").as("n"))).as("tk")))
-    // SHUFFLE_HASH pinned on both pair joins: the inputs are checkpointed
-    // RDD scans with unknown stats, and the planner's SMJ fallback sorts
-    // the multi-million-row wedge stream twice for no benefit (hash join
-    // builds the 1.2M-edge side; measured 7.9 -> 4.9 s at sf0.1).
     val wedges = oriented
       .join(oriented.select(col("s").as("s2"), col("tk").as("tk2"))
           .hint("SHUFFLE_HASH"),
         col("s") === col("s2") && col("tk") < col("tk2"))
       .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
     val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
-    wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c"))
+    (deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
+  }
+
+  def r9(s: SparkSession, d: String): DataFrame = {
+    val (deg, tri) = triangleFrames(s, d)
+    tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("tri_cnt"))
       .join(deg.select(col("n").as("p_partkey"), col("dg").as("deg")),
@@ -764,25 +775,8 @@ object Rdf {
     * data (u, v ordering is D1's output sort).
     */
   def r15(s: SparkSession, d: String): DataFrame = {
-    val edges = graft.Ckpt(coEdges(s, d))
-    val deg = graft.Ckpt(edges.select(col("u").as("n"))
-      .union(edges.select(col("v").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg")))
-    val asc = col("du") < col("dv") ||
-      (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = graft.Ckpt(edges
-      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
-      .select(when(asc, col("u")).otherwise(col("v")).as("s"),
-        when(asc, struct(col("dv").as("dg"), col("v").as("n")))
-          .otherwise(struct(col("du").as("dg"), col("u").as("n"))).as("tk")))
-    val wedges = oriented
-      .join(oriented.select(col("s").as("s2"), col("tk").as("tk2"))
-          .hint("SHUFFLE_HASH"),
-        col("s") === col("s2") && col("tk") < col("tk2"))
-      .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
-    val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
-    val cn = wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c"))
+    val (deg, tri) = triangleFrames(s, d)
+    val cn = tri
       .select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
