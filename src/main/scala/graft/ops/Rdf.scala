@@ -794,6 +794,52 @@ object Rdf {
       .orderBy("u", "v")
   }
 
+  /** r16 — DEGREE ASSORTATIVITY (Newman's r) of the co-purchase graph:
+    * the Pearson correlation of the degrees at the two ends of every
+    * edge, over the symmetrized (both-directions) edge list — the
+    * one-number answer to "do hubs connect to hubs?" that decides
+    * whether hub-aware plans (r9's orientation, skew handling) matter
+    * on a given graph.
+    *
+    * Exactness: end degrees are exact integers; all five moment sums are
+    * exact (the squared/cross products through DECIMAL(38,0) — a BIGINT
+    * sum overflows at ~10¹⁰ edges × 10⁸ deg²); the closed form, sqrt
+    * included, is a single stated-identically double expression on both
+    * engines (IEEE sqrt is correctly rounded — unlike ln, it needs no
+    * rounding discipline), 4-dp (D4).
+    *
+    * Scale: the edge frame is Ckpt'd (degree agg + both end joins read
+    * it), the degree frame too (two joins); two keyed equi-joins + one
+    * 1-row agg — never a pair explosion.
+    */
+  def r16(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val und = graft.Ckpt(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    val deg = graft.Ckpt(
+      und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg")))
+    val ends = und
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+    ends.agg(count(lit(1)).as("n"),
+        sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
+        sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("dv") * col("dv")).cast("decimal(38,0)")).as("syy"),
+        sum((col("du") * col("dv")).cast("decimal(38,0)")).as("sxy"))
+      .select(col("n").cast("bigint").as("n_ends"),
+        graft.Det.round4nz(col("sx").cast("double")
+          / col("n").cast("double")).as("avg_end_degree"),
+        graft.Det.round4nz(
+          (col("n").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double"))))
+          .as("assortativity"))
+      .orderBy("n_ends")
+  }
+
   /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
     * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
   private[graft] def r13PanelCells(und: DataFrame): DataFrame =

@@ -2659,6 +2659,35 @@ object OracleSql {
         | df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1)
         |SELECT CAST(length(bin(df)) AS INT) - 1 AS df_bucket,
         | COUNT(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS postings
-        |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin
+        |FROM df GROUP BY 1 ORDER BY df_bucket""".stripMargin,
+
+    // r16: exact integer/decimal moments, one double closed form (sqrt is
+    // IEEE correctly rounded on both engines)
+    "r16_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e0 AS (SELECT a.p AS u, b.p AS v FROM li a
+        |   JOIN li b ON a.ok = b.ok AND a.p < b.p GROUP BY a.p, b.p),
+        | und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        | deg AS (SELECT u AS n, CAST(COUNT(*) AS BIGINT) AS dg
+        |   FROM und GROUP BY u),
+        | ends AS (SELECT du.dg AS du, dv.dg AS dv FROM und
+        |   JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+        | g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |   CAST(SUM(du) AS BIGINT) AS sx, CAST(SUM(dv) AS BIGINT) AS sy,
+        |   SUM(CAST(du * du AS DECIMAL(38,0))) AS sxx,
+        |   SUM(CAST(dv * dv AS DECIMAL(38,0))) AS syy,
+        |   SUM(CAST(du * dv AS DECIMAL(38,0))) AS sxy FROM ends)
+        |SELECT n AS n_ends,
+        | ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 4) + 0.0
+        |   AS avg_end_degree,
+        | ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0
+        |   AS assortativity
+        |FROM g ORDER BY n_ends""".stripMargin
   )
 }

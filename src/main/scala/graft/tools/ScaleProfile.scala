@@ -99,7 +99,11 @@ object ScaleProfile {
     // nation 24 (constant null class); x54/x55 are token shapes over ×m
     // docs with disjoint suffixed vocabularies (bounded bucket/octave
     // outputs at any m)
-    "j21_nullsafe", "a24_hhi", "x54_length_bias", "x55_shingle_df")
+    "j21_nullsafe", "a24_hhi", "x54_length_bias", "x55_shingle_df",
+    // r16 runs over ×m disjoint subgraphs whose per-copy degree
+    // distributions replicate copy 0 — the statistic itself is
+    // m-invariant, the cost axis is the ×m edge/degree joins
+    "r16_assortativity")
 
   val Mults = Seq(1, 2, 4, 8)
 

@@ -57,7 +57,8 @@ class CkptSpec extends SparkSpec {
       // round 10: r14 (per-round peeled edge frames), r15 (edge +
       // degree + oriented frames through r9's machinery), x54 (shared
       // quantized-quality frame feeding buckets + moments)
-      "r14_kcore", "r15_jaccard_links", "x54_length_bias")
+      "r14_kcore", "r15_jaccard_links", "x54_length_bias",
+      "r16_assortativity")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

@@ -2110,6 +2110,26 @@ class OperatorSpec extends SparkSpec {
     assert(got.values.map(_._2).sum === df.sum) // Σ postings = Σ df
   }
 
+  test("r16 assortativity equals a driver-side Pearson over edge-end degrees") {
+    val adj = undAdj()
+    val ends = adj.toSeq.flatMap { case (u, nb) =>
+      nb.toSeq.map(v => (nb.size.toLong, adj(v).size.toLong))
+    }
+    val n = ends.length.toDouble
+    val sx = ends.map(_._1).sum.toDouble
+    val sy = ends.map(_._2).sum.toDouble
+    val sxx = ends.map(p => p._1 * p._1).sum.toDouble
+    val syy = ends.map(p => p._2 * p._2).sum.toDouble
+    val sxy = ends.map(p => p._1 * p._2).sum.toDouble
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = ops.Rdf.r16(spark, sf001).head()
+    assert(got.getLong(0) === ends.length.toLong)
+    assert(math.abs(got.getDouble(1) - sx / n) < 1.01e-4)
+    assert(math.abs(got.getDouble(2) - r) < 1.01e-4)
+    assert(got.getDouble(2) >= -1.0 && got.getDouble(2) <= 1.0)
+  }
+
   test("x53 gini recomputes driver-side; bounds and balance sanity") {
     val masses = Tables.documents(spark, sf001)
       .select($"source", size(split($"text", " ")).cast("long").as("wc"))
