@@ -192,4 +192,51 @@ class BandJoinSpec extends SparkSpec {
       }
     }
   }
+
+  test("integral/decimal paths fuzz-equal brute force across random widths") {
+    // the round-10 exact paths across randomized widths, signs and
+    // boundary-multiple values — ints with int widths, longs with paired
+    // bounds, decimals with 2-dp widths; every trial brute-forced first
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 1 to 4) {
+      val w = rnd.nextInt(49) + 1
+      // int values clustered on multiples of w so exact boundaries occur
+      def iv() = (rnd.nextInt(41) - 20) * w + rnd.nextInt(2 * w + 1) - w
+      val li = (1 to 250).map(i => (i.toLong, iv())).toDF("lid", "lv")
+      val ri = (1 to 250).map(i => (i.toLong, iv())).toDF("rid", "rv")
+      def qi = li.join(ri, abs($"lv" - $"rv") <= lit(w)).select($"lid", $"rid")
+      val ei = pairs(qi)
+      withRule {
+        assert(qi.queryExecution.executedPlan.toString
+          .contains("graft_band_bucket"), s"int trial $trial (w=$w) no-fire")
+        assert(pairs(qi) === ei, s"int trial $trial (w=$w)")
+      }
+      // long paired form with the same width
+      val wl = w.toLong * 977
+      def lv() = (rnd.nextInt(41) - 20).toLong * wl + rnd.nextInt(100).toLong
+      val ll = (1 to 250).map(i => (i.toLong, lv())).toDF("lid", "lv")
+      val rl = (1 to 250).map(i => (i.toLong, lv())).toDF("rid", "rv")
+      def ql = ll.join(rl,
+          $"lv" - $"rv" <= lit(wl) && $"rv" - $"lv" <= lit(wl))
+        .select($"lid", $"rid")
+      val el = pairs(ql)
+      withRule { assert(pairs(ql) === el, s"long trial $trial (w=$wl)") }
+      // decimal(12,2) values on exact cent boundaries of a 2-dp width
+      val wd = BigDecimal(rnd.nextInt(4999) + 1) / 100
+      def dv() = (BigDecimal(rnd.nextInt(2001) - 1000) * wd / 10)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+      val ld = (1 to 200).map(i => (i.toLong, dv())).toDF("lid", "s")
+        .select($"lid", $"s".cast("decimal(12,2)").as("lv"))
+      val rd = (1 to 200).map(i => (i.toLong, dv())).toDF("rid", "s")
+        .select($"rid", $"s".cast("decimal(12,2)").as("rv"))
+      def qd = ld.join(rd, abs($"lv" - $"rv") <= lit(wd.setScale(2)))
+        .select($"lid", $"rid")
+      val ed = pairs(qd)
+      withRule {
+        assert(qd.queryExecution.executedPlan.toString
+          .contains("graft_band_bucket"), s"dec trial $trial (w=$wd) no-fire")
+        assert(pairs(qd) === ed, s"decimal trial $trial (w=$wd)")
+      }
+    }
+  }
 }
