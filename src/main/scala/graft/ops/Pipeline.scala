@@ -2231,6 +2231,37 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("postings"))
       .orderBy("df_bucket")
 
+  /** x56 — DUPLICATE-INFLATION account: per source, how much of the raw
+    * token mass exact dedup (l1's md5-of-normalized-text identity, the
+    * same survivor-by-min-doc_id rule) would reclaim — the number that
+    * prices a dedup pass before anyone runs it, and the per-source
+    * attribution that tells you WHICH feed is inflating the corpus.
+    *
+    * A doc is duplicate mass iff its hash's survivor (min doc_id
+    * corpus-wide, NOT per source — cross-source duplicates charge the
+    * copy's source, l1's semantics) is a different doc. One (hash)-keyed
+    * min + one corpus-linear join + one source-keyed rollup; the share is
+    * one exact-long double division (D4).
+    */
+  def x56(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("wc"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+    val surv = docs.groupBy("h").agg(min(col("doc_id")).as("survivor_id"))
+    docs.join(surv, Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum(col("wc")).as("tokens"),
+        count(when(col("doc_id") =!= col("survivor_id"), 1)).as("dup_docs"),
+        sum(when(col("doc_id") =!= col("survivor_id"), col("wc"))
+          .otherwise(lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("docs"), col("tokens"), col("dup_docs"),
+        col("dup_tokens"),
+        graft.Det.round4nz(col("dup_tokens").cast("double")
+          / col("tokens").cast("double")).as("dup_share"))
+      .orderBy("source")
+  }
+
   /** x53 — SOURCE GINI: the Gini coefficient of per-source token mass —
     * the single-number concentration audit (0 = perfectly balanced
     * mixture, →1 = one source dominates) that pairs with x15's entropy

@@ -2688,6 +2688,25 @@ object OracleSql {
         |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
         |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4) + 0.0
         |   AS assortativity
-        |FROM g ORDER BY n_ends""".stripMargin
+        |FROM g ORDER BY n_ends""".stripMargin,
+
+    // x56: l1's md5 identity + corpus-wide min-doc_id survivor; share is
+    // one exact-long double division
+    "x56_dup_inflation" ->
+      """WITH d AS (SELECT doc_id, source,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+        |   md5(lower(trim(text))) AS h
+        |  FROM documents),
+        | s AS (SELECT h, MIN(doc_id) AS survivor_id FROM d GROUP BY h)
+        |SELECT source, COUNT(*) AS docs, CAST(SUM(wc) AS BIGINT) AS tokens,
+        | CAST(COUNT(CASE WHEN doc_id <> survivor_id THEN 1 END) AS BIGINT)
+        |   AS dup_docs,
+        | CAST(SUM(CASE WHEN doc_id <> survivor_id THEN wc ELSE 0 END)
+        |   AS BIGINT) AS dup_tokens,
+        | ROUND(CAST(SUM(CASE WHEN doc_id <> survivor_id THEN wc ELSE 0 END)
+        |     AS DOUBLE)
+        |   / CAST(SUM(wc) AS DOUBLE), 4) + 0.0 AS dup_share
+        |FROM d JOIN s USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -103,7 +103,10 @@ object ScaleProfile {
     // r16 runs over ×m disjoint subgraphs whose per-copy degree
     // distributions replicate copy 0 — the statistic itself is
     // m-invariant, the cost axis is the ×m edge/degree joins
-    "r16_assortativity")
+    "r16_assortativity",
+    // x56: suffixed copies make texts distinct across copies, so the
+    // duplicate structure replicates copy 0 — hash groups ×m, shares flat
+    "x56_dup_inflation")
 
   val Mults = Seq(1, 2, 4, 8)
 

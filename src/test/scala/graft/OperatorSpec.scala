@@ -2130,6 +2130,30 @@ class OperatorSpec extends SparkSpec {
     assert(got.getDouble(2) >= -1.0 && got.getDouble(2) <= 1.0)
   }
 
+  test("x56 duplicate inflation recomputes driver-side; account closes against l1") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).trim.toLowerCase))
+    val surv = docs.groupBy(_._3).map { case (t, ds) =>
+      t -> ds.map(_._1).min
+    }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val dups = ds.filter(d => surv(d._3) != d._1)
+      src -> (ds.length.toLong, dups.length.toLong)
+    }
+    val got = ops.Pipeline.x56(spark, sf001).collect()
+    got.foreach { r =>
+      val (docsN, dupN) = expected(r.getString(0))
+      assert(r.getLong(1) === docsN && r.getLong(3) === dupN, r.getString(0))
+      assert(r.getLong(4) <= r.getLong(2)) // dup tokens ≤ tokens
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+    // total duplicate docs must equal the corpus minus l1's survivor count
+    val l1Survivors = ops.Llm.l1(spark, sf001).count()
+    assert(got.map(_.getLong(3)).sum === docs.length - l1Survivors)
+  }
+
   test("x53 gini recomputes driver-side; bounds and balance sanity") {
     val masses = Tables.documents(spark, sf001)
       .select($"source", size(split($"text", " ")).cast("long").as("wc"))
