@@ -77,16 +77,34 @@ object Sketches {
     // otherwise anything past ~4M items / 67M bits is silently truncated
     // and fpp drifts toward 1 with no error (see scaladoc)
     val sess = dim.sparkSession
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    // the lift is scoped to THIS build (r10 advice): the raised ceilings
+    // would otherwise re-size Spark's own InjectRuntimeFilter blooms for
+    // every later query in the session, so the prior values are restored
+    // (or the keys unset) as soon as the filter bytes are materialized
+    val prevItems = sess.conf.getOption(itemsKey)
+    val prevBits = sess.conf.getOption(bitsKey)
     def lift(key: String, v: Long): Unit =
       if (sess.conf.getOption(key).forall(_.toLong < v))
         sess.conf.set(key, v.toString)
-    lift("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n)
-    lift("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val build = new BloomFilterAggregate(
       new XxHash64(Seq(GraftBridge.expression(col(dimKey)))),
       Literal(n), Literal(numBits)).toAggregateExpression()
-    val bytes = dim.select(GraftBridge.column(build).as("bf"))
-      .head().getAs[Array[Byte]](0)
+    val bytes =
+      try {
+        lift(itemsKey, n)
+        lift(bitsKey, numBits)
+        dim.select(GraftBridge.column(build).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => sess.conf.set(key, v)
+          case None => sess.conf.unset(key)
+        }
+        restore(itemsKey, prevItems)
+        restore(bitsKey, prevBits)
+      }
     val probe = BloomFilterMightContain(Literal(bytes, BinaryType),
       new XxHash64(Seq(GraftBridge.expression(col(factKey)))))
     fact.filter(GraftBridge.column(probe))

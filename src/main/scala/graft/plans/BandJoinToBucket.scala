@@ -79,7 +79,17 @@ import org.apache.spark.sql.types._
   */
 object BandJoinToBucket extends Rule[LogicalPlan] {
 
-  def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+  /** Session-conf kill switches (r10 advice): the whole rule, and the fp
+    * path alone. The fp ±2 guard is proven only under |x ∕ W| < 2⁵¹ — a
+    * precondition the rule cannot check statically — so users with
+    * pathological magnitude-to-width domains can restore the unrewritten
+    * (nested-loop but correct) plan without a code change. */
+  val EnabledKey = "spark.graft.bandJoin.enabled"
+  val FpEnabledKey = "spark.graft.bandJoin.fp.enabled"
+  private def flag(key: String): Boolean =
+    conf.getConfString(key, "true").toBoolean
+
+  def apply(plan: LogicalPlan): LogicalPlan = if (!flag(EnabledKey)) plan else plan.transform {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjuncts(cond)
       if (hasEquiConjunct(conjuncts, left, right)) j
@@ -139,12 +149,19 @@ object BandJoinToBucket extends Rule[LogicalPlan] {
     def offsets: Seq[Long] = Seq(-1L, 0L, 1L)
   }
 
-  /** floor(x ∕ w) in exact long arithmetic: x − pmod(x, w) is the largest
-    * multiple of w ≤ x (pmod ∈ [0, w)), so the truncating integral divide
-    * is exact — no rounding at any magnitude. */
+  /** floor(x ∕ w) in exact long arithmetic, overflow-free at every long
+    * (r10 advice: the earlier `x − pmod(x, w)` form wrapped for x within
+    * pmod(x, w) of Long.MinValue). Truncating division by a positive w
+    * never overflows, and floor differs from it by exactly 1 when the
+    * remainder is negative: floor(x ∕ w) = (x div w) − [x % w < 0]. The
+    * −1 correction cannot underflow either — x div w = Long.MinValue
+    * requires w = 1, where the remainder is 0. Nulls propagate: a null x
+    * nulls the divide, and If's else-branch keeps the correction at 0. */
   private def floorDiv(x: Expression, w: Long): Expression = {
     val wl = Literal(w, LongType)
-    IntegralDivide(Subtract(x, Pmod(x, wl)), wl)
+    Subtract(
+      IntegralDivide(x, wl),
+      If(LessThan(Remainder(x, wl), Literal(0L)), Literal(1L), Literal(0L)))
   }
 
   // ------------------------------------------------------------------
@@ -168,13 +185,20 @@ object BandJoinToBucket extends Rule[LogicalPlan] {
       e.deterministic && supportedTypes(e.dataType)
 
   private def hasEquiConjunct(cs: Seq[Expression], left: LogicalPlan,
-      right: LogicalPlan): Boolean = cs.exists {
-    case EqualTo(a, b) =>
+      right: LogicalPlan): Boolean = {
+    def crossSided(a: Expression, b: Expression): Boolean =
       (a.references.subsetOf(left.outputSet) &&
         b.references.subsetOf(right.outputSet)) ||
         (a.references.subsetOf(right.outputSet) &&
           b.references.subsetOf(left.outputSet))
-    case _ => false
+    cs.exists {
+      case EqualTo(a, b) => crossSided(a, b)
+      // <=> is a native hash key too (cf. j21) — expanding the probe side
+      // when the planner already has one is a pure perf regression
+      case EqualNullSafe(a, b) if a.deterministic && b.deterministic =>
+        crossSided(a, b)
+      case _ => false
+    }
   }
 
   /** Bounds on (l − r) accumulated across conjuncts: lo ≤ l − r ≤ hi. */
@@ -276,7 +300,7 @@ object BandJoinToBucket extends Rule[LogicalPlan] {
 
   private def mkBand(l: Expression, r: Expression,
       w: BigDecimal): Option[Band] = l.dataType match {
-    case DoubleType | FloatType =>
+    case DoubleType | FloatType if flag(FpEnabledKey) =>
       // round the exact merged width UP to a double so the fp bucket width
       // can never be narrower than the true bound
       val wd0 = w.toDouble

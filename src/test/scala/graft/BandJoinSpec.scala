@@ -177,6 +177,65 @@ class BandJoinSpec extends SparkSpec {
     }
   }
 
+  test("long band at Long.MinValue edge: floor-div does not wrap (r10 advice)") {
+    // pre-fix floorDiv computed x − pmod(x, w); for x within pmod(x, w) of
+    // Long.MinValue the subtraction wrapped to a huge positive value →
+    // wrong bucket → silently dropped pairs. The current form
+    // (x div w) − [x % w < 0] cannot overflow for any long x, positive w.
+    val base = Long.MinValue
+    val l = Seq((1L, base), (2L, base + 3), (3L, base + 10), (4L, base + 25))
+      .toDF("lid", "lv")
+    val r = Seq((10L, base + 1), (11L, base + 7), (12L, base + 24))
+      .toDF("rid", "rv")
+    def q = l.join(r, abs($"lv" - $"rv") <= lit(5L)).select($"lid", $"rid")
+    val expected = pairs(q)
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_band_bucket"), s"edge band did not fire:\n$plan")
+      assert(pairs(q) === expected,
+        "floor-div wrapped near Long.MinValue and dropped pairs")
+    }
+  }
+
+  test("session-conf kill switches disable the rule / the fp path (r10 advice)") {
+    def fpPlan = bandQuery.queryExecution.executedPlan.toString
+    val li = Seq((1L, 0), (2L, 7)).toDF("lid", "lv")
+    val ri = Seq((10L, 3), (11L, 9)).toDF("rid", "rv")
+    def intPlan = li.join(ri, abs($"lv" - $"rv") <= lit(5))
+      .select($"lid", $"rid").queryExecution.executedPlan.toString
+    withRule {
+      assert(fpPlan.contains("graft_band_bucket"))
+      try {
+        spark.conf.set(BandJoinToBucket.EnabledKey, "false")
+        assert(!fpPlan.contains("graft_band_bucket"), "global kill switch ignored")
+        assert(!intPlan.contains("graft_band_bucket"), "global kill switch ignored (int)")
+      } finally spark.conf.unset(BandJoinToBucket.EnabledKey)
+      try {
+        spark.conf.set(BandJoinToBucket.FpEnabledKey, "false")
+        assert(!fpPlan.contains("graft_band_bucket"), "fp kill switch ignored")
+        // the exact integral path is unaffected by the fp switch
+        assert(intPlan.contains("graft_band_bucket"), "fp switch wrongly killed the int path")
+      } finally spark.conf.unset(BandJoinToBucket.FpEnabledKey)
+      assert(fpPlan.contains("graft_band_bucket"), "switch state leaked")
+    }
+  }
+
+  test("null-safe equi conjunct (<=>) suppresses the rewrite (r10 advice)") {
+    // EqualNullSafe is a native hash key (cf. j21): with one present the
+    // planner already hash-joins, and expanding the probe side 3–5× would
+    // be a pure perf regression. hasEquiConjunct must treat it like EqualTo.
+    val l = Seq((1L, 0.0), (2L, 25.0)).toDF("lid", "lv")
+    val r = Seq((1L, 10.0), (3L, 30.0)).toDF("rid", "rv")
+    def q = l.join(r, $"lid" <=> $"rid" && abs($"lv" - $"rv") <= lit(25.0))
+      .select($"lid", $"rid")
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_band_bucket"),
+        s"band rewrite fired despite a <=> hash key:\n$plan")
+    }
+  }
+
   test("rule equals brute force on seeded random value clouds") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 3) {

@@ -27,6 +27,26 @@ class SketchSpec extends SparkSpec {
     assert(p.nonEmpty)
   }
 
+  test("bloomPreFilter's conf lift is scoped: session clamps restored after the build") {
+    // r10 advice: the lift used to stick for the rest of the session,
+    // re-sizing Spark's own InjectRuntimeFilter blooms and racing across
+    // concurrent sessions. The build now restores the prior ceilings.
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val (prevItems, prevBits) =
+      (spark.conf.getOption(itemsKey), spark.conf.getOption(bitsKey))
+    val fact = Tables.lineitem(spark, sf001).select(col("l_suppkey"), col("l_orderkey"))
+    val dim = Tables.supplier(spark, sf001)
+      .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+    // a derived sizing far above the ~4M-item default clamp forces a lift
+    Sketches.bloomPreFilter(fact, dim, "l_suppkey", "s_suppkey",
+      expectedDim = 50_000_000L, fpp = 0.03).count()
+    assert(spark.conf.getOption(itemsKey) === prevItems,
+      "maxNumItems lift leaked past the build")
+    assert(spark.conf.getOption(bitsKey) === prevBits,
+      "maxNumBits lift leaked past the build")
+  }
+
   test("bloom filter actually prunes: filtered fact is a small superset of matches") {
     val fact = Tables.lineitem(spark, sf001).select(col("l_suppkey"))
     val dim = Tables.supplier(spark, sf001)
