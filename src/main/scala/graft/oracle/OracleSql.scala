@@ -1888,6 +1888,54 @@ object OracleSql {
         | JOIN fb ON b.h = fb.h
         |ORDER BY b.doc_id""".stripMargin,
 
+    // x57: x1's banding CTEs verbatim (sig/bands), batch split by x38's
+    // doc_id % 5 convention, signature-only verification (≥ 6 of 8 slots,
+    // x44's agreement chain) — never the corpus text
+    "x57_incr_neardup" -> (x1Ctes +
+      """,
+        | bc AS (SELECT DISTINCT b.doc_id, c.doc_id AS partner
+        |  FROM bands b JOIN bands c
+        |   ON b.lang = c.lang AND b.pos = c.pos AND b.bh = c.bh
+        |  WHERE b.doc_id % 5 = 4 AND c.doc_id % 5 <> 4),
+        | bb AS (SELECT DISTINCT b.doc_id, c.doc_id AS partner
+        |  FROM bands b JOIN bands c
+        |   ON b.lang = c.lang AND b.pos = c.pos AND b.bh = c.bh
+        |  WHERE b.doc_id % 5 = 4 AND c.doc_id % 5 = 4 AND c.doc_id < b.doc_id),
+        | vc AS (SELECT p.doc_id, MIN(p.partner) AS corpus_partner
+        |  FROM bc p JOIN sig sa ON p.doc_id = sa.doc_id
+        |   JOIN sig sb ON p.partner = sb.doc_id
+        |  WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 6
+        |  GROUP BY p.doc_id),
+        | vb AS (SELECT p.doc_id, MIN(p.partner) AS batch_partner
+        |  FROM bb p JOIN sig sa ON p.doc_id = sa.doc_id
+        |   JOIN sig sb ON p.partner = sb.doc_id
+        |  WHERE (CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh4 = sb.mh4 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh5 = sb.mh5 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh6 = sb.mh6 THEN 1 ELSE 0 END
+        |   + CASE WHEN sa.mh7 = sb.mh7 THEN 1 ELSE 0 END) >= 6
+        |  GROUP BY p.doc_id),
+        | roster AS (SELECT doc_id FROM sig WHERE doc_id % 5 = 4)
+        |SELECT r.doc_id,
+        | CASE WHEN vc.corpus_partner IS NOT NULL THEN 'dup_of_corpus'
+        |  WHEN vb.batch_partner IS NOT NULL THEN 'dup_in_batch'
+        |  ELSE 'unique' END AS status,
+        | CASE WHEN vc.corpus_partner IS NOT NULL THEN vc.corpus_partner
+        |  ELSE vb.batch_partner END AS partner_id
+        |FROM roster r LEFT JOIN vc ON r.doc_id = vc.doc_id
+        | LEFT JOIN vb ON r.doc_id = vb.doc_id
+        |ORDER BY r.doc_id""".stripMargin),
+
     "a20_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,
         |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

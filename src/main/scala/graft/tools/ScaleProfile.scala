@@ -106,7 +106,14 @@ object ScaleProfile {
     "r16_assortativity",
     // x56: suffixed copies make texts distinct across copies, so the
     // duplicate structure replicates copy 0 — hash groups ×m, shares flat
-    "x56_dup_inflation")
+    "x56_dup_inflation",
+    // round 11 — x57: copies are shingle-disjoint (suffixed tokens), so
+    // every batch doc classifies within its own copy and the true output
+    // (= batch roster) grows ×m; the cost axes are the banded index
+    // equi-joins and the two signature-verify joins, all keyed. The copy
+    // offset i·nd shifts WHICH doc_ids land in the %5 batch residue, not
+    // its ~20% density, so batch/corpus proportions hold at every m
+    "x57_incr_neardup")
 
   val Mults = Seq(1, 2, 4, 8)
 

@@ -58,7 +58,10 @@ class CkptSpec extends SparkSpec {
       // degree + oriented frames through r9's machinery), x54 (shared
       // quantized-quality frame feeding buckets + moments)
       "r14_kcore", "r15_jaccard_links", "x54_length_bias",
-      "r16_assortativity")
+      "r16_assortativity",
+      // round 11: x57 (Ckpt'd signature index feeding the banding and
+      // both verify probes)
+      "x57_incr_neardup")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

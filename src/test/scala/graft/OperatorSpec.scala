@@ -1124,6 +1124,69 @@ class OperatorSpec extends SparkSpec {
     assert(fix.length.toLong === batchN)
   }
 
+  test("x57 incremental near-dup hits all three statuses on literal docs") {
+    // MinHash sees DISTINCT token sets, so reordering/repeating tokens
+    // changes the exact-dedup hash (x38's level) but not the signature —
+    // the near-dup level x57 exists to catch.
+    // corpus: ids 0, 1; batch: ids 4, 9, 14, 19
+    //  - id 4 permutes corpus id 0's tokens  -> dup_of_corpus (partner 0)
+    //  - ids 9/14 share a NEW token set      -> 9 unique, 14 dup_in_batch
+    //  - id 19 is fresh                      -> unique
+    val docs = Seq(
+      (0L, "alpha beta gamma", "en"), (1L, "zeta", "en"),
+      (4L, "gamma beta alpha", "en"),
+      (9L, "delta epsilon", "en"), (14L, "epsilon delta delta", "en"),
+      (19L, "omega", "en")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("x57lit").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Pipeline.x57(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out === Map(
+      4L -> ("dup_of_corpus", Some(0L)), 9L -> ("unique", None),
+      14L -> ("dup_in_batch", Some(9L)), 19L -> ("unique", None)))
+  }
+
+  test("x57 equals a driver-side brute-force recomputation at sf0.001") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val sig = docs.map { case (id, lang, text) =>
+      val toks = text.split(" ", -1).distinct
+      val mh: Seq[String] =
+        (0 until 8).map(i => toks.map(t => md5hex(s"$i:$t")).min).toList
+      val bands = Seq(md5hex(mh(0) + mh(1)), md5hex(mh(2) + mh(3)),
+        md5hex(mh(4) + mh(5)), md5hex(mh(6) + mh(7)))
+      (id, lang, mh, bands)
+    }
+    def agrees(a: Seq[String], b: Seq[String]): Boolean =
+      (0 until 8).count(i => a(i) == b(i)) >= 6
+    def collides(a: Seq[String], b: Seq[String]): Boolean =
+      (0 until 4).exists(i => a(i) == b(i))
+    val (batch, corpus) = sig.partition(_._1 % 5 == 4)
+    val expected = batch.sortBy(_._1).map { case (id, lang, mh, bands) =>
+      def minPartner(pool: Array[(Long, String, Seq[String], Seq[String])]) =
+        pool.filter(p => p._2 == lang && collides(bands, p._4) &&
+          agrees(mh, p._3)).map(_._1).sorted.headOption
+      val cp = minPartner(corpus)
+      val bp = minPartner(batch.filter(_._1 < id))
+      val status =
+        if (cp.isDefined) "dup_of_corpus"
+        else if (bp.isDefined) "dup_in_batch" else "unique"
+      (id, status, cp.orElse(bp))
+    }.toSeq
+    val got = Pipeline.x57(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._2 == "dup_of_corpus") && got.exists(_._2 == "unique"),
+      "fixture no longer exercises the corpus-dup and unique classes")
+  }
+
   test("x37 dataset card accounting: dups reconcile with l1's groups") {
     val r = Pipeline.x37(spark, sf001).collect()(0)
     assert(r.getAs[Long]("n_docs") ===
