@@ -1,6 +1,7 @@
 package graft.plans
 
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftBridge, SparkSession}
@@ -10,6 +11,29 @@ import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Which rank function's `<= k` semantics the operator implements.
+  *
+  *  - [[TopKTies.RowNum]] — `row_number() <= k`: exactly min(k, n) rows per
+  *    group; ties at the boundary resolved arbitrarily (a k-heap).
+  *  - [[TopKTies.Rank]] — `rank() <= k`: every row with fewer than k rows
+  *    strictly before it — ALL ties at the k boundary are kept, so a group
+  *    can emit more than k rows (exactly the rank() contract).
+  *  - [[TopKTies.Dense]] — `dense_rank() <= k`: every row among the k
+  *    smallest DISTINCT order values; per-value multiplicity is unbounded.
+  *
+  * The tie modes track order-value EQUIVALENCE CLASSES (a comparator-keyed
+  * tree of at most k+1 classes) instead of a row heap: state is O(k +
+  * boundary ties) rows for Rank and O(rows of k distinct values) for Dense
+  * — both are the size of the operator's own OUTPUT per group, the
+  * information-theoretic floor any implementation pays.
+  */
+sealed abstract class TopKTies extends Serializable
+object TopKTies {
+  case object RowNum extends TopKTies
+  case object Rank extends TopKTies
+  case object Dense extends TopKTies
+}
 
 /** Whole-operator top-k-per-group as a custom Catalyst plan (builder brief
   * preference (c): LogicalPlan + SparkStrategy + physical SparkPlan).
@@ -24,19 +48,66 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   *   final phase (after a ClusteredDistribution exchange on the group keys):
   *     merges the partial heaps and emits each group's k rows in order.
   *
+  * The partial prune is valid in every [[TopKTies]] mode because a row's
+  * per-partition rank is a lower bound on its global rank (its partition's
+  * strictly-smaller rows / distinct values are a subset of the global ones)
+  * — a row pruned locally can never be kept globally.
+  *
   * The planner inserts the exchange automatically because the final exec
   * declares the clustered requirement while the partial declares none.
   * Installed at runtime via `spark.experimental.extraStrategies`.
   */
 case class TopKPerGroupNode(groupExprs: Seq[Expression],
-    orderExprs: Seq[SortOrder], k: Int, child: LogicalPlan) extends UnaryNode {
+    orderExprs: Seq[SortOrder], k: Int, ties: TopKTies,
+    child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupNode =
     copy(child = newChild)
 }
 
+/** Bounded per-group state for the tie-preserving modes: order-value
+  * equivalence classes in a comparator-keyed tree, trimmed from the worst
+  * end as soon as the k bound proves a class can never be emitted.
+  */
+private final class RankClasses(ord: Ordering[InternalRow], k: Int,
+    dense: Boolean) {
+  private val classes =
+    new java.util.TreeMap[InternalRow, mutable.ArrayBuffer[InternalRow]](ord)
+  private var total = 0 // rows currently kept (drives the Rank trim rule)
+
+  def insert(row: InternalRow): Unit = {
+    if (!classes.isEmpty) {
+      // fast reject without copying: the row would open a NEW worst class
+      // that the trim rule below would remove immediately
+      val c = ord.compare(row, classes.lastKey())
+      if (c > 0 && (if (dense) classes.size >= k else total >= k)) return
+    }
+    val copied = row.copy()
+    val existing = classes.get(copied)
+    if (existing != null) existing += copied
+    else classes.put(copied, mutable.ArrayBuffer(copied))
+    total += 1
+    // trim worst classes that are now provably beyond the bound:
+    //  Rank:  rows strictly before the last class >= k  (its rank > k)
+    //  Dense: more than k distinct values
+    var go = true
+    while (go && classes.size > 1) {
+      val last = classes.lastEntry()
+      val out =
+        if (dense) classes.size > k
+        else total - last.getValue.size >= k
+      if (out) { total -= last.getValue.size; classes.remove(last.getKey) }
+      else go = false
+    }
+  }
+
+  def emit: Iterator[InternalRow] =
+    classes.values().asScala.iterator.flatMap(_.iterator)
+}
+
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
-    orderExprs: Seq[SortOrder], k: Int, partial: Boolean, child: SparkPlan)
+    orderExprs: Seq[SortOrder], k: Int, ties: TopKTies, partial: Boolean,
+    child: SparkPlan)
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
@@ -63,23 +134,36 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     val gExprs = groupExprs
     val oExprs = orderExprs
     val limit = k
+    val mode = ties
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val ord = new LazilyGeneratedOrdering(oExprs, childOutput)
-      // worst-kept-row first, so head is the eviction candidate
-      val heapOrd: Ordering[InternalRow] = ord
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
-        val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(key.copy(),
-          mutable.PriorityQueue.empty[InternalRow](heapOrd))
-        if (heap.size < limit) heap.enqueue(row.copy())
-        else if (ord.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
-        }
-      }
-      heaps.iterator.flatMap { case (_, heap) =>
-        heap.toArray.sorted(ord.asInstanceOf[Ordering[InternalRow]]).iterator
+      mode match {
+        case TopKTies.RowNum =>
+          // worst-kept-row first, so head is the eviction candidate
+          val heapOrd: Ordering[InternalRow] = ord
+          val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+          iter.foreach { row =>
+            val key = keyProj(row)
+            val heap = heaps.getOrElseUpdate(key.copy(),
+              mutable.PriorityQueue.empty[InternalRow](heapOrd))
+            if (heap.size < limit) heap.enqueue(row.copy())
+            else if (ord.compare(row, heap.head) < 0) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          }
+          heaps.iterator.flatMap { case (_, heap) =>
+            heap.toArray.sorted(ord.asInstanceOf[Ordering[InternalRow]]).iterator
+          }
+        case _ =>
+          val dense = mode == TopKTies.Dense
+          val states = mutable.LinkedHashMap.empty[UnsafeRow, RankClasses]
+          iter.foreach { row =>
+            val key = keyProj(row)
+            states.getOrElseUpdate(key.copy(), new RankClasses(ord, limit, dense))
+              .insert(row)
+          }
+          states.iterator.flatMap(_._2.emit)
       }
     }
   }
@@ -90,9 +174,9 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
 
 object TopKStrategy extends SparkStrategy {
   def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupNode(g, o, k, child) =>
-      TopKPerGroupExec(g, o, k, partial = false,
-        TopKPerGroupExec(g, o, k, partial = true, planLater(child))) :: Nil
+    case TopKPerGroupNode(g, o, k, ties, child) =>
+      TopKPerGroupExec(g, o, k, ties, partial = false,
+        TopKPerGroupExec(g, o, k, ties, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 
@@ -105,11 +189,15 @@ object TopKStrategy extends SparkStrategy {
 
 object TopKPerGroup {
 
-  /** Top-k rows per group. `orderBy` is (columnName, descending); the order
-    * should be total (add a tie-break column) for deterministic output.
+  /** Top-k rows per group. `orderBy` is (columnName, descending); with the
+    * default [[TopKTies.RowNum]] the order should be total (add a tie-break
+    * column) for deterministic output; [[TopKTies.Rank]]/[[TopKTies.Dense]]
+    * keep boundary ties instead (rank()/dense_rank() `<= k` semantics) and
+    * are deterministic under any order.
     */
   def apply(df: DataFrame, groupCols: Seq[String],
-      orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+      orderBy: Seq[(String, Boolean)], k: Int,
+      ties: TopKTies = TopKTies.RowNum): DataFrame = {
     val spark = df.sparkSession
     TopKStrategy.install(spark)
     val child = df.queryExecution.analyzed
@@ -120,6 +208,6 @@ object TopKPerGroup {
     val o = orderBy.map { case (n, desc) =>
       SortOrder(attr(n), if (desc) Descending else Ascending)
     }
-    GraftBridge.ofRows(spark, TopKPerGroupNode(g, o, k, child))
+    GraftBridge.ofRows(spark, TopKPerGroupNode(g, o, k, ties, child))
   }
 }

@@ -35,21 +35,39 @@ object ProbeTopK {
         .filter(col("rn") <= 3)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
     }
-    def time(label: String): Double = {
+    // round 11: the drop-rank rank() <= k shape (tie-preserving — a
+    // NON-total order so boundary ties are real; l_extendedprice repeats
+    // within a supplier, so the Rank ties mode's class machinery is
+    // genuinely exercised rather than degenerating to the heap path)
+    def qRank: DataFrame = {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc)
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"),
+          rank().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_extendedprice"))
+    }
+    def time(label: String, df: => DataFrame): Double = {
       val best = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        graft.BenchAction.exec(q)
+        graft.BenchAction.exec(df)
         (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"$label%-10s $best%6.2f s")
+      println(f"$label%-14s $best%6.2f s")
       best
     }
     q.count() // warm
-    time("native")
+    time("native", q)
+    time("native-rank", qRank)
     graft.plans.RowNumberTopK.install(spark)
-    println("plan has TopKPerGroup: " +
+    println("row_number plan has TopKPerGroup: " +
       q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
-    time("rule")
+    println("rank plan has TopKPerGroup: " +
+      qRank.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    time("rule", q)
+    time("rule-rank", qRank)
     spark.stop()
   }
 }

@@ -109,14 +109,9 @@ class RowNumberTopKSpec extends SparkSpec {
     }
   }
 
-  test("no-fire guards: rank(), lower bound, rn = 2, huge k") {
+  test("no-fire guards: lower bound, rn = 2, huge k") {
     val base = Tables.part(spark, sf001)
     withRule {
-      // rank() admits >k ties — a k-heap would be wrong
-      val rk = base.select($"p_brand", $"p_partkey", rank().over(w).as("rn"))
-        .filter($"rn" <= 3).select($"p_brand", $"p_partkey")
-      assert(!rk.queryExecution.executedPlan.toString
-        .contains("TopKPerGroup"))
       // a lower bound cannot be dropped once rn is gone
       val lower = base.select($"p_brand", $"p_partkey",
           row_number().over(w).as("rn"))
@@ -144,6 +139,62 @@ class RowNumberTopKSpec extends SparkSpec {
         .queryExecution.executedPlan.toString
       assert(p.contains("TopKPerGroup"), s"w11 kept the window plan:\n$p")
       assert(!p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("drop-rank rank() <= k fires in Rank ties mode and keeps boundary ties") {
+    // deliberately NON-total order (retailprice only): rank() must keep
+    // every row tied at the k boundary — the semantics round 10's heap
+    // could not express (it no-fired on rank; round 11's RankClasses can)
+    val wTies = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc)
+    def q = Tables.part(spark, sf001)
+      .select($"p_brand", $"p_partkey", $"p_retailprice",
+        rank().over(wTies).as("rn"))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"p_partkey", $"p_retailprice")
+    val expected = rows(q)
+    assert(expected.nonEmpty)
+    withRule {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerGroup"), s"rank form did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window assembly should be gone:\n$plan")
+      assert(rows(q) === expected)
+    }
+  }
+
+  test("rank/dense_rank forms equal brute force on tie-heavy random data") {
+    val rnd = new scala.util.Random(23)
+    // v drawn from a TINY domain so boundary ties are dense and groups
+    // routinely emit far more than k rows (the tie-preserving contract)
+    val df = (1 to 4000).map(i =>
+      (rnd.nextInt(5), rnd.nextInt(12), i.toLong)).toDF("g", "v", "id")
+    val wr = Window.partitionBy($"g").orderBy($"v".desc)
+    def qr = df.select($"g", $"v", $"id", rank().over(wr).as("rn"))
+      .filter($"rn" <= 7).select($"g", $"v", $"id")
+    def qd = df.select($"g", $"v", $"id", dense_rank().over(wr).as("rn"))
+      .filter($"rn" <= 3).select($"g", $"v", $"id")
+    val (er, ed) = (rows(qr), rows(qd))
+    // dense_rank <= 3 keeps the 3 largest distinct v per group — with 12
+    // values over 800 rows/group that is ≈ 200 rows, far beyond k
+    assert(ed.size > 100, s"fixture not tie-heavy enough: ${ed.size}")
+    withRule {
+      for ((q, expected, tag) <- Seq((qr, er, "rank"), (qd, ed, "dense_rank"))) {
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("TopKPerGroup"), s"$tag did not fire:\n$plan")
+        assert(rows(q) === expected, tag)
+      }
+    }
+  }
+
+  test("rank() = 1 keeps ALL argmax ties (equality fires at k = 1)") {
+    val df = Seq((1, 10, 1L), (1, 10, 2L), (1, 5, 3L),
+      (2, 7, 4L), (2, 7, 5L), (2, 7, 6L)).toDF("g", "v", "id")
+    val wr = Window.partitionBy($"g").orderBy($"v".desc)
+    def q = df.select($"g", $"v", $"id", rank().over(wr).as("rn"))
+      .filter($"rn" === 1).select($"g", $"id")
+    withRule {
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+      assert(rows(q) === Seq("[1,1]", "[1,2]", "[2,4]", "[2,5]", "[2,6]"))
     }
   }
 

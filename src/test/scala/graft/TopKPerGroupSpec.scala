@@ -55,6 +55,60 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(top == expected)
   }
 
+  test("Rank ties mode equals the rank() window across many partitions") {
+    // tie-dense tiny value domain; repartition(7) exercises the partial
+    // phase (per-partition class trim must never drop a global boundary tie)
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 3000).map(i =>
+      (rnd.nextInt(6).toString, rnd.nextInt(10), i.toLong))
+      .toDF("g", "v", "id").repartition(7)
+    val custom = TopKPerGroup(df, Seq("g"), Seq(("v", true)), 4,
+        graft.plans.TopKTies.Rank)
+      .select("g", "v", "id").collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy("g").orderBy($"v".desc)
+    val windowed = df.withColumn("rn", rank().over(w)).filter($"rn" <= 4)
+      .select("g", "v", "id").collect().map(_.toString).sorted.toSeq
+    assert(custom == windowed)
+    // the contract: boundary ties make output exceed k·groups
+    assert(windowed.size > 4 * 6, s"fixture not tie-heavy: ${windowed.size}")
+  }
+
+  test("Dense ties mode equals the dense_rank() window across many partitions") {
+    val rnd = new scala.util.Random(37)
+    val df = (1 to 3000).map(i =>
+      (rnd.nextInt(4).toString, rnd.nextInt(15), i.toLong))
+      .toDF("g", "v", "id").repartition(5)
+    val custom = TopKPerGroup(df, Seq("g"), Seq(("v", true)), 3,
+        graft.plans.TopKTies.Dense)
+      .select("g", "v", "id").collect().map(_.toString).sorted.toSeq
+    val w = Window.partitionBy("g").orderBy($"v".desc)
+    val windowed = df.withColumn("rn", dense_rank().over(w)).filter($"rn" <= 3)
+      .select("g", "v", "id").collect().map(_.toString).sorted.toSeq
+    assert(custom == windowed)
+    assert(windowed.size > 3 * 4, s"fixture not tie-heavy: ${windowed.size}")
+  }
+
+  test("tie modes: global (no-group) and k-larger-than-distinct edges") {
+    val df = Seq(("a", 5), ("b", 5), ("c", 3), ("d", 3), ("e", 1))
+      .toDF("id", "v").repartition(3)
+    // global rank <= 1 keeps both argmax ties
+    val r1 = TopKPerGroup(df, Seq(), Seq(("v", true)), 1,
+      graft.plans.TopKTies.Rank).select("id").collect().map(_.getString(0)).toSet
+    assert(r1 == Set("a", "b"))
+    // global rank <= 3: ranks are 1,1,3,3,5 → keeps the four ≤ 3
+    val r3 = TopKPerGroup(df, Seq(), Seq(("v", true)), 3,
+      graft.plans.TopKTies.Rank).select("id").collect().map(_.getString(0)).toSet
+    assert(r3 == Set("a", "b", "c", "d"))
+    // dense_rank <= 3 keeps all three distinct values = everything
+    val d3 = TopKPerGroup(df, Seq(), Seq(("v", true)), 3,
+      graft.plans.TopKTies.Dense).select("id").collect().map(_.getString(0)).toSet
+    assert(d3 == Set("a", "b", "c", "d", "e"))
+    // k beyond distinct count keeps everything too
+    val d9 = TopKPerGroup(df, Seq(), Seq(("v", true)), 9,
+      graft.plans.TopKTies.Dense).count()
+    assert(d9 === 5)
+  }
+
   test("global top-k over a multi-partition input emits exactly k rows") {
     // Regression: the final phase must require AllTuples when there are no
     // group keys; with UnspecifiedDistribution each partition emitted its own
