@@ -52,7 +52,11 @@ object Llm {
     * ×64 pairs. At 100 TB this operator is the exact PAIRWISE PRIMITIVE
     * run downstream of candidate generation (x1's LSH / x3's PPJoin —
     * both measured sublinear on the same corpora), never the corpus-wide
-    * driver.
+    * driver — and since round 11 that positioning is ENFORCED, not just
+    * documented: [[SetSim.pairs]] fails loudly when any bucket exceeds
+    * [[SetSim.DefaultMaxBucket]], naming the sublinear operators (the
+    * guard costs one lang-keyed count + broadcast identity join,
+    * ~0.2 s on the sf0.1 floor; fixture output unchanged).
     */
   def l2(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)

@@ -109,16 +109,49 @@ private[graft] object SetSim {
       .select(col("lang"), col("a_id"), col("b_id")).distinct()
   }
 
+  /** [[pairs]]' misuse fuse (r10-verdict item 5): the exact pairwise path
+    * is O(bucket²) BY DECLARED SEMANTICS — correct as the downstream
+    * verify primitive on candidate buckets, corpus-suicide as a corpus-
+    * wide driver (l2's measured 26× at 8× is the curve). Above this
+    * per-bucket size the job fails LOUDLY instead of grinding: 10⁵ docs
+    * in one bucket is ~5·10⁹ comparisons — past any defensible use of
+    * the exact path, and the error names the sublinear operators to use
+    * (x1 MinHash/LSH, x3 PPJoin, x10 SimHash). Callers with a measured
+    * reason can raise the cap explicitly.
+    */
+  val DefaultMaxBucket = 100000L
+
   /** Block-decomposed all-pairs self-join within `lang` buckets over an
     * encoded set frame; emits (lang, a_id, b_id, inter, uni).
+    *
+    * Guarded: any bucket larger than `maxBucket` fails the job with a
+    * loud pointer at the corpus-scale operators (see [[DefaultMaxBucket]]).
+    * The guard is one lang-keyed count joined back and an `assert_true`
+    * filter — corpus-LINEAR, evaluated before any pair is enumerated, and
+    * a no-op filter (null check on a non-error constant) when sizes are
+    * legal, so the declared l2 output is untouched.
     */
-  def pairs(enc: DataFrame, blocks: Int): DataFrame = {
+  def pairs(enc: DataFrame, blocks: Int,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // Explicit round-robin fan-out of the probe side: the encoded frame is
     // tiny (one row per doc), so AQE coalesces it to ~1 partition — and the
     // join's quadratic pair OUTPUT would then be enumerated by one task.
     // REPARTITION_BY_NUM is exempt from AQE coalescing.
     val shufP = enc.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val a = enc.select(col("doc_id").as("a_id"), col("lang"), col("small"),
+    // the assert evaluates once per BUCKET (≤ |langs| rows), and the
+    // broadcast identity join back (every lang appears in sizes) forces
+    // the guard subtree into the executed plan without per-row work
+    val sizes = enc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("graft_bucket_n"))
+      .filter(assert_true(col("graft_bucket_n") <= maxBucket,
+        concat(lit("SetSim.pairs: exact pairwise bucket '"), col("lang"),
+          lit("' holds "), col("graft_bucket_n"),
+          lit(s" docs (> $maxBucket): the O(bucket²) exact path is a " +
+            "verify primitive, not a corpus driver - generate candidates " +
+            "with x1 (MinHash/LSH), x3 (PPJoin prefix) or x10 (SimHash), " +
+            "or raise maxBucket explicitly with a measured reason"))).isNull)
+    val guarded = enc.join(sizes, Seq("lang")).drop("graft_bucket_n")
+    val a = guarded.select(col("doc_id").as("a_id"), col("lang"), col("small"),
         col("set").as("a_set"), col("sz").as("a_sz"))
       .withColumn("blk", (col("a_id") % blocks).cast("int"))
       .repartition(shufP)
