@@ -300,13 +300,16 @@ object Rdf {
     * ·17 DIV 20 damping, bigint sums).
     *
     * Scale shape: per round the declared r7's ONE keyed contribution join
-    * + ONE keyed sum, plus (a) one SCALAR aggregation over the rank frame
-    * restricted to the dangling set — a driver-side single long, folded
-    * into the round's damping constant (never a per-row join), and (b) one
-    * nodes⟕sums left join so share reaches no-in-edge nodes too (their
-    * rank is now round-varying, so the COALESCE-default trick r7 uses does
-    * not apply). The dangling id set is a one-time left_anti of two narrow
-    * key frames, checkpointed alongside the edges.
+    * + ONE keyed sum, plus one SCALAR aggregation over the rank frame
+    * restricted to the dangling set. Since round 11 that scalar (and the
+    * share/default constants derived from it) is a LAZY 1-row aggregate
+    * frame crossJoined into the round — a groupless aggregate carries a
+    * 1-row stats estimate, so the planner broadcasts it (1-row
+    * BroadcastNestedLoopJoin build, never a CartesianProduct) and no
+    * mid-query `.head()` blocks the driver (r10-verdict item 6); the only
+    * synchronization left is the per-round Ckpt every iterative operator
+    * pays. The dangling id set is a one-time left_anti of two narrow key
+    * frames, checkpointed alongside the edges.
     */
   def r7Redistributed(s: SparkSession, d: String): DataFrame = {
     val ed = graft.Ckpt(r7Edges(s, d))
@@ -333,32 +336,51 @@ object Rdf {
     // costs more than the three small keyed joins it saves, so the keyed
     // per-round join stays (and the corpus-scaled dangling set is never
     // broadcast-hinted either way).
+    // Round scalars as LAZY 1-row frames (r10-verdict item 6): the
+    // dangling mass was previously `.head()`-ed once per round — three
+    // synchronous driver jobs inside one declared query. Now the mass
+    // aggregate, the share (mass DIV n) and the next round's no-in-edge
+    // default all ride as 1-row aggregate frames crossJoined into the
+    // round (a groupless aggregate has a 1-row stats estimate, so the
+    // planner broadcasts it — BroadcastNestedLoopJoin with a 1-row build,
+    // never a CartesianProduct). The only blocking points left are the
+    // per-round Ckpts every iterative operator already pays; arithmetic
+    // is the same integer DIV chain, so ranks are bit-identical.
     var pr: Option[DataFrame] = None
-    var dflt = 1000000000000L // rank of any no-in-edge node this round
+    // (share, dflt) of the CURRENT round; dflt feeds the NEXT round's
+    // contribution coalesce and the final no-in-edge fill
+    var roundConst: DataFrame = s.range(1).select(
+      lit(1000000000000L).as("dflt"))
     for (i <- 1 to PageRankIters) {
-      val dMass = pr match {
-        case None => nDangling * 1000000000000L
+      val massF = pr match {
+        case None => s.range(1)
+          .select(lit(nDangling * 1000000000000L).as("dmass"))
         case Some(p) =>
-          val r = dangling.join(p.withColumnRenamed("dst", "node"), Seq("node"))
-            .agg(sum("pr")).head()
-          if (r.isNullAt(0)) 0L else r.getLong(0)
+          dangling.join(p.withColumnRenamed("dst", "node"), Seq("node"))
+            .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
       }
-      val share = dMass / n
+      val shareF = massF.select(
+        expr(s"dmass DIV CAST($n AS BIGINT)").as("share"))
       val contribs = pr match {
-        case None => ed.select(col("dst"), expr(s"$dflt DIV d").as("contrib"))
+        case None => ed.crossJoin(roundConst)
+          .select(col("dst"), expr("dflt DIV d").as("contrib"))
         case Some(p) =>
           ed.join(p.withColumnRenamed("dst", "src"), Seq("src"), "left")
-            .select(col("dst"),
-              expr(s"COALESCE(pr, CAST($dflt AS BIGINT)) DIV d").as("contrib"))
+            .crossJoin(roundConst)
+            .select(col("dst"), expr("COALESCE(pr, dflt) DIV d").as("contrib"))
       }
-      pr = Some(graft.Ckpt(contribs.groupBy("dst").agg(
-        expr(s"CAST(150000000000 + (SUM(contrib) + CAST($share AS BIGINT))" +
-          " * 17 DIV 20 AS BIGINT)").as("pr"))))
-      dflt = 150000000000L + share * 17L / 20L
+      pr = Some(graft.Ckpt(contribs.groupBy("dst")
+        .agg(sum(col("contrib")).as("sc"))
+        .crossJoin(shareF)
+        .select(col("dst"), expr(
+          "CAST(150000000000 + (sc + share) * 17 DIV 20 AS BIGINT)").as("pr"))))
+      roundConst = shareF.select(expr(
+        "CAST(150000000000 + share * 17 DIV 20 AS BIGINT)").as("dflt"))
     }
     nodes.join(pr.get.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      .crossJoin(roundConst)
       .select(r7Decode(col("node")).as("node"),
-        coalesce(col("pr"), lit(dflt)).as("pr"))
+        coalesce(col("pr"), col("dflt")).as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
       .select(col("node"), col("pr").as("rank"))
   }
