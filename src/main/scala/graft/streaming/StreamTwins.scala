@@ -407,6 +407,59 @@ object StreamTwins {
         col("purchase_id"), col("s_time"), col("p_time"))
   }
 
+  /** A document on the ingest feed (doc_id, raw text). */
+  case class Doc(doc_id: Long, text: String)
+  /** [[incrDedup]]'s hash-keyed row and per-doc verdict. */
+  case class HashedDoc(doc_id: Long, h: String)
+  case class DedupVerdict(doc_id: Long, h: String, status: String,
+    first_id: Long)
+
+  /** x38/x57's streaming face (r10-verdict item 7) — incremental EXACT
+    * dedup as `flatMapGroupsWithState` keyed on the content hash (l1's
+    * md5 of lower(trim(text)) identity): the first arrival of a hash is
+    * `unique` (and becomes the stored survivor), every later arrival is
+    * `duplicate` pointing at the survivor id. This IS the ingest
+    * classifier x38 states as a batch-vs-index join, with the state store
+    * playing the persisted dedup index: feeding the corpus as earlier
+    * micro-batches and x38's `doc_id % 5 = 4` batch afterwards reproduces
+    * x38's three-way classification exactly (duplicate-with-corpus-
+    * survivor ≡ dup_of_corpus, duplicate-with-batch-survivor ≡
+    * dup_in_batch — asserted in StreamTwinsSpec).
+    *
+    * Within one micro-batch rows process in doc_id order (x38/l1's
+    * first-seen = min doc_id convention), so any batch split of an
+    * id-ordered feed converges to the batch classification. State is one
+    * long per DISTINCT hash — the same corpus-linear index x38 joins
+    * against; on an unbounded feed bound it with a TTL timeout or the
+    * dropDuplicatesWithinWatermark form ([[dedupBounded]]'s argument).
+    */
+  def incrDedup(docs: DataFrame): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("h"))
+      .as[HashedDoc]
+      .groupByKey(_.h)
+      .flatMapGroupsWithState[Long, DedupVerdict](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (h: String, rows: Iterator[HashedDoc], state: GroupState[Long]) =>
+          val ordered = rows.toSeq.sortBy(_.doc_id)
+          var first = state.getOption
+          val out = Seq.newBuilder[DedupVerdict]
+          ordered.foreach { d =>
+            first match {
+              case None =>
+                first = Some(d.doc_id)
+                out += DedupVerdict(d.doc_id, h, "unique", d.doc_id)
+              case Some(f) =>
+                out += DedupVerdict(d.doc_id, h, "duplicate", f)
+            }
+          }
+          first.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

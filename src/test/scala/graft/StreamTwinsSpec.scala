@@ -50,6 +50,62 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental dedup: streamed verdicts reproduce x38's classification") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").as[StreamTwins.Doc]
+      .collect().toSeq.sortBy(_.doc_id)
+    val (batch, corpus) = docs.partition(_.doc_id % 5 == 4)
+    val stream = MemoryStream[StreamTwins.Doc]
+    val query = StreamTwins.incrDedup(stream.toDF())
+      .writeStream.format("memory").queryName("incrdedup")
+      .outputMode("append").start()
+    try {
+      // the corpus lands first in two id-ordered chunks (the state store
+      // becomes the persisted dedup index), then x38's ingest batch
+      corpus.grouped(corpus.length / 2 + 1).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+      stream.addData(batch)
+      query.processAllAvailable()
+      val all = spark.table("incrdedup")
+        .as[StreamTwins.DedupVerdict].collect().toSeq
+      assert(all.size === docs.size, "one verdict per document")
+      val verdicts = all.map(v => v.doc_id -> v).toMap
+      // batch-doc verdicts map exactly onto x38's three-way classification
+      val x38 = ops.Pipeline.x38(spark, sf001).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      assert(x38.nonEmpty)
+      x38.foreach { case (id, (status, firstInBatch)) =>
+        val v = verdicts(id)
+        status match {
+          case "dup_of_corpus" => // survivor lives in the corpus feed
+            assert(v.status == "duplicate" && v.first_id % 5 != 4, s"doc $id: $v")
+          case "dup_in_batch" => // survivor is x38's in-batch first
+            assert(v.status == "duplicate" && v.first_id == firstInBatch,
+              s"doc $id: $v")
+          case "unique" =>
+            assert(v.status == "unique" && v.first_id == id, s"doc $id: $v")
+        }
+      }
+      // per hash group: exactly one unique = the first ARRIVAL (min corpus
+      // id when the group touches the corpus — corpus fed first — else min
+      // batch id), every other member a duplicate pointing at it
+      all.groupBy(_.h).foreach { case (h, vs) =>
+        val ids = vs.map(_.doc_id)
+        val expectFirst = ids.filter(_ % 5 != 4) match {
+          case c if c.nonEmpty => c.min
+          case _ => ids.min
+        }
+        assert(vs.filter(_.status == "unique").map(_.doc_id) == Seq(expectFirst),
+          s"hash $h")
+        assert(vs.filter(_.doc_id != expectFirst)
+          .forall(v => v.status == "duplicate" && v.first_id == expectFirst),
+          s"hash $h")
+      }
+    } finally query.stop()
+  }
+
   test("tumbling window: streamed result equals batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents
