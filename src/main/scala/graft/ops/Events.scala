@@ -457,4 +457,31 @@ object Events {
           .as("n_bursts"))
       .orderBy("user_id")
   }
+
+  /** s18 — CHURN / inactivity audit per user: hours since each user's last
+    * event relative to the corpus's newest event, plus a 24-hour churned
+    * flag (the fixture's activity window makes 24 h the discriminating
+    * threshold — 17 of 150 users churn at sf0.01) — the retention-ops
+    * counterpart of s6's cohort grid. The corpus max rides as a LAZY 1-row
+    * aggregate frame crossJoined in (r8's round-11 discipline: a groupless
+    * aggregate has a 1-row stats estimate, so the planner broadcasts it —
+    * no driver-side `.head()`, no CartesianProduct).
+    *
+    * Scale: one user-keyed agg (count + max) + the 1-row broadcast join;
+    * exact integer ns throughout, `DIV` floor division (D3); the boolean
+    * flag and hour count are integer-derived on both engines. Output is
+    * user-bounded.
+    */
+  def s18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("ts"))
+    val mx = e.agg(max(col("ts")).as("corpus_max"))
+    e.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+      .crossJoin(mx)
+      .withColumn("hours_inactive",
+        expr("(corpus_max - last_ts) DIV 3600000000000"))
+      .select(col("user_id"), col("n_events"), col("hours_inactive"),
+        (col("hours_inactive") >= 24).as("churned"))
+      .orderBy("user_id")
+  }
 }

@@ -2334,6 +2334,34 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x58 — PREFIX (boilerplate) dedup groups: documents sharing an
+    * identical first-20-token prefix — the header/template catch between
+    * l1's exact identity (which these groups defeat: the fixture's
+    * shared-prefix docs diverge later, `n_full_variants` > 1) and x1's
+    * full near-dup machinery; the real-pipeline use is detecting scraped
+    * boilerplate and templated families cheaply before LSH runs. Per
+    * group with ≥ 2 docs: survivor (min doc_id), member count, and how
+    * many DISTINCT full texts (l1's hash) the group spans.
+    *
+    * Scale: one narrow pass (slice + two md5s per doc) + ONE prefix-keyed
+    * agg with an exact count-distinct (a2's Expand argument applies; the
+    * distinct axis is bounded by group size) — corpus-linear, no joins.
+    */
+  def x58(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, 20))
+          .cast("binary")).as("prefix_hash"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fh"))
+      .groupBy("prefix_hash")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("fh")).as("n_full_variants"))
+      .filter(col("n_docs") >= 2)
+      .select(col("survivor_id"), col("prefix_hash"), col("n_docs"),
+        col("n_full_variants"))
+      .orderBy("survivor_id")
+  }
+
   /** x53 — SOURCE GINI: the Gini coefficient of per-source token mass —
     * the single-number concentration audit (0 = perfectly balanced
     * mixture, →1 = one source dominates) that pairs with x15's entropy

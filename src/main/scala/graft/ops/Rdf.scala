@@ -493,6 +493,36 @@ object Rdf {
       .orderBy("p_partkey")
   }
 
+  /** r17 — LOCAL CLUSTERING COEFFICIENT per node of the co-purchase graph:
+    * cc(v) = 2·tri(v) ∕ (deg(v)·(deg(v)−1)) over nodes with deg ≥ 2 —
+    * the per-node "how clique-like is my neighborhood" statistic that
+    * completes r9's numerator and r16's global assortativity with the
+    * standard local measure. Unlike r9 (which reports only triangle
+    * MEMBERS), every deg ≥ 2 node appears, triangle count coalesced to 0 —
+    * open neighborhoods are the interesting tail of a clustering audit.
+    *
+    * Scale: rides [[triangleFrames]]' Ckpt'd degree + oriented-enumeration
+    * frames verbatim (Suri–Vassilvitskii O(√m) out-degree bound, no
+    * unoriented wedge explosion), adds one node-keyed count, one left
+    * join and a single exact-long double division (D4). The oracle states
+    * the plain partkey-ordered 3-way self-join (orientation is a PLAN
+    * property — r9's argument).
+    */
+  def r17(s: SparkSession, d: String): DataFrame = {
+    val (deg, tri) = triangleFrames(s, d)
+    val triCnt = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri_cnt"))
+    deg.filter(col("dg") >= 2)
+      .join(triCnt, Seq("n"), "left_outer")
+      .select(col("n").as("p_partkey"), col("dg").as("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"),
+        graft.Det.round4nz(lit(2.0)
+          * coalesce(col("tri_cnt"), lit(0L)).cast("double")
+          / (col("dg") * (col("dg") - lit(1L))).cast("double")).as("cc"))
+      .orderBy("p_partkey")
+  }
+
   /** r10 — BIPARTITE PROJECTION similarity: for every supplier, its top-5
     * most-similar suppliers by the Jaccard of their part catalogs
     * (co-access similarity — the collaborative-filtering "similar items"

@@ -71,6 +71,33 @@ object Windows {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** w12 — tie-KEEPING top-2 lineitems per supplier by quantity, stated as
+    * the plain `rank() OVER (…) <= 2` idiom with the rank column dropped —
+    * w11's rank()-form sibling, and the declared face of round 11's
+    * tie-preserving TopKPerGroup modes. The order is deliberately NOT
+    * total (quantity only): integer quantities tie densely, so every
+    * boundary tie is kept and groups emit more than k rows — exactly the
+    * rank() contract a row_number heap cannot express. Under the installed
+    * [[graft.plans.RowNumberTopK]] rule the Filter+Window assembly
+    * collapses to TopKPerGroupExec's Rank ties mode (bounded order-value
+    * classes, no partition fully sorted — measured 2.2× over the native
+    * WindowGroupLimit plan, ProbeTopK); on a vanilla session Spark's
+    * group-limit pruning plans it — same answer either way (the
+    * install-independence contract). The output SET is deterministic under
+    * the partial order (ties are kept, not sampled), so the hash gate
+    * holds without a tiebreak column.
+    */
+  def w12(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), rank().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   /** w3 — running count + running decimal total per customer (rows frame). */
   def w3(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -1936,6 +1936,60 @@ object OracleSql {
         | LEFT JOIN vb ON r.doc_id = vb.doc_id
         |ORDER BY r.doc_id""".stripMargin),
 
+    // w12: TopKPerGroup's Rank ties mode is a PLAN property — the oracle
+    // states the plain rank-filter window the tie-keeping operator must equal
+    "w12_topk_ties" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC) AS rn
+        | FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+        |FROM r WHERE rn <= 2
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    // r17: the oriented enumeration is a PLAN property (r9's argument) —
+    // the oracle states the plain partkey-ordered 3-way self-join
+    "r17_clustering" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        | tn AS (SELECT unnest([a, b, c]) AS p FROM tri),
+        | tc AS (SELECT p, COUNT(*) AS tri_cnt FROM tn GROUP BY p),
+        | deg AS (SELECT p, COUNT(*) AS dg FROM
+        |   (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e) b GROUP BY p)
+        |SELECT deg.p AS p_partkey, deg.dg AS deg,
+        | COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+        | ROUND(2.0 * COALESCE(tc.tri_cnt, 0)
+        |   / CAST(deg.dg * (deg.dg - 1) AS DOUBLE), 4) + 0.0 AS cc
+        |FROM deg LEFT JOIN tc ON deg.p = tc.p
+        |WHERE deg.dg >= 2
+        |ORDER BY p_partkey""".stripMargin,
+
+    "x58_prefix_dedup" ->
+      """WITH p AS (SELECT doc_id,
+        |  md5(array_to_string(string_split(text, ' ')[1:20], ' ')) AS prefix_hash,
+        |  md5(lower(trim(text))) AS fh FROM documents),
+        | g AS (SELECT prefix_hash, MIN(doc_id) AS survivor_id,
+        |  COUNT(*) AS n_docs, COUNT(DISTINCT fh) AS n_full_variants
+        |  FROM p GROUP BY prefix_hash)
+        |SELECT survivor_id, prefix_hash, n_docs, n_full_variants FROM g
+        |WHERE n_docs >= 2 ORDER BY survivor_id""".stripMargin,
+
+    // s18: exact integer ns; // is DuckDB floor division ≡ Spark DIV on
+    // the non-negative inactivity gap
+    "s18_churn" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tns FROM events),
+        | m AS (SELECT MAX(tns) AS corpus_max FROM e),
+        | u AS (SELECT user_id, COUNT(*) AS n_events, MAX(tns) AS last_ts
+        |  FROM e GROUP BY user_id)
+        |SELECT u.user_id, u.n_events,
+        | (corpus_max - last_ts) // 3600000000000 AS hours_inactive,
+        | (corpus_max - last_ts) // 3600000000000 >= 24 AS churned
+        |FROM u, m ORDER BY u.user_id""".stripMargin,
+
     "a20_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,
         |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

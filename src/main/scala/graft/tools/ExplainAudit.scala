@@ -35,7 +35,9 @@ object ExplainAudit {
       "r12_sssp_bounded", "x42_ngram_novelty", "x43_kl_drift",
       "x44_minhash_accuracy", "u8_udaf_window", "s14_late_events",
       "x45_dsir_weights", "x46_temperature_mix", "j19_band_bucket",
-      "r13_harmonic", "s16_peak_hour", "x49_fertility", "j20_or_join")
+      "r13_harmonic", "s16_peak_hour", "x49_fertility", "j20_or_join",
+      "x57_incr_neardup", "w12_topk_ties", "r17_clustering",
+      "x58_prefix_dedup", "s18_churn")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

@@ -20,6 +20,12 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_EXT=1 → install GraftExtensions (Bench/Verify's session
+    // shape) so rule-riding queries (w11/w12/j19/j20...) profile the same
+    // plan the driver scores; default stays vanilla for comparability
+    // with the floors recorded before this flag existed
+    if (sys.env.get("SPARK_GRAFT_EXT").contains("1"))
+      graft.GraftExtensions.install(spark)
     graft.SparkEntry.entry(spark).count() // warm
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)

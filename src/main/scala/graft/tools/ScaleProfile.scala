@@ -113,9 +113,21 @@ object ScaleProfile {
     // equi-joins and the two signature-verify joins, all keyed. The copy
     // offset i·nd shifts WHICH doc_ids land in the %5 batch residue, not
     // its ~20% density, so batch/corpus proportions hold at every m
-    "x57_incr_neardup")
+    "x57_incr_neardup",
+    // round-11 batch 2: w12 is the tie-keeping heap-operator shape
+    // (suppliers ×m disjoint, per-group tie classes replicate copy 0);
+    // r17 rides the ×m disjoint subgraphs' triangle frames (answers ×m);
+    // x58's prefix groups are copy-local (suffixed tokens make prefixes
+    // disjoint) so groups grow ×m; s18 is a user-keyed agg over disjoint
+    // ×m user populations with one 1-row broadcast join
+    "w12_topk_ties", "r17_clustering", "x58_prefix_dedup", "s18_churn")
 
-  val Mults = Seq(1, 2, 4, 8)
+  val DefaultMults = Seq(1, 2, 4, 8)
+
+  /** Multipliers from `SPARK_GRAFT_MULTS` (e.g. "16,32" for the round-11
+    * knee sweep past the standard 1×–8× ladder) or the default ladder. */
+  def Mults: Seq[Int] = sys.env.get("SPARK_GRAFT_MULTS")
+    .map(_.split(",").map(_.trim.toInt).toSeq).getOrElse(DefaultMults)
 
   def main(args: Array[String]): Unit = {
     val src = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -132,7 +144,8 @@ object ScaleProfile {
     Mults.foreach(m => build(spark, src, s"$base/m$m", m))
 
     val best = scala.collection.mutable.Map[(String, Int), Double]()
-    (1 to 3).foreach { _ =>
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    (1 to reps).foreach { _ =>
       Mults.foreach { m =>
         qs.foreach { q =>
           val preexisting = spark.sparkContext.getPersistentRDDs.keySet
@@ -150,12 +163,13 @@ object ScaleProfile {
         }
       }
     }
-    println("| query | 1x s | 2x s | 4x s | 8x s | 8x/1x |")
-    println("|---|---|---|---|---|---|")
+    val ms = Mults
+    println(ms.map(m => s"${m}x s").mkString("| query | ", " | ", " | last/first |"))
+    println("|---" * (ms.size + 2) + "|")
     qs.foreach { q =>
-      val ts = Mults.map(m => best((q, m)))
-      println(f"| $q | ${ts(0)}%.2f | ${ts(1)}%.2f | ${ts(2)}%.2f " +
-        f"| ${ts(3)}%.2f | ${ts(3) / ts(0)}%.1f× |")
+      val ts = ms.map(m => best((q, m)))
+      println(ts.map(t => f"$t%.2f").mkString(s"| $q | ", " | ",
+        f" | ${ts.last / ts.head}%.1f× |"))
     }
     spark.stop()
   }

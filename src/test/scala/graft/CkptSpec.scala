@@ -60,8 +60,9 @@ class CkptSpec extends SparkSpec {
       "r14_kcore", "r15_jaccard_links", "x54_length_bias",
       "r16_assortativity",
       // round 11: x57 (Ckpt'd signature index feeding the banding and
-      // both verify probes)
-      "x57_incr_neardup")
+      // both verify probes), r17 (triangleFrames' Ckpt'd degree +
+      // oriented frames)
+      "x57_incr_neardup", "r17_clustering")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

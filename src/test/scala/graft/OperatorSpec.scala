@@ -1213,6 +1213,103 @@ class OperatorSpec extends SparkSpec {
       "fixture no longer exercises the corpus-dup and unique classes")
   }
 
+  test("w12 rank-ties top-2 equals driver recomputation; boundary ties kept") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).doubleValue))
+    // rank(q) <= 2 ⟺ fewer than 2 strictly-greater quantities in the group
+    // (quantities are integer-valued doubles — comparisons exact)
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.filter(r => rows.count(o => o._4 > r._4) < 2)
+    }.toSet
+    val got = ops.Windows.w12(spark, sf001).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).doubleValue)).toSet
+    assert(got === expected)
+    // the tie-keeping contract: more rows than 2 per supplier on average
+    val nSupp = li.map(_._1).distinct.length
+    assert(got.size > 2 * nSupp, s"no boundary ties kept: ${got.size} rows")
+  }
+
+  test("r17 clustering coefficient equals an in-memory graph recomputation") {
+    val edges = Rdf.coEdges(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    val expected = adj.toSeq.filter(_._2.size >= 2).map { case (n, nb) =>
+      val tri = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      val dg = nb.size.toLong
+      val cc = 2.0 * tri / (dg * (dg - 1))
+      (n, dg, tri.toLong,
+        BigDecimal(cc).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    }.sortBy(_._1)
+    val got = Rdf.r17(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) ===
+      expected.map(t => (t._1, t._2, t._3)))
+    // cc compares against round-half-even of the true double (round4nz's
+    // contract); allow the one-ulp boundary where the reference disagrees
+    got.zip(expected).foreach { case (g, e) =>
+      assert(math.abs(g._4 - e._4) < 5e-5, s"node ${g._1}: ${g._4} vs ${e._4}")
+    }
+    // the fixture graph is dense enough that every deg ≥ 2 node closes a
+    // triangle, so the tri = 0 left-join path needs a literal graph:
+    // orders {1: 10,11} {2: 11,12} → path 10—11—12; node 11 has deg 2,
+    // zero triangles → the coalesce emits its cc = 0 row
+    val dir = java.nio.file.Files.createTempDirectory("r17lit").toString
+    Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val lit = Rdf.r17(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(lit.toSet === Set((11L, 2L, 0L, 0.0)))
+  }
+
+  test("x58 prefix-dedup groups equal driver recomputation; catches non-exact dups") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (md5hex(toks.take(20).mkString(" ")), id,
+        md5hex(text.trim.toLowerCase))
+    }.groupBy(_._1).filter(_._2.length >= 2).map { case (ph, g) =>
+      (g.map(_._2).min, ph, g.length.toLong, g.map(_._3).distinct.length.toLong)
+    }.toSet
+    val got = ops.Pipeline.x58(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    assert(got.exists(_._4 > 1L),
+      "fixture has no prefix group spanning distinct full texts — " +
+        "x58 would be indistinguishable from exact dedup")
+  }
+
+  test("s18 churn audit equals driver recomputation on integer ns") {
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val corpusMax = ev.map(_._2).max
+    val expected = ev.groupBy(_._1).map { case (u, rows) =>
+      val h = (corpusMax - rows.map(_._2).max) / 3600000000000L
+      (u, rows.length.toLong, h, h >= 24)
+    }.toSet
+    val got = ops.Events.s18(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === expected)
+  }
+
   test("x37 dataset card accounting: dups reconcile with l1's groups") {
     val r = Pipeline.x37(spark, sf001).collect()(0)
     assert(r.getAs[Long]("n_docs") ===

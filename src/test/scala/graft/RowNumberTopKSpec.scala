@@ -142,6 +142,19 @@ class RowNumberTopKSpec extends SparkSpec {
     }
   }
 
+  test("declared w12 under the installed rule plans through the Rank ties mode") {
+    withRule {
+      val df = SparkEntry.queries("w12_topk_ties")(spark, sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), s"w12 kept the window plan:\n$p")
+      assert(!p.contains("WindowGroupLimit"), p)
+      val modes = df.queryExecution.optimizedPlan.collect {
+        case t: graft.plans.TopKPerGroupNode => t.ties
+      }
+      assert(modes === Seq(graft.plans.TopKTies.Rank), s"wrong ties mode: $modes")
+    }
+  }
+
   test("drop-rank rank() <= k fires in Rank ties mode and keeps boundary ties") {
     // deliberately NON-total order (retailprice only): rank() must keep
     // every row tied at the k boundary — the semantics round 10's heap
