@@ -551,6 +551,33 @@ object Aggs {
       .orderBy("nationkey")
   }
 
+  /** a25 — ARGMAX/ARGMIN + conditional/boolean aggregate batch per nation:
+    * `max_by`/`min_by` (the SQL:2023 argmax family — "the customer who
+    * holds the extreme balance", answered WITHOUT a self-join or window),
+    * `count_if`, and `bool_and`/`bool_or` screens. The ordering key is a
+    * COMPOSED exact integer — acctbal cents · 10⁸ + custkey — so the
+    * argmax is total even where balances tie (sf0.1 has 8 tied
+    * (nation, acctbal) pairs; a raw-balance max_by would be
+    * non-deterministic there, D6's rule).
+    *
+    * Scale: ONE nation-keyed agg, all five aggregates mergeable partials
+    * (argmax carries a single (key, value) pair per partial) — the same
+    * one-shuffle shape as any keyed count, domain-bounded output.
+    */
+  def a25(s: SparkSession, d: String): DataFrame = {
+    val ord = (dec2(col("c_acctbal")) * 100).cast("bigint") * lit(100000000L) +
+      col("c_custkey")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        max_by(col("c_name"), ord).as("rich_cust"),
+        min_by(col("c_name"), ord).as("poor_cust"),
+        count_if(col("c_acctbal") > 0).as("n_positive"),
+        bool_and(col("c_acctbal") > -1000).as("all_above_floor"),
+        bool_or(col("c_acctbal") > 9000).as("has_vip"))
+      .orderBy("nationkey")
+  }
+
   def a23(s: SparkSession, d: String): DataFrame = {
     val bounds = Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))

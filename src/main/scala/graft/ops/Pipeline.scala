@@ -2334,6 +2334,39 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** x59 — JACCARD THRESHOLD SWEEP over x1's verified near-dup pairs:
+    * pair counts per 0.05-wide similarity band above the 0.7 verify
+    * threshold — the sensitivity audit run before committing a dedup
+    * threshold (how many pairs appear/disappear if the bar moves one
+    * notch). Buckets are EXACT integer math on the verified pair's
+    * (|∩|, |∪|): bucket = (20·inter) DIV uni — no float boundary can
+    * misplace a pair on either engine (the 4-dp rounded jaccard never
+    * enters the bucketing).
+    *
+    * Scale: exactly x1's candidate + verify shape (banded LSH, keyed
+    * joins, block-decomposed hot buckets) + one ≤ 7-row aggregate.
+    */
+  def x59(s: SparkSession, d: String): DataFrame = {
+    val (cand, enc, _) = x1CandEnc(s, d)
+    cand
+      .join(enc.as("ea"), col("a_id") === col("ea.doc_id"))
+      .join(enc.as("eb"), col("b_id") === col("eb.doc_id"))
+      .select(col("lang"), col("a_id"), col("b_id"),
+        col("ea.small").as("small"),
+        col("ea.set").as("a_set"), col("ea.sz").as("a_sz"),
+        col("eb.set").as("b_set"), col("eb.sz").as("b_sz"))
+      .withColumn("inter", SetSim.interCol)
+      .withColumn("uni", col("a_sz") + col("b_sz") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * 7)
+      .withColumn("bucket", expr("CAST(inter AS BIGINT) * 20 DIV uni"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("bucket"),
+        (col("bucket").cast("double") / lit(20.0)).as("thr_lo"),
+        col("n_pairs"))
+      .orderBy("bucket")
+  }
+
   /** x58 — PREFIX (boilerplate) dedup groups: documents sharing an
     * identical first-20-token prefix — the header/template catch between
     * l1's exact identity (which these groups defeat: the fixture's

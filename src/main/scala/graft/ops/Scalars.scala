@@ -274,4 +274,31 @@ object Scalars {
       repeat(substring(col("p_name"), 1, 3), 2).as("echoed"),
       instr(col("p_name"), "a").cast("bigint").as("first_a"))
       .orderBy("p_partkey")
+
+  /** f16 — EDIT-DISTANCE batch (the fuzzy-matching scalar family j14
+    * builds its join on, exposed as plain projections): `levenshtein`
+    * between brand and a reference literal, between name and type, the
+    * THRESHOLDED form (Spark's 3-arg levenshtein short-circuits past the
+    * bound and returns −1 — mirrored in DuckDB as a CASE over the plain
+    * distance, same value by definition), and the length-normalized
+    * similarity (one double division + D4 round; numerator/denominator
+    * both exact ints). Distances out-cast BIGINT (D9, f15's instr rule).
+    *
+    * Scale: narrow per-row projections, no shuffle; the thresholded form
+    * is the one to reach for in a 100 TB fuzzy pass — O(k·min(m,n))
+    * instead of O(m·n) per pair.
+    */
+  def f16(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d).select(col("p_partkey"),
+      levenshtein(col("p_brand"), lit("Brand#00")).cast("bigint")
+        .as("brand_dist"),
+      levenshtein(col("p_name"), col("p_type")).cast("bigint")
+        .as("name_type_dist"),
+      levenshtein(col("p_name"), col("p_type"), 9).cast("bigint")
+        .as("name_type_capped"),
+      graft.Det.round4nz(lit(1.0)
+        - levenshtein(col("p_name"), col("p_type")).cast("double")
+        / greatest(length(col("p_name")), length(col("p_type")))
+          .cast("double")).as("name_type_sim"))
+      .orderBy("p_partkey")
 }

@@ -1990,6 +1990,48 @@ object OracleSql {
         | (corpus_max - last_ts) // 3600000000000 >= 24 AS churned
         |FROM u, m ORDER BY u.user_id""".stripMargin,
 
+    // a25: the argmax ordering key is COMPOSED exact-integer (cents·10⁸ +
+    // custkey) so max_by/min_by are total even under tied balances (D6)
+    "a25_agg_batch" ->
+      """WITH c AS (SELECT c_nationkey, c_name, c_custkey, c_acctbal,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * 100000000
+        |    + c_custkey AS ord
+        | FROM customer)
+        |SELECT c_nationkey AS nationkey, COUNT(*) AS n_custs,
+        | max_by(c_name, ord) AS rich_cust, min_by(c_name, ord) AS poor_cust,
+        | CAST(count_if(c_acctbal > 0) AS BIGINT) AS n_positive,
+        | bool_and(c_acctbal > -1000) AS all_above_floor,
+        | bool_or(c_acctbal > 9000) AS has_vip
+        |FROM c GROUP BY c_nationkey ORDER BY nationkey""".stripMargin,
+
+    // f16: Spark's thresholded levenshtein returns −1 past the bound —
+    // mirrored as a CASE over the plain distance (same value by definition)
+    "f16_editdist" ->
+      """SELECT p_partkey,
+        | CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS brand_dist,
+        | CAST(levenshtein(p_name, p_type) AS BIGINT) AS name_type_dist,
+        | CAST(CASE WHEN levenshtein(p_name, p_type) <= 9
+        |   THEN levenshtein(p_name, p_type) ELSE -1 END AS BIGINT)
+        |  AS name_type_capped,
+        | ROUND(1.0 - CAST(levenshtein(p_name, p_type) AS DOUBLE)
+        |   / CAST(greatest(length(p_name), length(p_type)) AS DOUBLE), 4)
+        |  + 0.0 AS name_type_sim
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // x59: bucket = (20·|∩|) // |∪| on the verified pair's exact integers —
+    // the 4-dp float jaccard never enters the bucketing on either engine
+    "x59_jaccard_sweep" -> (x1Ctes +
+      """,
+        | v AS (SELECT (CAST(len(list_intersect(ta.t, tb.t)) AS BIGINT) * 20)
+        |    // len(list_distinct(ta.t || tb.t)) AS bucket
+        |  FROM cand c JOIN toks ta ON c.a_id = ta.doc_id
+        |   JOIN toks tb ON c.b_id = tb.doc_id
+        |  WHERE 10 * len(list_intersect(ta.t, tb.t))
+        |   >= 7 * len(list_distinct(ta.t || tb.t)))
+        |SELECT bucket, CAST(bucket AS DOUBLE) / 20 AS thr_lo,
+        | COUNT(*) AS n_pairs
+        |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin),
+
     "a20_weighted_median" ->
       """WITH pp AS (SELECT l_returnflag,
         |   CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

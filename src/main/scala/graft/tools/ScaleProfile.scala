@@ -120,7 +120,13 @@ object ScaleProfile {
     // x58's prefix groups are copy-local (suffixed tokens make prefixes
     // disjoint) so groups grow ×m; s18 is a user-keyed agg over disjoint
     // ×m user populations with one 1-row broadcast join
-    "w12_topk_ties", "r17_clustering", "x58_prefix_dedup", "s18_churn")
+    "w12_topk_ties", "r17_clustering", "x58_prefix_dedup", "s18_churn",
+    // round-11 batch 3: a25 is a single nation-keyed agg over ×m rows
+    // (nation domains offset per copy → groups ×m, argmax partials
+    // constant-size); f16 is a pure narrow projection (flat per-row
+    // cost, ×m rows); x59 rides x1's banded candidate shape (copies
+    // shingle-disjoint → verified pairs ×m, 7-row output at any m)
+    "a25_agg_batch", "f16_editdist", "x59_jaccard_sweep")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

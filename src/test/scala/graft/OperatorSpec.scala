@@ -1310,6 +1310,94 @@ class OperatorSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("a25 argmax/conditional aggregate batch equals driver recomputation") {
+    val cust = Tables.customer(spark, sf001)
+      .select($"c_nationkey", $"c_custkey", $"c_name", $"c_acctbal").collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getString(2), r.getAs[Number](3).doubleValue))
+    val expected = cust.groupBy(_._1).map { case (n, rows) =>
+      def ord(r: (Long, Long, String, Double)): Long =
+        BigDecimal(r._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .*(100).toLongExact * 100000000L + r._2
+      (n, rows.length.toLong,
+        rows.maxBy(ord)._3, rows.minBy(ord)._3,
+        rows.count(_._4 > 0).toLong,
+        rows.forall(_._4 > -1000), rows.exists(_._4 > 9000))
+    }.toSet
+    val got = Aggs.a25(spark, sf001).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getLong(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getBoolean(5), r.getBoolean(6)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("f16 edit distances equal a driver-side Levenshtein DP") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val tmp = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = tmp
+        }
+      }
+      prev(b.length)
+    }
+    val parts = Tables.part(spark, sf001)
+      .select($"p_partkey", $"p_name", $"p_brand", $"p_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val got = Scalars.f16(spark, sf001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size === parts.length)
+    parts.foreach { case (pk, name, brand, ptyp) =>
+      val (bd, ntd, ntc, sim) = got(pk)
+      val d = lev(name, ptyp)
+      assert(bd === lev(brand, "Brand#00").toLong, s"part $pk brand_dist")
+      assert(ntd === d.toLong, s"part $pk name_type_dist")
+      assert(ntc === (if (d <= 9) d.toLong else -1L), s"part $pk capped")
+      val ref = 1.0 - d.toDouble / math.max(name.length, ptyp.length)
+      assert(math.abs(sim - ref) < 5e-5, s"part $pk sim $sim vs $ref")
+    }
+    assert(got.values.exists(_._3 == -1L) && got.values.exists(_._3 >= 0L),
+      "threshold form never/always fired — cap fixture drift")
+  }
+
+  test("x59 threshold sweep equals a driver recompute of x1's banded pairs") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val enc = docs.map { case (id, lang, text) =>
+      val toks = text.split(" ", -1).distinct
+      val mh = (0 until 8).map(i => toks.map(t => md5hex(s"$i:$t")).min)
+      val bands = Seq(md5hex(mh(0) + mh(1)), md5hex(mh(2) + mh(3)),
+        md5hex(mh(4) + mh(5)), md5hex(mh(6) + mh(7)))
+      (id, lang, toks.toSet, bands)
+    }
+    val expected = (for {
+      a <- enc; b <- enc
+      if a._1 < b._1 && a._2 == b._2 &&
+        (0 until 4).exists(i => a._4(i) == b._4(i))
+      inter = (a._3 & b._3).size
+      uni = a._3.size + b._3.size - inter
+      if inter * 10 >= uni * 7
+    } yield (20L * inter) / uni)
+      .groupBy(identity).map { case (bkt, xs) =>
+        (bkt, bkt.toDouble / 20.0, xs.length.toLong)
+      }.toSet
+    val got = ops.Pipeline.x59(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // sweep total reconciles with x1's declared verified-pair count
+    assert(got.toSeq.map(_._3).sum ===
+      ops.Pipeline.x1(spark, sf001).count())
+  }
+
   test("x37 dataset card accounting: dups reconcile with l1's groups") {
     val r = Pipeline.x37(spark, sf001).collect()(0)
     assert(r.getAs[Long]("n_docs") ===
