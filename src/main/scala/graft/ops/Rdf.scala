@@ -408,6 +408,26 @@ object Rdf {
       s"PageRank scaled-integer unit $s overflows BIGINT mass at n=$n " +
         "nodes — shrink the unit (S) one decade per 10x nodes")
 
+  /** The guard's remedy, made executable (round-11 knee finding: the m16
+    * scale corpus's 5.14M nodes trip [[r7MassGuard]] at the declared
+    * S = 10¹²): the LARGEST power-of-ten unit whose worst-case BIGINT
+    * rank mass n·S stays inside the guard's 4× margin — one decade of
+    * rank precision traded per 10× nodes, never a wraparound. Floor 10⁴
+    * (below ~2.3·10¹⁴ nodes — far past any real graph) keeps damping
+    * arithmetic meaningful. The DECLARED r8 keeps its fixed 10¹² (the
+    * oracle mirrors that exact unit); this is the capability knob a
+    * >2.3M-node deployment turns, spec'd in OperatorSpec: the selection
+    * maximizes S under the guard at every magnitude (incl. the knee
+    * corpus's 5.14M nodes → 10¹¹), keeps the declared 10¹² at every
+    * fixture SF, and never returns a unit the guard rejects.
+    */
+  private[graft] def adaptiveUnit(n: Long): Long = {
+    var s = 1000000000000L
+    while (s > 10000L && n > Long.MaxValue / s / 4) s /= 10
+    r7MassGuard(n, s)
+    s
+  }
+
   private[graft] def r7Step(ed: DataFrame, pr: Option[(DataFrame, Long)]): DataFrame = {
     val contribs = pr match {
       case None =>

@@ -1398,6 +1398,24 @@ class OperatorSpec extends SparkSpec {
       ops.Pipeline.x1(spark, sf001).count())
   }
 
+  test("adaptiveUnit maximizes the PageRank unit under the mass guard") {
+    // the executable form of r7MassGuard's remedy (round-11 knee finding:
+    // m16's 5,143,128 nodes trip the declared S = 10^12)
+    val bound = Long.MaxValue / 4
+    for (n <- Seq(1L, 1000L, 860000L, 2305842L, 2305844L, 5143128L,
+      51431280L, 2000000000L)) {
+      val s = Rdf.adaptiveUnit(n)
+      assert(n <= bound / s, s"n=$n: selected unit $s violates the guard")
+      assert(s == 1000000000000L || n > bound / (s * 10),
+        s"n=$n: unit $s is not maximal — ${s * 10} also fits")
+      assert(s >= 10000L)
+    }
+    // the declared fixture scales keep the declared unit
+    assert(Rdf.adaptiveUnit(860000L) === 1000000000000L)
+    // the knee corpus that tripped the guard now selects one decade down
+    assert(Rdf.adaptiveUnit(5143128L) === 100000000000L)
+  }
+
   test("x37 dataset card accounting: dups reconcile with l1's groups") {
     val r = Pipeline.x37(spark, sf001).collect()(0)
     assert(r.getAs[Long]("n_docs") ===
