@@ -98,6 +98,29 @@ object Windows {
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
   }
 
+  /** w13 — top-2 DISTINCT quantity tiers per supplier: the plain
+    * `dense_rank() <= 2` drop-rank idiom, completing the declared trio
+    * (w11 row_number / w12 rank / w13 dense_rank — one query per
+    * [[graft.plans.TopKTies]] mode, all through the standard SQL form).
+    * dense_rank keeps every row of the k best VALUES — per-value
+    * multiplicity unbounded, the "give me all rows at the top two price
+    * tiers" contract. Under the installed rule the assembly collapses to
+    * TopKPerGroupExec's Dense ties mode (≤ k order-value classes per
+    * group); vanilla session = Spark's native group-limit — same answer
+    * (install-independence). Output SET deterministic under the partial
+    * order.
+    */
+  def w13(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_quantity").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), dense_rank().over(w).as("rn"))
+      .filter(col("rn") <= 2)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
   /** w3 — running count + running decimal total per customer (rows frame). */
   def w3(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")

@@ -1946,6 +1946,15 @@ object OracleSql {
         |FROM r WHERE rn <= 2
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
+    "w13_topk_dense" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  DENSE_RANK() OVER (PARTITION BY l_suppkey ORDER BY l_quantity DESC)
+        |   AS rn
+        | FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity
+        |FROM r WHERE rn <= 2
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
     // r17: the oriented enumeration is a PLAN property (r9's argument) —
     // the oracle states the plain partkey-ordered 3-way self-join
     "r17_clustering" ->

@@ -126,7 +126,10 @@ object ScaleProfile {
     // constant-size); f16 is a pure narrow projection (flat per-row
     // cost, ×m rows); x59 rides x1's banded candidate shape (copies
     // shingle-disjoint → verified pairs ×m, 7-row output at any m)
-    "a25_agg_batch", "f16_editdist", "x59_jaccard_sweep")
+    "a25_agg_batch", "f16_editdist", "x59_jaccard_sweep",
+    // w13 is w12's dense sibling: ≤ 2 value classes per supplier, ×m
+    // disjoint supplier groups
+    "w13_topk_dense")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

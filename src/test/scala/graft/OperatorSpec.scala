@@ -1398,6 +1398,26 @@ class OperatorSpec extends SparkSpec {
       ops.Pipeline.x1(spark, sf001).count())
   }
 
+  test("w13 dense-rank top-2 tiers equals driver recomputation") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).doubleValue))
+    // dense_rank(q) <= 2 ⟺ fewer than 2 DISTINCT strictly-greater values
+    val expected = li.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val top2 = rows.map(_._4).distinct.sorted(Ordering[Double].reverse).take(2).toSet
+      rows.filter(r => top2.contains(r._4))
+    }.toSet
+    val got = ops.Windows.w13(spark, sf001).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue, r.getAs[Number](3).doubleValue)).toSet
+    assert(got === expected)
+    // the dense contract: strictly more rows than w12's rank form keeps
+    val w12n = ops.Windows.w12(spark, sf001).count()
+    assert(got.size >= w12n, s"dense kept ${got.size} < rank's $w12n")
+  }
+
   test("adaptiveUnit maximizes the PageRank unit under the mass guard") {
     // the executable form of r7MassGuard's remedy (round-11 knee finding:
     // m16's 5,143,128 nodes trip the declared S = 10^12)

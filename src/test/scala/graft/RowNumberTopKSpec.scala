@@ -155,6 +155,18 @@ class RowNumberTopKSpec extends SparkSpec {
     }
   }
 
+  test("declared w13 under the installed rule plans through the Dense ties mode") {
+    withRule {
+      val df = SparkEntry.queries("w13_topk_dense")(spark, sf001)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroup"), s"w13 kept the window plan:\n$p")
+      val modes = df.queryExecution.optimizedPlan.collect {
+        case t: graft.plans.TopKPerGroupNode => t.ties
+      }
+      assert(modes === Seq(graft.plans.TopKTies.Dense), s"wrong ties mode: $modes")
+    }
+  }
+
   test("drop-rank rank() <= k fires in Rank ties mode and keeps boundary ties") {
     // deliberately NON-total order (retailprice only): rank() must keep
     // every row tied at the k boundary — the semantics round 10's heap
