@@ -484,4 +484,28 @@ object Events {
         (col("hours_inactive") >= 24).as("churned"))
       .orderBy("user_id")
   }
+
+  /** s19 — per-event-type VALUE quantiles (p25/p50/p75/p95): the
+    * distribution card ops dashboards keep per metric, completing a10's
+    * percentile surface on the events axis. Values are 2-dp quantized
+    * BEFORE the quantile (a23's exactness argument: interpolating 2-dp
+    * inputs at quarter/20th rank fractions is exact at 4 decimals, so the
+    * 6-dp round sits far from any boundary on both engines — Spark
+    * `percentile` ≡ DuckDB `quantile_cont` under that discipline).
+    *
+    * Scale: one type-keyed exact-percentile agg (domain-bounded output);
+    * at a true 100 TB metric stream the same card comes from
+    * `approx_percentile` (capability tier) — the exact form is the
+    * oracle-checkable declaration.
+    */
+  def s19(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), graft.Det.dec2(col("value")).cast("double").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(percentile(col("v"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("v"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("v"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("v"), lit(0.95)), 6).as("p95"))
+      .orderBy("event_type")
 }

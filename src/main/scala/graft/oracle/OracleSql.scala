@@ -1987,6 +1987,18 @@ object OracleSql {
         |SELECT survivor_id, prefix_hash, n_docs, n_full_variants FROM g
         |WHERE n_docs >= 2 ORDER BY survivor_id""".stripMargin,
 
+    // s19: values 2-dp quantized before the quantile (a23's exactness
+    // argument), quantile_cont ≡ Spark percentile, 6-dp rounds
+    "s19_value_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | ROUND(quantile_cont(v, 0.25), 6) AS p25,
+        | ROUND(quantile_cont(v, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(v, 0.75), 6) AS p75,
+        | ROUND(quantile_cont(v, 0.95), 6) AS p95
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // s18: exact integer ns; // is DuckDB floor division ≡ Spark DIV on
     // the non-negative inactivity gap
     "s18_churn" ->

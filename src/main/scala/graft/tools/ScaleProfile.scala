@@ -128,8 +128,9 @@ object ScaleProfile {
     // shingle-disjoint → verified pairs ×m, 7-row output at any m)
     "a25_agg_batch", "f16_editdist", "x59_jaccard_sweep",
     // w13 is w12's dense sibling: ≤ 2 value classes per supplier, ×m
-    // disjoint supplier groups
-    "w13_topk_dense")
+    // disjoint supplier groups; s19 is one type-keyed exact-percentile
+    // agg over ×m rows (shared 10-type axis — output constant)
+    "w13_topk_dense", "s19_value_quantiles")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

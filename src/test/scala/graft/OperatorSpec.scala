@@ -1418,6 +1418,37 @@ class OperatorSpec extends SparkSpec {
     assert(got.size >= w12n, s"dense kept ${got.size} < rank's $w12n")
   }
 
+  test("s19 value quantiles equal a driver-side quantile_cont interpolation") {
+    val ev = Tables.events(spark, sf001)
+      .select($"event_type", $"value").collect()
+      .map(r => (r.getString(0),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    def q(vs: Array[Double], f: Double): Double = {
+      val s = vs.sorted
+      val pos = f * (s.length - 1)
+      val lo = s(pos.toInt)
+      val hi = s(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val expected = ev.groupBy(_._1).map { case (t, rows) =>
+      val vs = rows.map(_._2)
+      (t, rows.length.toLong, q(vs, 0.25), q(vs, 0.5), q(vs, 0.75), q(vs, 0.95))
+    }
+    val got = ops.Events.s19(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(got.size === expected.size)
+    expected.foreach { case (t, n, p25, p50, p75, p95) =>
+      val g = got(t)
+      assert(g._1 === n, s"$t n_events")
+      for ((gv, ev2, tag) <- Seq((g._2, p25, "p25"), (g._3, p50, "p50"),
+        (g._4, p75, "p75"), (g._5, p95, "p95")))
+        assert(math.abs(gv - ev2) < 5e-6, s"$t $tag: $gv vs $ev2")
+    }
+  }
+
   test("adaptiveUnit maximizes the PageRank unit under the mass guard") {
     // the executable form of r7MassGuard's remedy (round-11 knee finding:
     // m16's 5,143,128 nodes trip the declared S = 10^12)
