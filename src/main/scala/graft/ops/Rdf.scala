@@ -221,9 +221,19 @@ object Rdf {
   }
 
   /** Rank held by any node with no in-edges after `i` rounds (the COALESCE
-    * default): the init value before round 1, the undamped base after. */
-  private[graft] def defaultRank(i: Int): Long =
-    if (i == 0) 1000000000000L else 150000000000L
+    * default): the init value before round 1, the undamped base after.
+    * `unit` is the scaled-integer S (declared queries keep 10¹²; capability
+    * callers past the [[r7MassGuard]] bound pass [[adaptiveUnit]]). */
+  private[graft] def defaultRank(i: Int, unit: Long = DeclaredUnit): Long =
+    if (i == 0) unit else baseRank(unit)
+
+  /** The declared scaled-integer PageRank unit S = 10¹² (the oracle mirrors
+    * this exact value; see [[adaptiveUnit]] for the capability knob). */
+  private[graft] val DeclaredUnit = 1000000000000L
+
+  /** 0.15·S as exact integer math — S is a power of ten ≥ 10⁴, so DIV 20
+    * then ×3 is exact (never rounds). */
+  private[graft] def baseRank(unit: Long): Long = unit / 20 * 3
 
   /** Packed long node id: entity tag in the high byte, key payload below
     * (lineitem pays orderkey·8 + linenumber; linenumber < 8 by TPC-H
@@ -311,13 +321,30 @@ object Rdf {
     * pays. The dangling id set is a one-time left_anti of two narrow key
     * frames, checkpointed alongside the edges.
     */
-  def r7Redistributed(s: SparkSession, d: String): DataFrame = {
+  def r7Redistributed(s: SparkSession, d: String): DataFrame =
+    r7RedistributedUnit(s, d, _ => DeclaredUnit)
+
+  /** [[r7Redistributed]] with the scaled-integer unit picked ADAPTIVELY from
+    * the measured node count ([[adaptiveUnit]]) — the capability face a
+    * >2.3M-node deployment runs (the round-11 knee corpus's 5.14M nodes trip
+    * [[r7MassGuard]] at the declared 10¹²; this entry point trades one
+    * decade of rank precision per 10× nodes instead of failing). The
+    * DECLARED r8 keeps the fixed 10¹² (its oracle mirrors that unit), and
+    * [[adaptiveUnit]] returns exactly 10¹² at every fixture SF, so the two
+    * faces are bit-identical below the knee (OperatorSpec asserts this). */
+  def r7RedistributedAdaptive(s: SparkSession, d: String): DataFrame =
+    r7RedistributedUnit(s, d, adaptiveUnit)
+
+  private[graft] def r7RedistributedUnit(s: SparkSession, d: String,
+      unitFor: Long => Long): DataFrame = {
     val ed = graft.Ckpt(r7Edges(s, d))
     val srcs = ed.select(col("src").as("node")).distinct()
     val nodes = graft.Ckpt(
       ed.select(col("dst").as("node")).union(srcs).distinct())
     val n = nodes.count()
-    r7MassGuard(n) // r7Step's BIGINT sum wraps, not errors — fail loudly here
+    val unit = unitFor(n)
+    r7MassGuard(n, unit) // r7Step's BIGINT sum wraps, not errors — fail loudly here
+    val base = baseRank(unit)
     // dangling = no out-edges = dst-only; every dangling node HAS in-edges,
     // so its rank always lives in the in-edge rank frame below and the
     // per-round mass aggregation never needs the full node set
@@ -339,46 +366,55 @@ object Rdf {
     // Round scalars as LAZY 1-row frames (r10-verdict item 6): the
     // dangling mass was previously `.head()`-ed once per round — three
     // synchronous driver jobs inside one declared query. Now the mass
-    // aggregate, the share (mass DIV n) and the next round's no-in-edge
-    // default all ride as 1-row aggregate frames crossJoined into the
-    // round (a groupless aggregate has a 1-row stats estimate, so the
-    // planner broadcasts it — BroadcastNestedLoopJoin with a 1-row build,
-    // never a CartesianProduct). The only blocking points left are the
-    // per-round Ckpts every iterative operator already pays; arithmetic
-    // is the same integer DIV chain, so ranks are bit-identical.
+    // aggregate and the share (mass DIV n) ride as 1-row aggregate frames
+    // crossJoined into the round (a groupless aggregate has a 1-row stats
+    // estimate, so the planner broadcasts it — BroadcastNestedLoopJoin
+    // with a 1-row build, never a CartesianProduct), and the round's
+    // no-in-edge default rides INSIDE the Ckpt'd rank frame as a constant
+    // `dflt` column (round-11 ADVICE item 1: as a free-standing lazy frame
+    // it re-ran the dangling-mass join+agg subtree at every reference —
+    // next round's contribs, the final fill; as a materialized column the
+    // subtree is evaluated exactly once, in the round's Ckpt job, and
+    // later references recover it with a groupless MAX over the
+    // materialized frame — a narrow scan, still a 1-row broadcast build).
+    // The only blocking points left are the per-round Ckpts every
+    // iterative operator already pays; arithmetic is the same integer DIV
+    // chain, so ranks are bit-identical.
     var pr: Option[DataFrame] = None
-    // (share, dflt) of the CURRENT round; dflt feeds the NEXT round's
-    // contribution coalesce and the final no-in-edge fill
-    var roundConst: DataFrame = s.range(1).select(
-      lit(1000000000000L).as("dflt"))
     for (i <- 1 to PageRankIters) {
       val massF = pr match {
         case None => s.range(1)
-          .select(lit(nDangling * 1000000000000L).as("dmass"))
+          .select(lit(nDangling * unit).as("dmass"))
         case Some(p) =>
-          dangling.join(p.withColumnRenamed("dst", "node"), Seq("node"))
+          dangling.join(p.select(col("dst").as("node"), col("pr")),
+              Seq("node"))
             .agg(coalesce(sum("pr"), lit(0L)).as("dmass"))
       }
       val shareF = massF.select(
         expr(s"dmass DIV CAST($n AS BIGINT)").as("share"))
       val contribs = pr match {
-        case None => ed.crossJoin(roundConst)
-          .select(col("dst"), expr("dflt DIV d").as("contrib"))
+        case None => ed
+          .select(col("dst"),
+            expr(s"CAST($unit AS BIGINT) DIV d").as("contrib"))
         case Some(p) =>
-          ed.join(p.withColumnRenamed("dst", "src"), Seq("src"), "left")
-            .crossJoin(roundConst)
+          // the PREVIOUS round's dflt is a constant column on the
+          // materialized rank frame; MAX over it is a groupless agg
+          // (1-row stats → broadcast), evaluated off the Ckpt scan
+          val dfltF = p.agg(max("dflt").as("dflt"))
+          ed.join(p.select(col("dst").as("src"), col("pr")), Seq("src"), "left")
+            .crossJoin(dfltF)
             .select(col("dst"), expr("COALESCE(pr, dflt) DIV d").as("contrib"))
       }
       pr = Some(graft.Ckpt(contribs.groupBy("dst")
         .agg(sum(col("contrib")).as("sc"))
         .crossJoin(shareF)
-        .select(col("dst"), expr(
-          "CAST(150000000000 + (sc + share) * 17 DIV 20 AS BIGINT)").as("pr"))))
-      roundConst = shareF.select(expr(
-        "CAST(150000000000 + share * 17 DIV 20 AS BIGINT)").as("dflt"))
+        .select(col("dst"),
+          expr(s"CAST($base + (sc + share) * 17 DIV 20 AS BIGINT)").as("pr"),
+          expr(s"CAST($base + share * 17 DIV 20 AS BIGINT)").as("dflt"))))
     }
-    nodes.join(pr.get.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .crossJoin(roundConst)
+    val last = pr.get
+    nodes.join(last.select(col("dst").as("node"), col("pr")), Seq("node"), "left")
+      .crossJoin(last.agg(max("dflt").as("dflt")))
       .select(r7Decode(col("node")).as("node"),
         coalesce(col("pr"), col("dflt")).as("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
@@ -403,7 +439,7 @@ object Rdf {
   /** Loud guard for [[r7Step]]'s wrapping BIGINT sum (see its scaladoc):
     * worst-case per-dst contribution mass n·S must sit well inside Long —
     * the 4× margin absorbs the damping constant and share additions. */
-  private[graft] def r7MassGuard(n: Long, s: Long = 1000000000000L): Unit =
+  private[graft] def r7MassGuard(n: Long, s: Long = DeclaredUnit): Unit =
     require(n <= Long.MaxValue / s / 4,
       s"PageRank scaled-integer unit $s overflows BIGINT mass at n=$n " +
         "nodes — shrink the unit (S) one decade per 10x nodes")
@@ -422,23 +458,26 @@ object Rdf {
     * fixture SF, and never returns a unit the guard rejects.
     */
   private[graft] def adaptiveUnit(n: Long): Long = {
-    var s = 1000000000000L
+    var s = DeclaredUnit
     while (s > 10000L && n > Long.MaxValue / s / 4) s /= 10
     r7MassGuard(n, s)
     s
   }
 
-  private[graft] def r7Step(ed: DataFrame, pr: Option[(DataFrame, Long)]): DataFrame = {
+  private[graft] def r7Step(ed: DataFrame, pr: Option[(DataFrame, Long)],
+      unit: Long = DeclaredUnit): DataFrame = {
     val contribs = pr match {
       case None =>
-        ed.select(col("dst"), expr(s"${defaultRank(0)} DIV d").as("contrib"))
+        ed.select(col("dst"),
+          expr(s"${defaultRank(0, unit)} DIV d").as("contrib"))
       case Some((p, dflt)) =>
         ed.join(p.withColumnRenamed("dst", "src"), Seq("src"), "left")
           .select(col("dst"),
             expr(s"COALESCE(pr, CAST($dflt AS BIGINT)) DIV d").as("contrib"))
     }
     contribs.groupBy("dst").agg(
-      expr("CAST(150000000000 + SUM(contrib) * 17 DIV 20 AS BIGINT)").as("pr"))
+      expr(s"CAST(${baseRank(unit)} + SUM(contrib) * 17 DIV 20 AS BIGINT)")
+        .as("pr"))
   }
 
   /** r9 — TRIANGLE COUNTING on the part co-purchase graph (parts are
