@@ -150,12 +150,20 @@ private[graft] object SetSim {
             "verify primitive, not a corpus driver - generate candidates " +
             "with x1 (MinHash/LSH), x3 (PPJoin prefix) or x10 (SimHash), " +
             "or raise maxBucket explicitly with a measured reason"))).isNull)
+    // BOTH sides derive from the guarded frame (round-11 ADVICE item 2):
+    // correctness only needs the assert subtree to execute once, but with
+    // a single guarded edge the fuse's presence hinged on that one join —
+    // a future rebase of side `a` onto raw `enc` would have silently
+    // deleted it. Symmetric derivation makes the guard structural, and
+    // OperatorSpec asserts the executed plan retains the raise_error
+    // subtree. Cost: the broadcast identity join to the ≤|langs|-row
+    // sizes frame, now on two edges instead of one.
     val guarded = enc.join(sizes, Seq("lang")).drop("graft_bucket_n")
     val a = guarded.select(col("doc_id").as("a_id"), col("lang"), col("small"),
         col("set").as("a_set"), col("sz").as("a_sz"))
       .withColumn("blk", (col("a_id") % blocks).cast("int"))
       .repartition(shufP)
-    val b = enc.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
+    val b = guarded.select(col("doc_id").as("b_id"), col("lang").as("lang_b"),
         col("set").as("b_set"), col("sz").as("b_sz"))
       .withColumn("blk_b", explode(sequence(lit(0), lit(blocks - 1))))
     a.join(b, col("lang") === col("lang_b") && col("blk") === col("blk_b")

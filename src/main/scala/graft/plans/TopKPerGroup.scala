@@ -103,6 +103,9 @@ private final class RankClasses(ord: Ordering[InternalRow], k: Int,
 
   def emit: Iterator[InternalRow] =
     classes.values().asScala.iterator.flatMap(_.iterator)
+
+  /** Rows currently buffered — the state-size watermark feed. */
+  def kept: Int = total
 }
 
 case class TopKPerGroupExec(groupExprs: Seq[Expression],
@@ -111,6 +114,18 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
   extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
+
+  // State-size watermark (round-11 ADVICE item 4): Rank keeps O(k +
+  // boundary ties) rows per group, but Dense's per-VALUE multiplicity is
+  // unbounded — a skewed top tier buffers every row of that tier in the
+  // partial task (the information-theoretic floor for dense_rank <= k
+  // semantics: all those rows ARE output). There is no spill path, so the
+  // pressure must at least be VISIBLE: the max-merged metric surfaces the
+  // largest per-group buffered row count in the SQL UI instead of leaving
+  // a pathological tier as silent executor memory growth.
+  override lazy val metrics = Map(
+    "maxGroupRows" -> GraftBridge.createMaxMetric(sparkContext,
+      "max rows buffered for one group"))
 
   // Global top-k (no group keys) must merge ALL partial heaps in one place;
   // UnspecifiedDistribution here would leave the final merge per-partition
@@ -135,6 +150,7 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
     val oExprs = orderExprs
     val limit = k
     val mode = ties
+    val maxGroupRows = longMetric("maxGroupRows")
     child.execute().mapPartitions { iter =>
       val keyProj = UnsafeProjection.create(gExprs, childOutput)
       val ord = new LazilyGeneratedOrdering(oExprs, childOutput)
@@ -152,6 +168,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
               heap.dequeue(); heap.enqueue(row.copy())
             }
           }
+          if (heaps.nonEmpty)
+            maxGroupRows.set(heaps.valuesIterator.map(_.size.toLong).max)
           heaps.iterator.flatMap { case (_, heap) =>
             heap.toArray.sorted(ord.asInstanceOf[Ordering[InternalRow]]).iterator
           }
@@ -163,6 +181,8 @@ case class TopKPerGroupExec(groupExprs: Seq[Expression],
             states.getOrElseUpdate(key.copy(), new RankClasses(ord, limit, dense))
               .insert(row)
           }
+          if (states.nonEmpty)
+            maxGroupRows.set(states.valuesIterator.map(_.kept.toLong).max)
           states.iterator.flatMap(_._2.emit)
       }
     }

@@ -146,8 +146,15 @@ object ScaleProfile {
     // operator without paying for the whole suite)
     val qs = if (args.length > 2) args.drop(2).toSeq else Queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle width decoupled from thread count (round-11 verdict item 2:
+    // the 16x/32x knee cells were measured at a deliberately PINNED 32-way
+    // width to expose per-partition hash-build memory; a real cluster
+    // scales width with data, so the width-proof sweep re-runs the knee
+    // with SPARK_GRAFT_SHUFFLE=64/128 and expects the super-linear cells
+    // to flatten toward ~2.1x/doubling).
+    val shuf = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuf)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -160,7 +167,16 @@ object ScaleProfile {
         qs.foreach { q =>
           val preexisting = spark.sparkContext.getPersistentRDDs.keySet
           val t0 = System.nanoTime()
-          graft.BenchAction.exec(graft.SparkEntry.queries(q)(spark, s"$base/m$m"))
+          // SPARK_GRAFT_R8_ADAPTIVE=1 swaps r8's declared fixed-unit face
+          // for the adaptive one — the ONLY way to run the m16/m32 cells
+          // (5.14M/10.3M nodes trip r7MassGuard at the declared 10^12;
+          // adaptiveUnit selects 10^11 there, the guard's documented remedy)
+          val fn: (org.apache.spark.sql.SparkSession, String) => DataFrame =
+            if (q == "r8_pagerank_redist" &&
+                sys.env.get("SPARK_GRAFT_R8_ADAPTIVE").contains("1"))
+              graft.ops.Rdf.r7RedistributedAdaptive
+            else graft.SparkEntry.queries(q)
+          graft.BenchAction.exec(fn(spark, s"$base/m$m"))
           val t = (System.nanoTime() - t0) / 1e9
           // release only the Ckpt'd blocks THIS rep created (Bench.once's
           // discipline — blanket unpersist invalidates future caches)

@@ -20,6 +20,24 @@ object GraftBridge {
   def drainListenerBus(spark: SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** SQLMetric whose cross-task aggregation takes MAX instead of SUM —
+    * for per-task state-size watermarks (e.g. TopKPerGroupExec's largest
+    * per-group tie-class buffer), where summing task maxima over-reports
+    * and hides the actual high-water mark. Each task `set`s its local
+    * maximum on its own copy; the driver-side `merge` keeps the largest.
+    * Lives here because `AccumulatorV2.register` is private[spark].
+    */
+  def createMaxMetric(sc: org.apache.spark.SparkContext,
+      name: String): org.apache.spark.sql.execution.metric.SQLMetric = {
+    val m = new org.apache.spark.sql.execution.metric.SQLMetric("sum", 0L) {
+      override def merge(
+          other: org.apache.spark.util.AccumulatorV2[Long, Long]): Unit =
+        if (other.value > value) set(other.value)
+    }
+    m.register(sc, Some(name), countFailedValues = false)
+    m
+  }
+
   /** Register a native expression in the live session's FunctionRegistry
     * (sessionState is private[sql]) — the runtime analog of
     * SparkSessionExtensions.injectFunction for sessions the caller did not

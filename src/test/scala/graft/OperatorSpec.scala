@@ -198,6 +198,15 @@ class OperatorSpec extends SparkSpec {
     val open = SetSim.pairs(enc, blocks = 4, maxBucket = Long.MaxValue)
       .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
     assert(guarded === open)
+    // plan-shape assertion (round-11 ADVICE item 2): the fuse must SURVIVE
+    // optimization — if a rewrite ever folds the assert_true/raise_error
+    // subtree out of the executed plan, the guard is silently gone even
+    // though results stay correct. Both join edges now derive from the
+    // guarded frame, and the optimized plan must still carry the error.
+    val optimized = SetSim.pairs(enc, blocks = 4)
+      .queryExecution.optimizedPlan.toString
+    assert(optimized.contains("raise_error") || optimized.contains("assert_true"),
+      "bucket-fuse assert subtree was optimized out of the executed plan")
   }
 
   test("SetSim encodes identically through mask and hashed-id paths") {

@@ -123,4 +123,41 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(got.size == 3, s"expected exactly 3 rows, got ${got.size}")
     assert(got == expected)
   }
+
+  test("maxGroupRows metric surfaces a skewed Dense tier (max-merged, not summed)") {
+    // round-11 ADVICE item 4: Dense's per-value multiplicity is unbounded —
+    // a skewed top tier buffers every row of that tier with no spill path.
+    // The metric must record the high-water mark so the pressure shows in
+    // the SQL UI. 400 rows share the single top value in one group; other
+    // groups stay tiny; input spread over 6 partitions so the driver-side
+    // merge across tasks must take MAX (a sum-merged metric would read the
+    // per-partition slices of the hot tier summed ≈ right here, but would
+    // also sum across groups/tasks generally — the final phase sees the
+    // whole 400-row tier in ONE group state, which is the asserted bound).
+    val hot = (1 to 400).map(i => ("hot", 99, i.toLong))
+    val cold = (1 to 50).map(i => (s"g${i % 5}", i % 7, 1000L + i))
+    val df = (hot ++ cold).toDF("g", "v", "id").repartition(6)
+    // AQE hides executed stages behind leaf QueryStageExec wrappers, which
+    // would hide the exec nodes (and their metric instances) from collect;
+    // the metric itself is AQE-agnostic, so assert on the plain plan.
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = TopKPerGroup(df, Seq("g"), Seq(("v", true)), 1,
+        graft.plans.TopKTies.Dense)
+      // execute THIS query execution (count() would plan its own, pruned one)
+      assert(q.collect().length >= 400)
+      val execs = q.queryExecution.executedPlan.collect {
+        case t: graft.plans.TopKPerGroupExec => t
+      }
+      assert(execs.size === 2, "expected partial+final TopKPerGroupExec pair")
+      val finalMax = execs.find(!_.partial).get.metrics("maxGroupRows").value
+      assert(finalMax === 400L,
+        s"final phase must see the whole hot tier in one group state: $finalMax")
+      // partial phase: no task holds more than its partition's share, and the
+      // max-merge keeps the largest single-task watermark (≤ 400, > 0)
+      val partMax = execs.find(_.partial).get.metrics("maxGroupRows").value
+      assert(partMax > 0L && partMax <= 400L, s"partial watermark: $partMax")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
 }
