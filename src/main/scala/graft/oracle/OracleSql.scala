@@ -2872,6 +2872,51 @@ object OracleSql {
         |     AS DOUBLE)
         |   / CAST(SUM(wc) AS DOUBLE), 4) + 0.0 AS dup_share
         |FROM d JOIN s USING (h)
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // m-group: the media table is a deterministic derivation of documents
+    // (kind = doc_id mod 3 over image/audio/video, blob = encode(text)),
+    // so blob statistics restate as octet_length/md5 over the text column
+    // (md5(VARCHAR) hashes the UTF-8 bytes = the Spark side's blob md5)
+    "m1_media_rollup" ->
+      """WITH m AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   octet_length(encode(text)) AS byte_len,
+        |   md5(text) AS sig
+        |  FROM documents)
+        |SELECT kind, CAST(COUNT(*) AS BIGINT) AS items,
+        | CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+        | CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_sigs,
+        | CAST(MIN(byte_len) AS INT) AS min_bytes,
+        | CAST(MAX(byte_len) AS INT) AS max_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // m2: 64-byte frame slicing is pure integer arithmetic on the blob
+    // length; video kind = doc_id mod 3 = 2
+    "m2_frame_sample" ->
+      """SELECT doc_id,
+        | CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS total_bytes,
+        | CAST(((octet_length(encode(text)) - 1) % 64) + 1 AS INT)
+        |   AS last_frame_bytes
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+
+    // m3: the fixture payload is pure ASCII (FixtureContractSpec), so the
+    // first 64 CHARS the VARCHAR functions see are the first 64 BYTES the
+    // Spark side slices from the blob
+    "m3_media_prefix" ->
+      """WITH p AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   md5(substring(text, 1, 64)) AS prefix_sig,
+        |   md5(text) AS full_sig
+        |  FROM documents)
+        |SELECT prefix_sig, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        | CAST(COUNT(DISTINCT full_sig) AS BIGINT) AS n_variants,
+        | CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
+        | MIN(doc_id) AS first_doc
+        |FROM p GROUP BY prefix_sig HAVING COUNT(*) >= 2
+        |ORDER BY prefix_sig""".stripMargin
   )
 }

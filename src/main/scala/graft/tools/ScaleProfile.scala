@@ -130,7 +130,14 @@ object ScaleProfile {
     // w13 is w12's dense sibling: ≤ 2 value classes per supplier, ×m
     // disjoint supplier groups; s19 is one type-keyed exact-percentile
     // agg over ×m rows (shared 10-type axis — output constant)
-    "w13_topk_dense", "s19_value_quantiles")
+    "w13_topk_dense", "s19_value_quantiles",
+    // round 12 — the m-group rides ×m documents copies: m1 is a narrow
+    // mapPartitions hash pass + 3-group agg (blob mass ×m, output
+    // constant); m2's frame flatMap is linear in blob bytes (×m rows
+    // out); m3's prefix groups are COPY-LOCAL (suffixed tokens change
+    // byte 1 of most prefixes) so groups grow ~×m with no cross-copy
+    // collisions
+    "m1_media_rollup", "m2_frame_sample", "m3_media_prefix")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -48,4 +48,17 @@ class FixtureContractSpec extends SparkSpec {
       .selectExpr("min(l_linenumber)", "max(l_linenumber)").head()
     assert(r.getInt(0) >= 0 && r.getInt(1) <= 7)
   }
+
+  test("documents.text is pure ASCII — guards m3's char-prefix == byte-prefix oracle") {
+    // m3 slices the first 64 BYTES of the media blob; its DuckDB oracle can
+    // only slice VARCHAR characters (md5/substring are VARCHAR-only there).
+    // The two agree iff every text is single-byte — assert it so a future
+    // fixture with multi-byte chars fails HERE, not as an m3 hash drift.
+    val nonAscii = Tables.documents(spark, sf001)
+      .filter("length(text) <> octet_length(encode(text, 'UTF-8'))").count()
+    assert(nonAscii === 0L)
+    val nonAscii01 = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter("length(text) <> octet_length(encode(text, 'UTF-8'))").count()
+    assert(nonAscii01 === 0L)
+  }
 }

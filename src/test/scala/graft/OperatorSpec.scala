@@ -2545,4 +2545,58 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - gini) < 1.01e-4)
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
+
+  private def md5bytes(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+
+  test("m1 media rollup equals driver recomputation over encode(text) blobs") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val kinds = Array("image", "audio", "video")
+    val expected = docs.groupBy { case (id, _) => kinds((id % 3).toInt) }
+      .map { case (k, g) =>
+        (k, g.length.toLong, g.map(_._2.length.toLong).sum,
+          g.map(x => md5bytes(x._2)).distinct.length.toLong,
+          g.map(_._2.length).min, g.map(_._2.length).max)
+      }.toSeq.sortBy(_._1)
+    val got = ops.Media.m1(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("m2 frame accounting equals the ceil/tail arithmetic per video blob") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8").length))
+      .filter(_._1 % 3 == 2)
+    val expected = docs.map { case (id, len) =>
+      (id, ((len + 63) / 64).toLong, len.toLong, ((len - 1) % 64) + 1)
+    }.sortBy(_._1).toSeq
+    val got = ops.Media.m2(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("m3 blob-prefix groups equal driver recomputation; spans kinds") {
+    val kinds = Array("image", "audio", "video")
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val expected = docs.map { case (id, b) =>
+      (md5bytes(b.take(64)), id, md5bytes(b), kinds((id % 3).toInt))
+    }.groupBy(_._1).filter(_._2.length >= 2).map { case (ps, g) =>
+      (ps, g.length.toLong, g.map(_._3).distinct.length.toLong,
+        g.map(_._4).distinct.length.toLong, g.map(_._2).min)
+    }.toSet
+    val got = ops.Media.m3(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture lost its shared 64-byte prefixes")
+    assert(got.exists(_._4 > 1L), "no prefix group spans kinds — n_kinds inert")
+  }
 }
