@@ -22,36 +22,26 @@ object Bench {
     * the tiered-precision line reached 1,999/2,000 chars — the driver keeps
     * only a 2,000-char stdout TAIL, so one more growth round would truncate
     * the line's head and record parsed:null. The bench line therefore emits
-    * ALIAS keys ("a12" for a12_stat_moments) and the committed sidecar
-    * `bench_keys.json` maps alias → full query key (regenerate with
-    * `sbt 'runMain graft.tools.BenchKeys'`; ContractSpec asserts the file
-    * matches this function and models a 120-key worst case ≤ 1,900 chars).
+    * ALIAS keys and the committed sidecar `bench_keys.json` maps alias →
+    * full query key (regenerate with `sbt 'runMain graft.tools.BenchKeys'`;
+    * ContractSpec asserts the file matches this function and that the
+    * all-integer worst-case line with pad margin fits 1,999 chars).
     *
-    * Scheme (deterministic from the key set alone — no ordinal drift when
-    * queries are added or reordered): alias = the key's first `_`-segment
-    * ("x21"); colliding aliases append successive later-segment initials
-    * until unique ("x21_semdedup" → "x21s", "x21_semdedup_learned" →
-    * "x21sl" — the shorter name keeps the shorter alias because it has no
-    * further segment to append).
+    * Scheme (round 12, the 2-char ENUMERATED form the round-11 ADVICE
+    * called for before ~200 keys — the mnemonic first-segment scheme's
+    * ~2.6-char average tripped the worst-case guard at the 200-key board):
+    * keys sorted, alias i = base-26 "aa".."zz" (capacity 676). Every key
+    * costs exactly len("\"aa\":99,") = 8 chars at 2-char values, so the
+    * line budget is linear and predictable. Deterministic from the key
+    * set alone; ADDING a key shifts later aliases, which is safe because
+    * every BENCH_r*.json is decoded through the sidecar committed in the
+    * same round — cross-round comparison always goes through full names.
     */
   def aliasMap(names: Seq[String]): Map[String, String] = {
-    def alias(n: String, lvl: Int): String = {
-      val segs = n.split('_')
-      segs.head + segs.iterator.drop(1).take(lvl).map(_.head).mkString
-    }
-    val lvl = scala.collection.mutable.Map(names.map(_ -> 0): _*)
-    var dups = Seq.empty[String]
-    var progress = true
-    while ({ dups = names.groupBy(n => alias(n, lvl(n))).values
-               .filter(_.size > 1).flatten.toSeq
-             dups.nonEmpty && progress }) {
-      progress = false
-      dups.foreach { n =>
-        if (lvl(n) < n.count(_ == '_')) { lvl(n) += 1; progress = true }
-      }
-    }
-    require(dups.isEmpty, s"unresolvable alias collisions: $dups")
-    names.map(n => n -> alias(n, lvl(n))).toMap
+    require(names.size <= 676, s"alias space exhausted: ${names.size} keys")
+    names.sorted.zipWithIndex.map { case (n, i) =>
+      n -> s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+    }.toMap
   }
 
   def main(args: Array[String]): Unit = {

@@ -596,4 +596,31 @@ object Aggs {
           / count(lit(1)).cast("double")).as("wins_mean"))
       .orderBy("o_orderpriority")
   }
+
+  /** a26 — DISCRETE (inverse-distribution) quantiles: per return flag, the
+    * smallest l_quantity whose cumulative share reaches 25/50/75/95% —
+    * `percentile_disc ... WITHIN GROUP`, the ANSI surface a10's continuous
+    * `percentile` deliberately does not cover. Discrete quantiles SELECT an
+    * input value instead of interpolating, so the output is exact integer
+    * math end-to-end (l_quantity is integer-valued in the fixture; BIGINT
+    * on both engines — no float boundary exists to misround). DuckDB twin:
+    * `quantile_disc`, which implements the same cume_dist >= p selection.
+    *
+    * Scale: one flag-keyed aggregation; Spark evaluates percentile_disc as
+    * a typed aggregate over the group's value counts — state is the
+    * distinct-value histogram per group (50 quantities here), not the row
+    * list, and the 3-flag axis is domain-bounded at any corpus.
+    */
+  def a26(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_quantity").cast("bigint").as("q"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        // percentile_disc SELECTS an input value but returns DOUBLE; the
+        // cast back to BIGINT is lossless (values are small integers)
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("q25"),
+        expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("q50"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("q75"),
+        expr("CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY q) AS BIGINT)").as("q95"))
+      .orderBy("l_returnflag")
 }

@@ -498,6 +498,33 @@ object Events {
     * `approx_percentile` (capability tier) — the exact form is the
     * oracle-checkable declaration.
     */
+  /** s20 — DAY-OF-WEEK activity profile per event type: the weekday/weekend
+    * rhythm card (s16's hour-of-day sibling on the week axis). The weekday
+    * is PURE INTEGER math on the epoch-ns long — `(epochDay + 3) mod 7`
+    * with Monday = 0 (1970-01-01 was a Thursday) — so no calendar/timezone
+    * function's engine semantics can drift the bucketing (UTC day
+    * boundaries by construction). Share-of-type is one rounded double
+    * division over exact longs (D4).
+    *
+    * Scale: one (type, dow)-keyed count over the corpus, then a window on
+    * the AGGREGATED frame — |types|×7 rows, domain-bounded at any corpus.
+    */
+  def s20(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"((ts div ${24L * NsPerHour}) + 3) % 7").as("dow"))
+      .groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("event_type")
+    cell
+      .withColumn("type_total", sum(col("cnt")).over(w))
+      .select(col("event_type"), col("dow").cast("int").as("dow"),
+        col("cnt"), col("type_total"),
+        graft.Det.round4nz(col("cnt").cast("double")
+          / col("type_total").cast("double")).as("dow_share"))
+      .orderBy("event_type", "dow")
+  }
+
   def s19(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"), graft.Det.dec2(col("value")).cast("double").as("v"))

@@ -511,4 +511,35 @@ object Joins {
           .as("n_same_bal"))
       .orderBy("nationkey")
   }
+
+  /** j22 — EXISTS-FLAG aggregation: the semi-join family (j5/j18) answers
+    * "which orders match"; this answers "how MANY match, per segment,
+    * across several EXISTS predicates at once" without running one
+    * semi-join per predicate. The fact side is pre-aggregated to one
+    * boolean flag row per order (`max(CASE)` ≡ EXISTS — the reduce-side
+    * flag trick), then ONE left join carries both flags to orders and a
+    * priority rollup counts them (left join keeps flag-less orders in
+    * n_orders, coalesced to 0).
+    *
+    * Scale: the per-order flag agg is a map-side-combinable keyed count
+    * (state = 2 ints per order), the join is the orders⨝lineitem equi
+    * shape every TPC-H query pays, and the rollup axis is the 5-priority
+    * domain — 2 keyed shuffles total however many EXISTS predicates ride
+    * along (vs 1 shuffle PER predicate as stacked semi-joins).
+    */
+  def j22(s: SparkSession, d: String): DataFrame = {
+    val flags = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("has_ret"),
+        max(when(col("l_quantity") >= 45, 1).otherwise(0)).as("has_big"))
+    Tables.orders(s, d)
+      .join(flags, col("o_orderkey") === col("l_orderkey"), "left")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(coalesce(col("has_ret"), lit(0))).as("n_with_return"),
+        sum(coalesce(col("has_big"), lit(0))).as("n_with_big"),
+        sum(when(col("has_ret") === 1 && col("has_big") === 1, 1)
+          .otherwise(0)).as("n_with_both"))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -69,6 +69,32 @@ object Media {
     * need a byte-slicing oracle (DuckDB md5/substring are VARCHAR-only).
     * Same shape as m1: narrow hash pass + one keyed agg, no joins.
     */
+  /** m4 — MEDIA MIXTURE card: byte and item mass per (kind, lang) cell
+    * with each cell's share of its kind's bytes — the multimodal twin of
+    * x28/x46's text-mixture accounting (a media training mix is balanced
+    * in BYTES, not items: audio/video blobs dwarf images). Language rides
+    * in from the documents table by ONE doc_id-keyed equi-join (media
+    * metadata is kept lean; joining the 8-byte key costs less at 100 TB
+    * than carrying lang through every blob row). The share window runs on
+    * the AGGREGATED cell frame — |kinds|×|langs| rows, domain-bounded.
+    */
+  def m4(s: SparkSession, d: String): DataFrame = {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+      .select(col("doc_id"), col("kind"), col("byte_len"))
+    val lang = graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val cell = feats.join(lang, Seq("doc_id"))
+      .groupBy(col("kind"), col("lang"))
+      .agg(count(lit(1)).as("items"),
+        sum(col("byte_len")).cast("bigint").as("total_bytes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("kind")
+    cell
+      .withColumn("kind_bytes", sum(col("total_bytes")).over(w))
+      .select(col("kind"), col("lang"), col("items"), col("total_bytes"),
+        graft.Det.round4nz(col("total_bytes").cast("double")
+          / col("kind_bytes").cast("double")).as("byte_share"))
+      .orderBy("kind", "lang")
+  }
+
   def m3(s: SparkSession, d: String): DataFrame =
     Multimodal.prefixSignatures(Multimodal.mediaFromDocuments(s, d), 64)
       .groupBy(col("prefix_sig"))

@@ -2380,6 +2380,36 @@ object Pipeline {
     * agg with an exact count-distinct (a2's Expand argument applies; the
     * distinct axis is bounded by group size) — corpus-linear, no joins.
     */
+  /** x60 — SUFFIX (tail-boilerplate) dedup groups: x58's mirror on the
+    * document TAIL — docs sharing an identical last-3-token suffix (the
+    * signature/footer catch; scraped corpora repeat trailing boilerplate
+    * as often as headers). The window is 3 tokens because that is where
+    * the fixture's tail structure lives (20-token suffixes are all unique
+    * at sf0.01 — verified at build time — while 3-token tails form 7
+    * groups spanning distinct full texts); a production corpus tunes the
+    * window exactly like x58's prefix length. Negative-start `slice`
+    * (`greatest(1, n-2)`) keeps short docs total.
+    *
+    * Scale: identical to x58 — one narrow pass (slice + two md5s) + ONE
+    * suffix-keyed agg with exact count-distinct; corpus-linear, no joins.
+    */
+  def x60(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(toks, greatest(lit(1), size(toks) - 2), lit(3)))
+          .cast("binary")).as("suffix_hash"),
+        md5(lower(trim(col("text"))).cast("binary")).as("fh"))
+      .groupBy("suffix_hash")
+      .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_docs"),
+        countDistinct(col("fh")).as("n_full_variants"))
+      .filter(col("n_docs") >= 2)
+      .select(col("survivor_id"), col("suffix_hash"), col("n_docs"),
+        col("n_full_variants"))
+      .orderBy("survivor_id")
+  }
+
   def x58(s: SparkSession, d: String): DataFrame = {
     Tables.documents(s, d)
       .select(col("doc_id"),

@@ -301,4 +301,34 @@ object Scalars {
         / greatest(length(col("p_name")), length(col("p_type")))
           .cast("double")).as("name_type_sim"))
       .orderBy("p_partkey")
+
+  /** f17 — HIGHER-ORDER array-function batch (lambda surface beyond f4's
+    * filter/aggregate/slice): `transform` (per-element projection),
+    * `exists`/`forall` (short-circuit predicates → BOOLEAN columns, D9-
+    * stable since s18), `array_max` over a transformed array, and an
+    * `aggregate` fold over the transform's output — the Catalyst
+    * HigherOrderFunction family DuckDB mirrors as
+    * list_transform/list_filter/list_max/list_sum. All lambdas run inside
+    * codegen on the tokenized documents pass — a narrow per-row
+    * projection, no shuffle, no UDF.
+    *
+    * Type parity pins: Spark `length` is INT while DuckDB's is BIGINT, so
+    * the fold seeds a LONG accumulator and the oracle CASTs its
+    * list-derived scalars to the Spark output types (INT counts, BIGINT
+    * mass, BOOLEAN flags).
+    */
+  def f17(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("lens", transform(col("toks"), t => length(t)))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        array_max(col("lens")).as("max_len"),
+        aggregate(col("lens"), lit(0L), (a, x) => a + x).as("char_mass"),
+        // thresholds sit inside the fixture's max-token-length range (5–8
+        // at every SF), so both flags take both values corpus-wide
+        exists(col("lens"), x => x > 6).as("has_long"),
+        forall(col("lens"), x => x < 8).as("all_short"),
+        size(filter(col("lens"), x => x >= 6)).as("n_ge6"))
+      .orderBy("doc_id")
 }

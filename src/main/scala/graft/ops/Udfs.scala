@@ -274,4 +274,37 @@ object Udfs {
       .orderBy("l_suppkey", "ship_date", "l_orderkey", "l_linenumber",
         "run_wavg")
   }
+
+  case class Ev(user_id: Long, event_id: Long, ts: Long, event_type: String,
+    value: Double)
+
+  /** u9 — typed `reduceGroups` ARGMAX: each user's single highest-value
+    * event via `KeyValueGroupedDataset.reduceGroups` — the typed-API
+    * surface u7's `mapGroups` does not cover (reduce is a COMBINABLE
+    * binary op: Spark runs it map-side per partition before the shuffle,
+    * so per-group traffic is ONE row however many events a user has —
+    * the typed twin of max_by). Total order: value desc, then ts asc,
+    * then event_id asc (D6 — value ties across events are possible at
+    * 2-dp fixture values), so the reduction is associative-safe under any
+    * combine order. Output columns are raw COPIES of the winning row
+    * (bit-identical on both engines); the oracle states the same argmax
+    * as a ROW_NUMBER() = 1 window.
+    */
+  def u9(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("value"))
+      .as[Ev]
+    def better(a: Ev, b: Ev): Ev =
+      if (a.value != b.value) { if (a.value > b.value) a else b }
+      else if (a.ts != b.ts) { if (a.ts < b.ts) a else b }
+      else if (a.event_id < b.event_id) a else b
+    ds.groupByKey(_.user_id)
+      .reduceGroups(better _)
+      .map(_._2)
+      .select(col("user_id"), col("event_id").as("top_event_id"),
+        col("event_type").as("top_type"), col("value").as("top_value"))
+      .orderBy("user_id")
+  }
 }

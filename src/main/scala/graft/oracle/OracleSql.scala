@@ -2917,6 +2917,111 @@ object OracleSql {
         | CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
         | MIN(doc_id) AS first_doc
         |FROM p GROUP BY prefix_sig HAVING COUNT(*) >= 2
-        |ORDER BY prefix_sig""".stripMargin
+        |ORDER BY prefix_sig""".stripMargin,
+
+    // m4: share window over the aggregated (kind, lang) cells — DuckDB
+    // window SUM(BIGINT) is HUGEINT, cast before the double division (D9)
+    "m4_media_mix" ->
+      """WITH m AS (SELECT doc_id, lang,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   octet_length(encode(text)) AS bl
+        |  FROM documents),
+        | cell AS (SELECT kind, lang, COUNT(*) AS items,
+        |   CAST(SUM(bl) AS BIGINT) AS total_bytes
+        |  FROM m GROUP BY 1, 2)
+        |SELECT kind, lang, items, total_bytes,
+        | ROUND(CAST(total_bytes AS DOUBLE)
+        |   / CAST(CAST(SUM(total_bytes) OVER (PARTITION BY kind) AS BIGINT)
+        |       AS DOUBLE), 4) + 0.0 AS byte_share
+        |FROM cell ORDER BY kind, lang""".stripMargin,
+
+    // f17: DuckDB length() is BIGINT where Spark's is INT — CAST every
+    // list-derived scalar to the Spark output type
+    "f17_higher_order" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_toks,
+        | CAST(list_max(list_transform(tk, x -> length(x))) AS INT)
+        |   AS max_len,
+        | CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT)
+        |   AS char_mass,
+        | len(list_filter(tk, x -> length(x) > 6)) > 0 AS has_long,
+        | len(list_filter(tk, x -> length(x) >= 8)) = 0 AS all_short,
+        | CAST(len(list_filter(tk, x -> length(x) >= 6)) AS INT) AS n_ge6
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // a26: the oracle states percentile_disc BY DEFINITION (smallest value
+    // with cumulative share >= p, integer compare — no builtin semantics
+    // to trust on either engine; Spark's percentile_disc implements
+    // exactly this cume_dist >= p selection)
+    "a26_quantile_disc" ->
+      """WITH v AS (SELECT l_returnflag AS f, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem),
+        | c AS (SELECT f, q, COUNT(*) AS n FROM v GROUP BY 1, 2),
+        | cum AS (SELECT f, q,
+        |   CAST(SUM(n) OVER (PARTITION BY f ORDER BY q) AS BIGINT) AS cum,
+        |   CAST(SUM(n) OVER (PARTITION BY f) AS BIGINT) AS total
+        |  FROM c)
+        |SELECT f AS l_returnflag, MAX(total) AS n_rows,
+        | MIN(CASE WHEN cum * 100 >= total * 25 THEN q END) AS q25,
+        | MIN(CASE WHEN cum * 100 >= total * 50 THEN q END) AS q50,
+        | MIN(CASE WHEN cum * 100 >= total * 75 THEN q END) AS q75,
+        | MIN(CASE WHEN cum * 100 >= total * 95 THEN q END) AS q95
+        |FROM cum GROUP BY f ORDER BY f""".stripMargin,
+
+    // s20: weekday = pure integer math on epoch-ns ((epochDay + 3) mod 7,
+    // Monday = 0) — no calendar function semantics on either engine
+    "s20_dow_profile" ->
+      """WITH c AS (SELECT event_type,
+        |   ((epoch_ns(ts) // (86400 * 1000000000::BIGINT)) + 3) % 7 AS dow,
+        |   COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS INT) AS dow, cnt,
+        | CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |   AS type_total,
+        | ROUND(CAST(cnt AS DOUBLE)
+        |   / CAST(CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |       AS DOUBLE), 4) + 0.0 AS dow_share
+        |FROM c ORDER BY event_type, dow""".stripMargin,
+
+    "j22_exists_flags" ->
+      """WITH fl AS (SELECT l_orderkey,
+        |   MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret,
+        |   MAX(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS has_big
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(COALESCE(has_ret, 0)) AS BIGINT) AS n_with_return,
+        | CAST(SUM(COALESCE(has_big, 0)) AS BIGINT) AS n_with_big,
+        | CAST(SUM(CASE WHEN has_ret = 1 AND has_big = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_with_both
+        |FROM orders LEFT JOIN fl ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // u9: output columns are raw copies of the winning row, so the oracle
+    // is the same argmax stated as ROW_NUMBER() = 1 (ties: value desc,
+    // ts asc, event_id asc — D6 total order)
+    "u9_typed_argmax" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, value,
+        |   ROW_NUMBER() OVER (PARTITION BY user_id
+        |     ORDER BY value DESC, ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id AS top_event_id, event_type AS top_type,
+        | value AS top_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // x60: x58's suffix mirror — tk[greatest(1, len-2):] is the last-3
+    // slice `slice(toks, greatest(1, size-2), 3)` states on the Spark side
+    "x60_suffix_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk,
+        |   md5(lower(trim(text))) AS fh FROM documents),
+        | g AS (SELECT
+        |   md5(array_to_string(tk[greatest(1, len(tk) - 2):], ' '))
+        |     AS suffix_hash,
+        |   MIN(doc_id) AS survivor_id, COUNT(*) AS n_docs,
+        |   CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_full_variants
+        |  FROM t GROUP BY 1)
+        |SELECT survivor_id, suffix_hash, n_docs, n_full_variants
+        |FROM g WHERE n_docs >= 2 ORDER BY survivor_id""".stripMargin
   )
 }

@@ -137,7 +137,18 @@ object ScaleProfile {
     // out); m3's prefix groups are COPY-LOCAL (suffixed tokens change
     // byte 1 of most prefixes) so groups grow ~×m with no cross-copy
     // collisions
-    "m1_media_rollup", "m2_frame_sample", "m3_media_prefix")
+    "m1_media_rollup", "m2_frame_sample", "m3_media_prefix",
+    // round-12 batch 2: m4 adds one doc_id-keyed join to m1's shape (lang
+    // axis shared → cells constant, rows ×m); f17 is a pure narrow lambda
+    // projection (×m rows); a26's histogram state is the 50-value quantity
+    // domain per flag (constant) over ×m rows; s20 is a (type, dow)-keyed
+    // count (output constant); j22 rides the ×m orders⨝lineitem equi
+    // shape (disjoint orderkey copies); u9's reduce is map-side combined
+    // over ×m disjoint user populations; x60's suffix groups REPLICATE
+    // copy 0 (suffixed tokens make tails copy-local) → groups ×m
+    "m4_media_mix", "f17_higher_order", "a26_quantile_disc",
+    "s20_dow_profile", "j22_exists_flags", "u9_typed_argmax",
+    "x60_suffix_dedup")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

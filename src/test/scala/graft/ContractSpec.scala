@@ -33,27 +33,25 @@ class ContractSpec extends SparkSpec {
     // (centi → deci → demote fastest queries to integer seconds) keeps
     // any REAL line ≤ 1,999, so the ONE invariant the ladder cannot save
     // is its own floor: the all-integer (2-char-value) line must fit the
-    // driver's 2,000-char tail. Re-derived at the 178-key round-10 board
-    // (re-derived round 11 at the 188-key board — the round-10 25-pad
-    // margin tripped at 188 by erosion, 2,009/1,999, while the REAL
-    // all-integer line reads ~1,709): each key costs len(alias)+6 chars
-    // at 2-char values ("\"a12\":99,"), aliases average ~2.6 chars. Guard
-    // = current aliases plus 18 synthetic 5-char pads — one more than the
-    // largest round-sized addition ever (round 9's +17), and the guard
-    // re-runs per commit so a bigger future round trips it BEFORE the
-    // bench line can truncate, with headroom to react. If it trips on
-    // alias growth rather than pad margin, shrink the scheme (a 2-char
-    // enumerated alias + the committed sidecar stays valid to ~200 keys;
-    // past that the envelope's "keys" pointer field is the next 25 chars
-    // to reclaim).
-    val aliases = Bench.aliasMap(SparkEntry.queries.keys.toSeq).values.toSeq.sorted
-    val padded = aliases ++ (0 until 18).map(i => f"zz$i%03dx")
-    val qs = padded.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
+    // driver's 2,000-char tail. Round 12 moved to the 2-char ENUMERATED
+    // alias scheme (the mnemonic first-segment scheme's ~2.6-char average
+    // tripped this guard at the 200-key board — the escalation the
+    // round-11 ADVICE called for): every key now costs exactly 8 chars at
+    // 2-char values ("\"aa\":99,"), so the budget is linear — 1,999 chars
+    // holds ~237 keys + envelope. Guard = the real key set plus 18
+    // synthetic pads (one more than the largest round ever, round 9's
+    // +17), modeled through the SAME aliasMap so pad aliases cost what
+    // real ones would. Past ~230 keys the envelope's 25-char
+    // "keys":"bench_keys.json" pointer is the next reclaim.
+    val padded = SparkEntry.queries.keys.toSeq ++
+      (0 until 18).map(i => f"zzpad$i%03d_guard")
+    val aliases = Bench.aliasMap(padded).values.toSeq.sorted
+    val qs = aliases.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":999.99,"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"sf0.1"}"""
     assert(line.length <= 1999,
       s"worst-case ${padded.size}-key all-integer bench line is ${line.length} chars " +
         "(> 1999): the precision ladder can no longer fit the driver tail — " +
-        "shrink the alias scheme")
+        "reclaim the keys-pointer field or widen the alias space")
   }
 
   test("declared queries are install-independent (vanilla session ≡ extensions)") {

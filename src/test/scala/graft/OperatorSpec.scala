@@ -2599,4 +2599,143 @@ class OperatorSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture lost its shared 64-byte prefixes")
     assert(got.exists(_._4 > 1L), "no prefix group spans kinds — n_kinds inert")
   }
+
+  test("m4 media mix equals driver recomputation; shares sum to ~1 per kind") {
+    val kinds = Array("image", "audio", "video")
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"lang", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).getBytes("UTF-8").length.toLong))
+    val cells = docs.groupBy { case (id, l, _) => (kinds((id % 3).toInt), l) }
+      .map { case ((k, l), g) => ((k, l), (g.length.toLong, g.map(_._3).sum)) }
+    val kindBytes = cells.groupBy(_._1._1)
+      .map { case (k, m) => k -> m.values.map(_._2).sum }
+    val expected = cells.map { case ((k, l), (n, b)) =>
+      (k, l, n, b, BigDecimal(b.toDouble / kindBytes(k).toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = ops.Media.m4(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) === ((e._1, e._2, e._3, e._4)))
+      assert(math.abs(g._5 - e._5) < 1.5e-4, s"$g vs $e")
+    }
+    got.groupBy(_._1).foreach { case (k, rows) =>
+      assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-3, s"$k shares")
+    }
+  }
+
+  test("f17 higher-order lambdas equal per-row recomputation; flags discriminate") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val lens = text.split(" ", -1).map(_.length)
+      (id, lens.length, lens.max, lens.map(_.toLong).sum,
+        lens.exists(_ > 6), lens.forall(_ < 8), lens.count(_ >= 6))
+    }.sortBy(_._1).toSeq
+    val got = ops.Scalars.f17(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getInt(6))).toSeq
+    assert(got === expected)
+    assert(got.exists(_._5) && got.exists(!_._5), "has_long is inert")
+    assert(got.exists(_._6) && got.exists(!_._6), "all_short is inert")
+  }
+
+  test("a26 discrete quantiles: smallest value with cume share >= p, exactly") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_returnflag", $"l_quantity".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = li.groupBy(_._1).map { case (f, g) =>
+      val qs = g.map(_._2).sorted
+      def disc(p: Int): Long = qs((qs.length * p + 99) / 100 - 1)
+      (f, g.length.toLong, disc(25), disc(50), disc(75), disc(95))
+    }.toSeq.sortBy(_._1)
+    // disc(p) above = value at 1-based index ceil(n*p/100) — exactly the
+    // smallest value whose cumulative count reaches p% of n
+    val got = ops.Aggs.a26(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got === expected)
+  }
+
+  test("s20 dow profile equals integer epoch-day recomputation") {
+    val ev = Tables.events(spark, sf001)
+      .select($"event_type", $"ts").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cells = ev.groupBy { case (t, ts) =>
+      (t, ((ts / (86400L * 1000000000L)) + 3) % 7)
+    }.map { case (k, g) => k -> g.length.toLong }
+    val totals = cells.groupBy(_._1._1).map { case (t, m) => t -> m.values.sum }
+    val expected = cells.map { case ((t, dow), n) =>
+      (t, dow.toInt, n, totals(t),
+        BigDecimal(n.toDouble / totals(t).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.sortBy(x => (x._1, x._2))
+    val got = ops.Events.s20(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    got.zip(expected).foreach { case (g, e) =>
+      assert((g._1, g._2, g._3, g._4) === ((e._1, e._2, e._3, e._4)))
+      assert(math.abs(g._5 - e._5) < 1.5e-4)
+    }
+    assert(got.map(_._2).distinct.sorted === (0 to 6), "all 7 weekdays present")
+  }
+
+  test("j22 exists-flags equal stacked semi-join counts") {
+    // recompute via independent left-semi joins per predicate — the shape
+    // j22 exists to REPLACE (1 shuffle per predicate vs 2 total)
+    def semiCounts(pred: org.apache.spark.sql.Column) =
+      Tables.orders(spark, sf001)
+        .join(Tables.lineitem(spark, sf001).filter(pred)
+            .select($"l_orderkey").distinct(),
+          $"o_orderkey" === $"l_orderkey", "left_semi")
+        .groupBy("o_orderpriority").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ret = semiCounts($"l_returnflag" === "R")
+    val big = semiCounts($"l_quantity" >= 45)
+    val nOrders = Tables.orders(spark, sf001).groupBy("o_orderpriority")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = ops.Joins.j22(spark, sf001).collect()
+    rows.foreach { r =>
+      val p = r.getString(0)
+      assert(r.getLong(1) === nOrders(p), s"$p n_orders")
+      assert(r.getLong(2) === ret.getOrElse(p, 0L), s"$p n_with_return")
+      assert(r.getLong(3) === big.getOrElse(p, 0L), s"$p n_with_big")
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)), s"$p both")
+    }
+  }
+
+  test("u9 typed argmax equals the window argmax under the declared total order") {
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"event_id", $"ts", $"event_type", $"value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val expected = ev.groupBy(_._1).map { case (u, g) =>
+      val w = g.minBy(e => (-e._5, e._3, e._2))
+      (u, w._2, w._4, w._5)
+    }.toSeq.sortBy(_._1)
+    val got = ops.Udfs.u9(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+  }
+
+  test("x60 suffix groups equal driver recomputation; catches non-exact dups") {
+    def md5s(s: String): String = md5bytes(s.getBytes("UTF-8"))
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      (md5s(toks.takeRight(3).mkString(" ")), id, md5s(text.trim.toLowerCase))
+    }.groupBy(_._1).filter(_._2.length >= 2).map { case (sh, g) =>
+      (g.map(_._2).min, sh, g.length.toLong, g.map(_._3).distinct.length.toLong)
+    }.toSet
+    val got = ops.Pipeline.x60(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expected)
+    assert(got.exists(_._4 > 1L),
+      "no suffix group spans distinct full texts — x60 ≡ exact dedup")
+  }
 }
