@@ -93,7 +93,7 @@ object Pipeline {
   /** x1's 8-slot MinHash signature frame (one row per doc) — split out so
     * x44 can [[graft.Ckpt]] it once and feed BOTH the banding and the
     * per-pair slot-agreement probes from the same materialization. */
-  private def x1Sig(s: SparkSession, d: String): DataFrame = {
+  private[graft] def x1Sig(s: SparkSession, d: String): DataFrame = {
     val t = toks(s, d)
     // MinHash per DISTINCT token (vocabulary × 8 md5s), joined back and
     // min-aggregated per doc — identical minima to hashing inside each doc's

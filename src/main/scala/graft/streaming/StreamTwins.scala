@@ -460,6 +460,92 @@ object StreamTwins {
       }
   }
 
+  /** One (doc × band) row of the near-dup ingest feed: the band hash `bh`
+    * is the shard key, `slots` the doc's full 8-slot MinHash signature,
+    * `is_batch` whether the doc is ingest (classified) or corpus (index
+    * only). */
+  case class BandRow(doc_id: Long, lang: String, pos: Int, bh: String,
+    slots: Seq[String], is_batch: Boolean)
+  /** A signature stored in a band bucket's state. */
+  case class Member(doc_id: Long, slots: Seq[String], is_batch: Boolean)
+  case class BandIndex(members: Seq[Member])
+  /** A verified near-dup hit emitted by [[incrNearDup]]: ingest doc ×
+    * partner already in the index (≥ 6/8 slot agreement — x57's verify). */
+  case class NearDupHit(doc_id: Long, partner: Long,
+    partner_is_corpus: Boolean)
+
+  /** The banded feed for [[incrNearDup]] from an x1 signature frame
+    * (mh0..mh7 per doc): 4 band hashes per doc (x1/x57's 4×2 banding),
+    * signature riding along. Exactly x57's band projection.
+    */
+  def nearDupBandFeed(sig: DataFrame, isBatch: org.apache.spark.sql.Column): Dataset[BandRow] = {
+    import sig.sparkSession.implicits._
+    sig.select(col("doc_id"), col("lang"),
+        array((0 until 8).map(i => col(s"mh$i")): _*).as("slots"),
+        array(
+          md5(concat(col("mh0"), col("mh1")).cast("binary")),
+          md5(concat(col("mh2"), col("mh3")).cast("binary")),
+          md5(concat(col("mh4"), col("mh5")).cast("binary")),
+          md5(concat(col("mh6"), col("mh7")).cast("binary"))).as("bhs"),
+        isBatch.as("is_batch"))
+      .withColumn("pos", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        col("bhs")(col("pos")).as("bh"), col("slots"), col("is_batch"))
+      .as[BandRow]
+  }
+
+  /** x57's streaming face (round-11 verdict item 7, the NEAR-dup level of
+    * [[incrDedup]]): `flatMapGroupsWithState` keyed on the LSH band bucket
+    * (lang, pos, bh), whose state — the signatures seen in that bucket —
+    * IS x57's persisted banded MinHash index, maintained incrementally.
+    * Every arriving doc is verified (≥ 6/8 slot agreement, x57's
+    * signature-only verify — the corpus text is never rescanned) against
+    * the bucket's existing members; ingest docs (`is_batch`) emit a
+    * [[NearDupHit]] per verified partner and EVERY doc then joins the
+    * index for later arrivals. A doc belongs to 4 buckets, so its final
+    * classification needs the min over its hits across keys — a stateless
+    * rollup downstream of the hit stream (the pairs-table-then-batch
+    * shape production LSH ingest uses); StreamTwinsSpec asserts the
+    * rolled-up verdicts ≡ batch x57 exactly.
+    *
+    * First-arrival invariant (incrDedup's contract, lifted to pairs): the
+    * stream classifies each doc against the index AS OF its arrival, and
+    * within a micro-batch rows process in doc_id order — so any id-ordered
+    * feed split (corpus first, then the ingest batch in any number of
+    * chunks) converges to batch x57's classification.
+    *
+    * Scale: state is sharded by band bucket — the same key the batch
+    * index joins on; a skewed bucket is one hot state key (the l2
+    * bucket-fuse argument: cap or monitor in production, the shape stays
+    * keyed).
+    */
+  def incrNearDup(bands: Dataset[BandRow]): Dataset[NearDupHit] = {
+    import bands.sparkSession.implicits._
+    bands
+      .groupByKey(r => (r.lang, r.pos, r.bh))
+      .flatMapGroupsWithState[BandIndex, NearDupHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (String, Int, String), rows: Iterator[BandRow],
+         state: GroupState[BandIndex]) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[NearDupHit]
+          rows.toSeq.sortBy(_.doc_id).foreach { r =>
+            if (r.is_batch) members.foreach { m =>
+              val agree = (0 until 8).count(i => m.slots(i) == r.slots(i))
+              if (agree >= 6) {
+                if (!m.is_batch)
+                  out += NearDupHit(r.doc_id, m.doc_id, partner_is_corpus = true)
+                else if (m.doc_id < r.doc_id)
+                  out += NearDupHit(r.doc_id, m.doc_id, partner_is_corpus = false)
+              }
+            }
+            members = members :+ Member(r.doc_id, r.slots, r.is_batch)
+          }
+          state.update(BandIndex(members))
+          out.result().iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

@@ -106,6 +106,57 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("incremental NEAR-dup: streamed hits roll up to x57's classification") {
+    implicit val sqlCtx = spark.sqlContext
+    // the feed carries precomputed signatures (a real ingest pipeline
+    // computes MinHash at the edge); band rows come from x57's exact
+    // band projection over x1's signature frame
+    val feed = StreamTwins.nearDupBandFeed(
+      ops.Pipeline.x1Sig(spark, sf001), $"doc_id" % 5 === 4)
+      .collect().toSeq.sortBy(_.doc_id)
+    val (batchRows, corpusRows) = feed.partition(_.is_batch)
+    val stream = MemoryStream[StreamTwins.BandRow]
+    val query = StreamTwins.incrNearDup(stream.toDF()
+        .as[StreamTwins.BandRow])
+      .writeStream.format("memory").queryName("incrneardup")
+      .outputMode("append").start()
+    try {
+      // corpus first (the state store becomes the persisted banded
+      // index), then the ingest batch in TWO id-ordered chunks — the
+      // first-arrival invariant says the split cannot change verdicts
+      corpusRows.grouped(corpusRows.length / 2 + 1).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+      batchRows.grouped(batchRows.length / 2 + 1).foreach { c =>
+        stream.addData(c); query.processAllAvailable()
+      }
+      val hits = spark.table("incrneardup")
+        .as[StreamTwins.NearDupHit].collect().toSeq
+      // stateless downstream rollup: min partner per class, corpus wins
+      val byDoc = hits.groupBy(_.doc_id)
+      def verdict(id: Long): (String, Option[Long]) =
+        byDoc.get(id) match {
+          case Some(hs) =>
+            val corpus = hs.filter(_.partner_is_corpus).map(_.partner)
+            val inBatch = hs.filterNot(_.partner_is_corpus).map(_.partner)
+            if (corpus.nonEmpty) ("dup_of_corpus", Some(corpus.min))
+            else ("dup_in_batch", Some(inBatch.min))
+          case None => ("unique", None)
+        }
+      val x57 = ops.Pipeline.x57(spark, sf001).collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long])))
+      assert(x57.nonEmpty)
+      x57.foreach { case (id, status, partner) =>
+        val (gs, gp) = verdict(id)
+        assert(gs === status, s"doc $id status")
+        assert(gp === partner, s"doc $id partner")
+      }
+      // and every streamed verdict belongs to a batch doc x57 scored
+      assert(byDoc.keySet.subsetOf(x57.map(_._1).toSet))
+    } finally query.stop()
+  }
+
   test("tumbling window: streamed result equals batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents
