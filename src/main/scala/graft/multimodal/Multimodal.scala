@@ -22,11 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaItem(doc_id: Long, kind: String, content: Array[Byte],
-    width: Int, height: Int)
+  case class MediaItem(doc_id: Long, kind: String, lang: String,
+    content: Array[Byte], width: Int, height: Int)
 
-  case class MediaFeatures(doc_id: Long, kind: String, byte_len: Int,
-    checksum: Long, sig: String, brightness: Double)
+  case class MediaFeatures(doc_id: Long, kind: String, lang: String,
+    byte_len: Int, checksum: Long, sig: String, brightness: Double)
 
   case class Frame(doc_id: Long, frame_idx: Int, byte_len: Int, checksum: Long)
 
@@ -54,7 +54,7 @@ object Multimodal {
       val bright =
         if (item.content.isEmpty) 0.0
         else item.content.map(b => (b & 0xff).toDouble).sum / (255.0 * item.content.length)
-      MediaFeatures(item.doc_id, item.kind, item.content.length,
+      MediaFeatures(item.doc_id, item.kind, item.lang, item.content.length,
         checksum(item.content), md5Hex(item.content), bright)
     }
   }
@@ -68,6 +68,7 @@ object Multimodal {
       .select(col("doc_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        col("lang"),
         encode(col("text"), "UTF-8").as("content"),
         (col("doc_id") % 640 + 1).cast("int").as("width"),
         (col("doc_id") % 480 + 1).cast("int").as("height"))

@@ -72,17 +72,17 @@ object Media {
   /** m4 — MEDIA MIXTURE card: byte and item mass per (kind, lang) cell
     * with each cell's share of its kind's bytes — the multimodal twin of
     * x28/x46's text-mixture accounting (a media training mix is balanced
-    * in BYTES, not items: audio/video blobs dwarf images). Language rides
-    * in from the documents table by ONE doc_id-keyed equi-join (media
-    * metadata is kept lean; joining the 8-byte key costs less at 100 TB
-    * than carrying lang through every blob row). The share window runs on
-    * the AGGREGATED cell frame — |kinds|×|langs| rows, domain-bounded.
+    * in BYTES, not items: audio/video blobs dwarf images). Language is a
+    * typed metadata column ON the media row (the round's first cut joined
+    * it back from documents by doc_id — PlanLintSpec flagged the
+    * planner-chosen broadcast of that unreduced corpus frame; carrying
+    * the label through the schema removes the join entirely, the right
+    * call at 100 TB where media metadata always travels with the blob).
+    * The share window runs on the AGGREGATED cell frame —
+    * |kinds|×|langs| rows, domain-bounded.
     */
   def m4(s: SparkSession, d: String): DataFrame = {
-    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
-      .select(col("doc_id"), col("kind"), col("byte_len"))
-    val lang = graft.Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    val cell = feats.join(lang, Seq("doc_id"))
+    val cell = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
       .groupBy(col("kind"), col("lang"))
       .agg(count(lit(1)).as("items"),
         sum(col("byte_len")).cast("bigint").as("total_bytes"))
