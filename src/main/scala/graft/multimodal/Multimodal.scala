@@ -33,6 +33,9 @@ object Multimodal {
   case class PrefixSig(doc_id: Long, kind: String, prefix_sig: String,
     full_sig: String)
 
+  case class ChunkSig(doc_id: Long, kind: String, chunk_idx: Int,
+    byte_len: Int, chunk_sig: String)
+
   /** Lowercase-hex MD5 of a blob — REAL metadata (not part of the decode
     * stub): the content fingerprint m1/m3's dedup accounting keys on, and
     * the value DuckDB's `md5(VARCHAR)` states for UTF-8 text payloads. */
@@ -114,6 +117,26 @@ object Multimodal {
       items.map { item =>
         val p = item.content.take(nBytes)
         PrefixSig(item.doc_id, item.kind, md5Hex(p), md5Hex(item.content))
+      }
+    }
+  }
+
+  /** Aligned-chunk fingerprints over EVERY kind (m5 — x29's media-side
+    * twin): the blob is cut into fixed `nBytes` slices and each slice is
+    * MD5'd, one row per chunk. This is the content-defined-storage shape
+    * (CAS/dedup stores key on chunk hashes); a production variant would
+    * swap the fixed cut for a rolling-hash boundary, which changes only
+    * the `grouped` call here. Same mapPartitions batch iteration as
+    * [[extractFeatures]] — blobs never leave executor space, only the
+    * ~50-byte (sig, idx, len) rows shuffle.
+    */
+  def chunkSignatures(media: Dataset[MediaItem], nBytes: Int): Dataset[ChunkSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { items =>
+      items.flatMap { item =>
+        item.content.grouped(nBytes).zipWithIndex.map { case (chunk, i) =>
+          ChunkSig(item.doc_id, item.kind, i, chunk.length, md5Hex(chunk))
+        }
       }
     }
   }

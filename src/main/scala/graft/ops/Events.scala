@@ -535,4 +535,33 @@ object Events {
         round(percentile(col("v"), lit(0.75)), 6).as("p75"),
         round(percentile(col("v"), lit(0.95)), 6).as("p95"))
       .orderBy("event_type")
+
+  /** s21 — per-TYPE adoption curve (s10's global new/cum-user card cut by
+    * feature): for each event type, the day each user FIRST used it, then
+    * daily new adopters and the running cumulative adopter count — the
+    * feature-rollout curve every product-analytics stack draws. Day =
+    * exact integer µs floor-div (D3); output day emitted as DATE.
+    *
+    * Scale: one (type, user)-keyed min-agg (corpus → |types|·|users|
+    * rows), one (type, day)-keyed count, and a running-sum window on the
+    * AGGREGATED |types|×|days| frame — domain-bounded, never corpus-wide
+    * (a18/s10's argument). Nothing global until the output sort.
+    */
+  def s21(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val first = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .groupBy("event_type", "user_id")
+      .agg(min(col("day_idx")).as("day_idx"))
+    val w = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    first.groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("event_type"),
+        asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("event_type", "day")
+  }
 }

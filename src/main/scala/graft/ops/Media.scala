@@ -95,6 +95,35 @@ object Media {
       .orderBy("kind", "lang")
   }
 
+  /** m5 — CHUNK-LEVEL media dedup card (x29's media-side twin, and the
+    * content-addressed-storage accounting every blob store runs): blobs
+    * are cut into aligned 64-byte chunks, each chunk MD5'd, and chunks
+    * shared by ≥2 DISTINCT docs are reported with their occurrence count,
+    * kind spread and reclaimable duplicate bytes (`(n_occ−1)·chunk_bytes`
+    * — the mass a dedup store would not write twice). Full-blob exact
+    * dedup is the degenerate case and is EMPTY on this fixture (no two
+    * blobs are byte-identical — l1's singleton groups), so the chunk
+    * level is where real media dedup lives: shared intros/boilerplate
+    * slices surface here exactly as x58/x60 surface them on text.
+    *
+    * Scale: one narrow mapPartitions pass (hash while the blob is in
+    * hand) + ONE sig-keyed agg; corpus-linear in blob bytes, no joins —
+    * only (sig, idx, len) rows shuffle, never the payload.
+    */
+  def m5(s: SparkSession, d: String): DataFrame =
+    Multimodal.chunkSignatures(Multimodal.mediaFromDocuments(s, d), 64)
+      .groupBy(col("chunk_sig"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("kind")).as("n_kinds"),
+        min(col("doc_id")).as("first_doc"),
+        // same sig ⇒ same bytes ⇒ same length: min is exact, not a choice
+        min(col("byte_len")).as("chunk_bytes"),
+        ((count(lit(1)) - 1) * min(col("byte_len"))).cast("bigint")
+          .as("dup_bytes"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_sig")
+
   def m3(s: SparkSession, d: String): DataFrame =
     Multimodal.prefixSignatures(Multimodal.mediaFromDocuments(s, d), 64)
       .groupBy(col("prefix_sig"))

@@ -2457,4 +2457,69 @@ object Pipeline {
             * col("total_tokens").cast("double"))).as("gini"))
       .orderBy("n_sources")
   }
+
+  /** x61 — deterministic STRATIFIED SAMPLE: exactly k = 5 docs per source
+    * stratum, picked by md5-hash order over the doc id (seedless, engine-
+    * portable, reproducible — the manifest-auditable sampling x12's
+    * percentage split and x19's weighted sampler don't give: a FIXED
+    * quota per stratum). Hashing the ID, not the text, keeps the pick
+    * independent of content edits — re-running after a dedup pass keeps
+    * the same survivors sampled. The `row_number ≤ k` shape is exactly
+    * the [[graft.plans.RowNumberTopK]] rewrite target, so under
+    * Bench/Verify's session the per-stratum sort never materializes:
+    * bounded per-group heaps, shuffle ≤ k·|sources|·partitions (w2/w11's
+    * operator, here keyed by stratum).
+    *
+    * Scale: one narrow hash projection + one stratum-keyed top-k; no
+    * joins, output |sources|·k rows at any corpus size.
+    */
+  def x61(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("pick_hash"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string").cast("binary")).as("pick_hash"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"), col("lang"),
+        col("pick_hash"))
+      .orderBy("source", "rk")
+  }
+
+  /** x62 — PROFILE CARD (dataset-card column profiling, the first thing a
+    * data-quality sweep emits): per profiled column, row count, null
+    * count, exact distinct count and min/max rendered as strings — long
+    * format, one row per column (D9: a wide struct-y card would not be
+    * pandas-stable). Stated over documents' (lang, source, n_chars).
+    *
+    * Shape: ONE aggregation computes every stat (Spark plans the three
+    * exact count-distincts as a single Expand — one shuffle with a ×3
+    * row expansion, not three scans), then a `stack` pivots the 1-row
+    * wide frame long. At a 100 TB corpus the documented swap is
+    * `approx_count_distinct` per column (HLL partials, x35's sketch, no
+    * Expand) — exact is declared here because the oracle must state the
+    * same integer.
+    */
+  def x62(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("lang_nulls"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        min(col("lang")).as("lang_min"), max(col("lang")).as("lang_max"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("source_nulls"),
+        countDistinct(col("source")).as("source_distinct"),
+        min(col("source")).as("source_min"), max(col("source")).as("source_max"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nc_nulls"),
+        countDistinct(col("n_chars")).as("nc_distinct"),
+        min(col("n_chars")).as("nc_min"), max(col("n_chars")).as("nc_max"))
+      .select(col("n_rows"), expr(
+        """stack(3,
+          |  'lang', lang_nulls, lang_distinct, lang_min, lang_max,
+          |  'n_chars', nc_nulls, nc_distinct,
+          |    cast(nc_min as string), cast(nc_max as string),
+          |  'source', source_nulls, source_distinct, source_min, source_max
+          |) as (column_name, n_nulls, n_distinct, min_repr, max_repr)"""
+          .stripMargin))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
+      .orderBy("column_name")
 }

@@ -331,4 +331,28 @@ object Scalars {
         forall(col("lens"), x => x < 8).as("all_short"),
         size(filter(col("lens"), x => x >= 6)).as("n_ge6"))
       .orderBy("doc_id")
+
+  /** f18 — string FORMATTING batch (the report/export surface f1/f7/f15
+    * don't cover): C-style `format_string` (≡ DuckDB `printf` — same
+    * conversion spec for `%d`/`%s`), zero/space `lpad`/`rpad`, and a
+    * fixed-2-decimal money label. The money label routes through
+    * DECIMAL(18,2) and CASTs the decimal to string — NEVER `%f` on the
+    * raw double: C printf rounds half-even while Java's Formatter rounds
+    * HALF_UP, so the engines can legitimately disagree on a `%.2f` tie,
+    * whereas a decimal quantize-then-cast states identical digits on
+    * both (D2's formatting corollary). Narrow per-row projection, no
+    * shuffle; everything codegen'd.
+    */
+  def f18(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        format_string("ORD-%09d", col("o_orderkey")).as("order_tag"),
+        concat(lit("$"),
+          lpad(dec2(col("o_totalprice")).cast("string"), 12, " "))
+          .as("price_label"),
+        format_string("%s|%s", col("o_orderstatus"), col("o_orderpriority"))
+          .as("status_key"),
+        lpad(col("o_custkey").cast("string"), 10, "0").as("cust_pad"),
+        rpad(col("o_orderstatus"), 3, ".").as("status_pad"))
+      .orderBy("o_orderkey")
 }

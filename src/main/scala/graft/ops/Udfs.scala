@@ -307,4 +307,43 @@ object Udfs {
         col("event_type").as("top_type"), col("value").as("top_value"))
       .orderBy("user_id")
   }
+
+  /** u10 — typed `flatMapGroups` GAP EMISSION: per user, every
+    * inter-event gap longer than one hour becomes an output ROW — the
+    * 0-to-N-rows-per-group surface that completes the
+    * `KeyValueGroupedDataset` trio (u7 `mapGroups` = exactly-1,
+    * u9 `reduceGroups` = combinable-1, this = arbitrary fan-out). The
+    * session-boundary/outage-detection shape: SQL needs a LAG window +
+    * filter for it (the oracle states exactly that), while the typed face
+    * emits during a single forward scan of the sorted group.
+    *
+    * Determinism: events sort by (ts_us, event_id) inside the group (D6);
+    * equal-timestamp neighbours yield gap 0 and can never pass the
+    * threshold, so the emitted (start, end) pairs are unique per user and
+    * the output order total. All math exact integer µs (D3).
+    *
+    * Scale: one user-keyed shuffle (groupByKey); per-group state is the
+    * user's event list (fixture-bounded ~events/user, the same bound
+    * u7/s12 carry) sorted in-memory — at a 100 TB event log with
+    * pathological single-user fan-in the group sort is the documented
+    * pressure point and the remedy is a secondary-sort formulation
+    * (repartitionAndSortWithinPartitions), identical output.
+    */
+  def u10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thresholdUs = 3600L * 1000000L
+    val ds = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"))
+      .as[(Long, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroups { (u: Long, it: Iterator[(Long, Long, Long)]) =>
+        val evs = it.toArray.sortBy(e => (e._3, e._2))
+        (1 until evs.length).iterator.collect {
+          case i if evs(i)._3 - evs(i - 1)._3 > thresholdUs =>
+            (u, evs(i - 1)._3, evs(i)._3, evs(i)._3 - evs(i - 1)._3)
+        }
+      }
+      .toDF("user_id", "gap_start_us", "gap_end_us", "gap_us")
+      .orderBy("user_id", "gap_start_us")
+  }
 }

@@ -3022,6 +3022,112 @@ object OracleSql {
         |   CAST(COUNT(DISTINCT fh) AS BIGINT) AS n_full_variants
         |  FROM t GROUP BY 1)
         |SELECT survivor_id, suffix_hash, n_docs, n_full_variants
-        |FROM g WHERE n_docs >= 2 ORDER BY survivor_id""".stripMargin
+        |FROM g WHERE n_docs >= 2 ORDER BY survivor_id""".stripMargin,
+
+    // m5: aligned 64-byte chunk dedup — the paired-unnest idiom (x29)
+    // states Spark's byte chunking; fixture payload is pure ASCII so the
+    // VARCHAR substring sees exactly the blob's byte slices, and the tail
+    // chunk's length is least(64, bytes - i*64)
+    "m5_media_chunks" ->
+      """WITH ch AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   unnest(list_transform(
+        |     range(CAST((octet_length(encode(text)) - 1) // 64 AS INT) + 1),
+        |     i -> md5(substring(text, CAST(i * 64 + 1 AS INT), 64))))
+        |     AS chunk_sig,
+        |   unnest(list_transform(
+        |     range(CAST((octet_length(encode(text)) - 1) // 64 AS INT) + 1),
+        |     i -> CAST(least(64, octet_length(encode(text)) - i * 64) AS INT)))
+        |     AS byte_len
+        |  FROM documents)
+        |SELECT chunk_sig, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | COUNT(*) AS n_occ, CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
+        | MIN(doc_id) AS first_doc, CAST(MIN(byte_len) AS INT) AS chunk_bytes,
+        | CAST((COUNT(*) - 1) * MIN(byte_len) AS BIGINT) AS dup_bytes
+        |FROM ch GROUP BY chunk_sig
+        |HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk_sig""".stripMargin,
+
+    // u10: the typed flatMapGroups gap emission is the LAG window + filter
+    // in SQL; equal-ts neighbours gap 0 and never pass, so the pair set is
+    // order-total (D6)
+    "u10_flatmap_gaps" ->
+      """WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+        |   LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+        |     ORDER BY epoch_us(ts), event_id) AS prev_us
+        |  FROM events)
+        |SELECT user_id, prev_us AS gap_start_us, ts_us AS gap_end_us,
+        | ts_us - prev_us AS gap_us
+        |FROM g WHERE ts_us - prev_us > 3600 * 1000000::BIGINT
+        |ORDER BY user_id, gap_start_us""".stripMargin,
+
+    // s21: s10's adoption card cut per event type; day = exact integer
+    // µs floor-div (D3)
+    "s21_type_adoption" ->
+      """WITH f AS (SELECT event_type, user_id,
+        |   MIN(epoch_us(ts) // (86400 * 1000000::BIGINT)) AS day_idx
+        |  FROM events GROUP BY 1, 2),
+        | d AS (SELECT event_type, day_idx, COUNT(*) AS new_users
+        |  FROM f GROUP BY 1, 2)
+        |SELECT event_type, CAST(to_timestamp(day_idx * 86400) AS DATE) AS day,
+        | new_users,
+        | CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day_idx
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cum_users
+        |FROM d ORDER BY event_type, day""".stripMargin,
+
+    // f18: format_string ≡ printf (same C conversion spec for %d/%s); the
+    // money label goes DECIMAL(18,2) → VARCHAR on both sides, never %f on
+    // a double (C printf half-even vs Java HALF_UP tie divergence)
+    "f18_format" ->
+      """SELECT o_orderkey,
+        | printf('ORD-%09d', o_orderkey) AS order_tag,
+        | '$' || lpad(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |     12, ' ') AS price_label,
+        | printf('%s|%s', o_orderstatus, o_orderpriority) AS status_key,
+        | lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS cust_pad,
+        | rpad(o_orderstatus, 3, '.') AS status_pad
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // x61: the md5 sample key hashes the doc id's DECIMAL STRING — both
+    // engines render a bigint identically, so the pick order is portable
+    "x61_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id, lang,
+        |   md5(CAST(doc_id AS VARCHAR)) AS pick_hash FROM documents),
+        | r AS (SELECT source, doc_id, lang, pick_hash,
+        |   ROW_NUMBER() OVER (PARTITION BY source
+        |     ORDER BY pick_hash, doc_id) AS rk
+        |  FROM h)
+        |SELECT source, CAST(rk AS INT) AS rk, doc_id, lang, pick_hash
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // x62: one aggregation states every stat; min/max rendered as VARCHAR
+    // (BIGINT renders identically on both engines)
+    "x62_profile_card" ->
+      """WITH g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lang_nulls,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |  MIN(lang) AS lang_min, MAX(lang) AS lang_max,
+        |  CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS source_nulls,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS source_distinct,
+        |  MIN(source) AS source_min, MAX(source) AS source_max,
+        |  CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS nc_nulls,
+        |  CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nc_distinct,
+        |  CAST(MIN(n_chars) AS VARCHAR) AS nc_min,
+        |  CAST(MAX(n_chars) AS VARCHAR) AS nc_max
+        | FROM documents)
+        |SELECT 'lang' AS column_name, n_rows, lang_nulls AS n_nulls,
+        |  lang_distinct AS n_distinct, lang_min AS min_repr,
+        |  lang_max AS max_repr FROM g
+        |UNION ALL
+        |SELECT 'n_chars', n_rows, nc_nulls, nc_distinct, nc_min, nc_max
+        | FROM g
+        |UNION ALL
+        |SELECT 'source', n_rows, source_nulls, source_distinct, source_min,
+        |  source_max FROM g
+        |ORDER BY column_name""".stripMargin
   )
 }

@@ -148,7 +148,18 @@ object ScaleProfile {
     // copy 0 (suffixed tokens make tails copy-local) → groups ×m
     "m4_media_mix", "f17_higher_order", "a26_quantile_disc",
     "s20_dow_profile", "j22_exists_flags", "u9_typed_argmax",
-    "x60_suffix_dedup")
+    "x60_suffix_dedup",
+    // round-12 batch 3: m5's chunk groups are copy-local (the per-copy
+    // token suffix shifts every 64-byte boundary's bytes) → groups ×m,
+    // no cross-copy collisions; u10/s21 ride disjoint ×m user
+    // populations (gap rows ×m; adoption cells constant — types shared);
+    // f18 is a pure narrow projection; x61's source axis is SHARED so
+    // strata grow ×m deep while the k=5 output stays 20·k rows — the
+    // per-stratum heap shape; x62's distinct domains are shared (lang/
+    // source) or near-shared (n_chars) — the Expand shuffle scales ×m,
+    // output fixed at 3 rows
+    "m5_media_chunks", "u10_flatmap_gaps", "s21_type_adoption",
+    "f18_format", "x61_stratified_sample", "x62_profile_card")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -2738,4 +2738,124 @@ class OperatorSpec extends SparkSpec {
     assert(got.exists(_._4 > 1L),
       "no suffix group spans distinct full texts — x60 ≡ exact dedup")
   }
+
+  test("m5 chunk dedup equals driver recomputation; tail chunks partial") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val chunks = docs.flatMap { case (id, b) =>
+      b.grouped(64).map(c => (md5bytes(c), id, c.length))
+    }
+    val expected = chunks.groupBy(_._1).filter(_._2.map(_._2).distinct.length >= 2)
+      .map { case (sig, g) =>
+        (sig, g.map(_._2).distinct.length.toLong, g.length.toLong,
+          g.map(_._2).min, g.map(_._3).min,
+          (g.length - 1).toLong * g.map(_._3).min)
+      }.toSet
+    val got = ops.Media.m5(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4),
+        r.getInt(5), r.getLong(6))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture lost its shared 64-byte chunks")
+    // same sig ⇒ same bytes ⇒ one length per group (the min-is-exact claim)
+    chunks.groupBy(_._1).foreach { case (sig, g) =>
+      assert(g.map(_._3).distinct.length === 1, s"$sig lengths diverge")
+    }
+  }
+
+  test("u10 flatMapGroups gaps equal the lag-window recomputation") {
+    val thr = 3600L * 1000000L
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"event_id", $"ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2) / 1000L))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val s = g.sortBy(e => (e._3, e._2))
+      s.sliding(2).collect {
+        case Array(a, b) if b._3 - a._3 > thr => (u, a._3, b._3, b._3 - a._3)
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = ops.Udfs.u10(spark, sf001).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture has no >1h inter-event gaps")
+  }
+
+  test("s21 adoption curve: new users sum to distinct users per type; cum monotone") {
+    val rows = ops.Events.s21(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    val perType = Tables.events(spark, sf001)
+      .select($"event_type", $"user_id").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, g) => t -> g.length.toLong }
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      val sorted = g.sortBy(_._2)
+      assert(sorted.map(_._3).sum === perType(t), s"$t adopters")
+      assert(sorted.last._4 === perType(t), s"$t final cum")
+      sorted.foldLeft(0L) { (acc, r) =>
+        assert(r._4 === acc + r._3, s"$t cum at ${r._2}"); r._4
+      }
+    }
+  }
+
+  test("f18 formatting card equals per-row Java recomputation") {
+    val ord = Tables.orders(spark, sf001)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+        $"o_orderpriority", $"o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getDouble(4))).sortBy(_._1)
+    val got = ops.Scalars.f18(spark, sf001).collect()
+    assert(got.length === ord.length)
+    got.zip(ord).foreach { case (g, (ok, ck, st, pr, tp)) =>
+      assert(g.getLong(0) === ok)
+      assert(g.getString(1) === f"ORD-$ok%09d")
+      // Spark's double→decimal cast goes through the double's SHORTEST
+      // string repr (BigDecimal.decimal), not the exact binary expansion
+      val dec = BigDecimal(tp)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+      assert(g.getString(2) === "$" + (" " * (12 - dec.length)) + dec)
+      assert(g.getString(3) === s"$st|$pr")
+      assert(g.getString(4) === ("0" * (10 - ck.toString.length)) + ck)
+      assert(g.getString(5) === (st + "..." ).take(3))
+    }
+  }
+
+  test("x61 stratified sample: exactly min(5, stratum size) rows per source, hash-ordered") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"source", $"doc_id", $"lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def h(id: Long): String = md5bytes(id.toString.getBytes("UTF-8"))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (src, g) =>
+      g.sortBy(d => (h(d._2), d._2)).take(5).zipWithIndex.map {
+        case ((_, id, lang), i) => (src, i + 1, id, lang, h(id))
+      }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = ops.Pipeline.x61(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+    got.groupBy(_._1).foreach { case (src, g) =>
+      val n = docs.count(_._1 == src)
+      assert(g.length === math.min(5, n), s"$src quota")
+    }
+  }
+
+  test("x62 profile card equals driver recomputation over all three columns") {
+    val docs = Tables.documents(spark, sf001)
+      .select($"lang", $"source", $"n_chars").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val n = docs.length.toLong
+    val expected = Set(
+      ("lang", n, docs.count(_._1 == null).toLong,
+        docs.map(_._1).distinct.length.toLong,
+        docs.map(_._1).min, docs.map(_._1).max),
+      ("source", n, docs.count(_._2 == null).toLong,
+        docs.map(_._2).distinct.length.toLong,
+        docs.map(_._2).min, docs.map(_._2).max),
+      ("n_chars", n, 0L, docs.map(_._3).distinct.length.toLong,
+        docs.map(_._3).min.toString, docs.map(_._3).max.toString))
+    val got = ops.Pipeline.x62(spark, sf001).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toSet
+    assert(got === expected)
+  }
 }
