@@ -564,4 +564,34 @@ object Events {
         col("new_users"), col("cum_users"))
       .orderBy("event_type", "day")
   }
+
+  /** s22 — FIRST-TOUCH / LAST-TOUCH ATTRIBUTION MATRIX: each user's first
+    * and last event type (by (ts, event_id) — the house total order, D6)
+    * paired into a (first_type, last_type) cell with user count, total
+    * event mass, and the cell's share of all users — the entry→exit journey
+    * card funnels (s5) and transitions (s8) don't state. Two user-keyed
+    * windows + one keyed agg; the share window runs on the aggregated
+    * cells (≤ |types|² = 100 rows, domain-bounded — never a data-sized
+    * global window).
+    */
+  def s22(s: SparkSession, d: String): DataFrame = {
+    val wAsc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val perUser = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("first_type", first(col("event_type")).over(wAsc))
+      .withColumn("last_type", last(col("event_type")).over(wAsc))
+      .groupBy(col("user_id"), col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val wAll = Window.partitionBy()
+    perUser
+      .groupBy(col("first_type"), col("last_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_events")).as("n_events"))
+      .withColumn("user_share", graft.Det.round4nz(
+        col("n_users").cast("double")
+          / sum(col("n_users")).over(wAll).cast("double")))
+      .orderBy("first_type", "last_type")
+  }
 }

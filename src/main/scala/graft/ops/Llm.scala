@@ -273,4 +273,23 @@ object Llm {
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy("doc_id", "rk")
   }
+
+  /** l10 — LANGUAGE-ID CONFUSION MATRIX: x5's n-gram classifier evaluated
+    * against the fixture's labeled `lang` column as a (actual, predicted)
+    * matrix with per-cell count and row-share — the calibration card that
+    * decides whether a lang-ID gate's threshold is trustworthy before it
+    * drops terabytes (the eval face of x5, exactly as x44 audits x1 and
+    * x47 audits x21). One keyed agg over x5's narrow per-doc frame; the
+    * share window runs on the aggregated cells (≤ |langs|² = 25 rows,
+    * domain-bounded).
+    */
+  def l10(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("actual_lang")
+    Pipeline.x5(s, d)
+      .groupBy(col("actual_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("row_share", graft.Det.round4nz(col("n_docs").cast("double")
+        / sum(col("n_docs")).over(w).cast("double")))
+      .orderBy("actual_lang", "pred_lang")
+  }
 }

@@ -124,6 +124,31 @@ object Media {
       .filter(col("n_docs") >= 2)
       .orderBy("chunk_sig")
 
+  /** m6 — per-kind blob-SIZE PROFILE: exact discrete quantiles (p25/p50/
+    * p90) of byte length plus mean bytes per item — the storage-planning
+    * card a media lake reads before choosing shard sizes and decode batch
+    * shapes (a26's percentile_disc discipline on media metadata: the
+    * quantile SELECTS an input value, so both engines return the same
+    * integer and no float interpolation crosses the hash gate; the mean
+    * is the l5 discipline — double division of exact integer sums, 4-dp
+    * quantized).
+    * Same scale shape as m1: metadata-only after the narrow extract pass,
+    * one keyed agg over 3 groups.
+    */
+  def m6(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("items"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY byte_len) AS INT)")
+          .as("p25_bytes"),
+        expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY byte_len) AS INT)")
+          .as("p50_bytes"),
+        expr("CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY byte_len) AS INT)")
+          .as("p90_bytes"),
+        graft.Det.round4nz(sum(col("byte_len")).cast("double")
+          / count(lit(1)).cast("double")).as("mean_bytes"))
+      .orderBy("kind")
+
   def m3(s: SparkSession, d: String): DataFrame =
     Multimodal.prefixSignatures(Multimodal.mediaFromDocuments(s, d), 64)
       .groupBy(col("prefix_sig"))

@@ -2522,4 +2522,76 @@ object Pipeline {
       .select(col("column_name"), col("n_rows"), col("n_nulls"),
         col("n_distinct"), col("min_repr"), col("max_repr"))
       .orderBy("column_name")
+
+  /** x63 — LSH BAND-BUCKET OCCUPANCY: per band, the bucket-size histogram
+    * of x1's banding (how many (lang, band-hash) buckets hold s docs) and
+    * the candidate-pair mass each size class generates (s·(s−1)/2 per
+    * bucket) — THE tuning card for banded LSH: hot buckets are where
+    * candidate cost lives (x1's block-decomposition exists because of the
+    * ~1.6k-doc bucket this card makes visible), and band/row-count choices
+    * are made by reading exactly this table. Rides [[x1Sig]]'s signature
+    * frame; two keyed aggs (bucket size, then histogram over bucket-size
+    * classes — output ≤ |size classes| per band, tiny at any corpus). The
+    * pair mass is exact integer math; nothing here joins the corpus.
+    */
+  def x63(s: SparkSession, d: String): DataFrame = {
+    val sig = x1Sig(s, d)
+    val bands = sig.select(col("doc_id"), col("lang"), posexplode(array(
+      md5(concat(col("mh0"), col("mh1")).cast("binary")),
+      md5(concat(col("mh2"), col("mh3")).cast("binary")),
+      md5(concat(col("mh4"), col("mh5")).cast("binary")),
+      md5(concat(col("mh6"), col("mh7")).cast("binary"))))
+      .as(Seq("band", "bh")))
+    bands
+      .groupBy(col("band"), col("lang"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"), col("sz").as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        // s·(s−1) is even, so the floor-div is exact integer math (D-rule:
+        // no float pair counting)
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy("band", "bucket_size")
+  }
+
+  /** x64 — CONTENT-DEFINED CHUNK DEDUP: the production variant m5's fixed
+    * 64-byte cut stands in for — chunk boundaries are decided by CONTENT
+    * (here: after any token whose md5 starts in '0'–'3', expected chunk
+    * ≈ 4 tokens), so an insertion early in a document shifts only the
+    * chunk it lands in, not every later boundary — the property that makes
+    * CDC the dedup unit of real blob stores (LBFS/rsync lineage) where
+    * fixed cuts lose alignment. Chunks shared by ≥ 2 distinct docs are
+    * reported with occurrence count and reclaimable duplicate token mass.
+    *
+    * Scale: boundary flags are a narrow codegen pass over the exploded
+    * (doc, pos, token) stream; chunk ids are ONE doc-keyed running-sum
+    * window (docs are the partition axis — never a global window); chunk
+    * reassembly is one (doc, chunk)-keyed agg whose per-group state is a
+    * single chunk (~4 tokens); the dedup card is one sig-keyed agg. All
+    * corpus-linear, no joins.
+    */
+  def x64(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " "))
+        .as(Seq("pos", "tok")))
+      .withColumn("brk",
+        when(substring(md5(col("tok").cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"), 1L).otherwise(0L))
+      .withColumn("cid", coalesce(sum(col("brk")).over(w), lit(0L)))
+      .groupBy(col("doc_id"), col("cid"))
+      .agg(count(lit(1)).as("n_toks"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x("tok")), " ").as("chunk"))
+    chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_sig"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("n_toks")).as("n_toks"),
+        min(col("doc_id")).as("first_doc"),
+        ((count(lit(1)) - 1) * min(col("n_toks"))).as("dup_tokens"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("chunk_sig")
+  }
 }

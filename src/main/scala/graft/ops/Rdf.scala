@@ -957,6 +957,44 @@ object Rdf {
       .orderBy("n_ends")
   }
 
+  /** r18 — CONNECTED COMPONENTS of the support-thresholded co-purchase
+    * graph: parts adjacent iff ≥ 2 distinct orders contain both (the
+    * frequent-itemset subgraph — raw co-purchase at any real scale is one
+    * giant component, so component analytics always run support-pruned),
+    * labeled by [[DedupCluster.components]]' min-label pointer doubling.
+    * Per node: its component label (= min partkey in the component) and the
+    * component's size — the "related-product family" card.
+    *
+    * Scale: the support filter is ONE keyed agg over the order-local pair
+    * explode (per-order fan-out ~4 lineitems, corpus-linear); the CC loop
+    * is x20's hook+shortcut shape — per round one keyed neighbour join +
+    * groupBy-min + label-lookup join over Ckpt'd frames, O(log diameter)
+    * rounds. The size card is one more keyed agg + join on the final
+    * (node, label) frame. Nothing all-pairs, nothing driver-side beyond
+    * the per-round change count.
+    *
+    * Oracle parity: the triangle-family argument (r9) — the component SET
+    * is label-scheme-invariant, and min-label is stated directly by the
+    * recursive reach CTE.
+    */
+  def r18(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
+    val pairs = li
+      .join(li.select(col("ok").as("ok2"), col("p").as("p2")),
+        col("ok") === col("ok2") && col("p") < col("p2"))
+      .groupBy(col("p").as("a_id"), col("p2").as("b_id"))
+      .agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2)
+      .select(col("a_id"), col("b_id"))
+    val comp = DedupCluster.components(pairs)
+      .select(col("doc_id").as("p_partkey"), col("cluster_id").as("component"))
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("comp_size"))
+    comp.join(sizes, Seq("component"))
+      .select(col("p_partkey"), col("component"), col("comp_size"))
+      .orderBy("p_partkey")
+  }
+
   /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
     * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
   private[graft] def r13PanelCells(und: DataFrame): DataFrame =

@@ -355,4 +355,28 @@ object Scalars {
         lpad(col("o_custkey").cast("string"), 10, "0").as("cust_pad"),
         rpad(col("o_orderstatus"), 3, ".").as("status_pad"))
       .orderBy("o_orderkey")
+
+  /** f19 — URL parsing: a deterministic URL is synthesized per document
+    * (scheme://host/path?query from the source/lang/id columns — the fixture
+    * carries no real URLs) and `parse_url` extracts each component back,
+    * plus one named query parameter — the crawl-pipeline normalization
+    * surface (host for domain caps à la x39, path/query for dedup keys).
+    * Narrow codegen projection, no shuffle. The oracle states the expected
+    * components DIRECTLY from the same source columns (m1's discipline:
+    * the check is that Spark's parser returns the constructed truth, not a
+    * DuckDB reimplementation of java.net.URI).
+    */
+  def f19(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("url",
+        concat(lit("https://"), col("source"), lit(".example.com/docs/"),
+          col("lang"), lit("/"), col("doc_id"),
+          lit("?lang="), col("lang"), lit("&chars="), col("n_chars")))
+      .select(col("doc_id"), col("url"),
+        parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY")).as("query"),
+        parse_url(col("url"), lit("QUERY"), lit("chars")).as("chars_param"))
+      .orderBy("doc_id")
 }

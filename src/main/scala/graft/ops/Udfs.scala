@@ -346,4 +346,41 @@ object Udfs {
       .toDF("user_id", "gap_start_us", "gap_end_us", "gap_us")
       .orderBy("user_id", "gap_start_us")
   }
+
+  /** u11 — typed COGROUP (the KeyValueGroupedDataset surface u7/u9/u10
+    * leave uncovered): orders and their lineitems co-grouped on the order
+    * key, emitting a per-order reconciliation row — item count, gross
+    * lineitem mass (Σ l_extendedprice, exact BigDecimal like u7's buffer)
+    * and its delta against o_totalprice. Orders with NO lineitems emit with
+    * zero mass (the left-outer face a SQL join would need a COALESCE for);
+    * orphan lineitem groups are impossible under referential containment
+    * and emit nothing. Cogroup shuffles BOTH sides by the key once —
+    * the same exchange plan as the SQL outer-join+agg, with the per-key
+    * merge logic in typed code where a real reconciler (schema'd diffs,
+    * tolerance bands) actually lives.
+    *
+    * Money parity: inputs are dec2-quantized; sums/deltas are exact
+    * scale-2 BigDecimal arithmetic, output as double (u7's discipline).
+    */
+  def u11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val os = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long"), dec2(col("o_totalprice")))
+      .as[(Long, java.math.BigDecimal)]
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast("long"), dec2(col("l_extendedprice")))
+      .as[(Long, java.math.BigDecimal)]
+    os.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (k, oIt, lIt) =>
+      oIt.map { case (_, total) =>
+        var n = 0L
+        var gross = java.math.BigDecimal.ZERO
+        lIt.foreach { case (_, px) => n += 1; gross = gross.add(px) }
+        (k, n, total.setScale(2).doubleValue,
+          gross.setScale(2).doubleValue,
+          total.subtract(gross).setScale(2).doubleValue)
+      }
+    }
+      .toDF("o_orderkey", "n_items", "o_total", "li_gross", "delta")
+      .orderBy("o_orderkey")
+  }
 }

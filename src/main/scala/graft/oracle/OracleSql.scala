@@ -3128,6 +3128,162 @@ object OracleSql {
         |UNION ALL
         |SELECT 'source', n_rows, source_nulls, source_distinct, source_min,
         |  source_max FROM g
-        |ORDER BY column_name""".stripMargin
+        |ORDER BY column_name""".stripMargin,
+
+    // r18: component SET is label-scheme-invariant (r9's argument); the
+    // recursive reach states min-label directly. Support >= 2 prunes the
+    // raw co-purchase graph (which is one giant component) to the
+    // frequent-itemset subgraph the recursive CTE can enumerate
+    "r18_components" ->
+      """WITH RECURSIVE li AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+        | prs AS (SELECT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        | edges AS (SELECT u AS src, v AS dst FROM prs
+        |  UNION ALL SELECT v, u FROM prs),
+        | nodes AS (SELECT DISTINCT src AS n FROM edges),
+        | reach(root, node) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.root, e.dst FROM reach r JOIN edges e ON r.node = e.src),
+        | comp AS (SELECT root AS p_partkey, MIN(node) AS component
+        |  FROM reach GROUP BY root),
+        | sz AS (SELECT component, COUNT(*) AS comp_size FROM comp GROUP BY 1)
+        |SELECT p_partkey, component, CAST(comp_size AS BIGINT) AS comp_size
+        |FROM comp JOIN sz USING (component) ORDER BY p_partkey""".stripMargin,
+
+    // m6: percentile_disc SELECTS an input byte length (no interpolation);
+    // the mean is l5's double-division-of-integer-sums discipline
+    "m6_size_profile" ->
+      """WITH f AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   octet_length(encode(text)) AS byte_len
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS items,
+        | CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY byte_len) AS INT)
+        |   AS p25_bytes,
+        | CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY byte_len) AS INT)
+        |   AS p50_bytes,
+        | CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY byte_len) AS INT)
+        |   AS p90_bytes,
+        | ROUND(CAST(SUM(byte_len) AS DOUBLE) / COUNT(*), 4) AS mean_bytes
+        |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // f19: the oracle states each component DIRECTLY from the source
+    // columns (m1's discipline — the check is that Spark's parse_url
+    // returns the constructed truth, not a SQL re-parse)
+    "f19_url_parse" ->
+      """SELECT doc_id,
+        | 'https://' || source || '.example.com/docs/' || lang || '/' ||
+        |   doc_id || '?lang=' || lang || '&chars=' || n_chars AS url,
+        | 'https' AS proto,
+        | source || '.example.com' AS host,
+        | '/docs/' || lang || '/' || doc_id AS path,
+        | 'lang=' || lang || '&chars=' || n_chars AS query,
+        | CAST(n_chars AS VARCHAR) AS chars_param
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // u11: the typed cogroup is the left-join+agg in SQL; money sums are
+    // exact DECIMAL(18,2), delta stated from the same quantities
+    "u11_cogroup_recon" ->
+      """SELECT o_orderkey,
+        | CAST(COUNT(l_orderkey) AS BIGINT) AS n_items,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total,
+        | CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+        |   CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS li_gross,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |   - COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+        |     CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS delta
+        |FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey, o_totalprice ORDER BY o_orderkey""".stripMargin,
+
+    // l10: x5's classifier CTEs + one (actual, pred) rollup; the row share
+    // is a window over the <= 25 aggregated cells
+    "l10_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        | sc AS (SELECT doc_id, lang,
+        |  len(list_intersect(toks, ['the','a','fast','slow','big','small'])) AS s_en,
+        |  len(list_intersect(toks, ['der','die','das','und','schnell'])) AS s_de,
+        |  len(list_intersect(toks, ['el','la','los','rapido','lento'])) AS s_es,
+        |  len(list_intersect(toks, ['le','les','vite','grand','petit'])) AS s_fr,
+        |  len(list_intersect(toks, ['de','shi','kuai','man','da'])) AS s_zh
+        |  FROM t),
+        | pred AS (SELECT doc_id, lang AS actual_lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |  FROM sc),
+        | cell AS (SELECT actual_lang, pred_lang, COUNT(*) AS n_docs
+        |  FROM pred GROUP BY 1, 2)
+        |SELECT actual_lang, pred_lang, n_docs,
+        | ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs)
+        |   OVER (PARTITION BY actual_lang) AS DOUBLE), 4) AS row_share
+        |FROM cell ORDER BY actual_lang, pred_lang""".stripMargin,
+
+    // s22: first/last by the (ts, event_id) total order (D6); the share
+    // window runs over the <= |types|^2 aggregated cells
+    "s22_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |   epoch_us(ts) AS ts_us FROM events),
+        | fl AS (SELECT user_id,
+        |   FIRST_VALUE(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |     AS first_type,
+        |   LAST_VALUE(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |     AS last_type
+        |  FROM e),
+        | pu AS (SELECT user_id, first_type, last_type, COUNT(*) AS n_events
+        |  FROM fl GROUP BY 1, 2, 3),
+        | cell AS (SELECT first_type, last_type, COUNT(*) AS n_users,
+        |   CAST(SUM(n_events) AS BIGINT) AS n_events
+        |  FROM pu GROUP BY 1, 2)
+        |SELECT first_type, last_type, n_users, n_events,
+        | ROUND(CAST(n_users AS DOUBLE)
+        |   / CAST(SUM(n_users) OVER () AS DOUBLE), 4) AS user_share
+        |FROM cell ORDER BY first_type, last_type""".stripMargin,
+
+    // x63: x1's signature/band CTEs, then bucket sizes -> size histogram;
+    // pair mass in exact integer floor-div (even product)
+    "x63_band_occupancy" -> (x1Ctes +
+      """,
+        | buck AS (SELECT pos AS band, lang, bh, COUNT(*) AS sz
+        |  FROM bands GROUP BY 1, 2, 3)
+        |SELECT band, sz AS bucket_size, COUNT(*) AS n_buckets,
+        | CAST(SUM(sz) AS BIGINT) AS n_docs,
+        | CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM buck GROUP BY band, sz ORDER BY band, bucket_size""".stripMargin),
+
+    // x64: boundary flag from md5(token) hex prefix; chunk id = running sum
+    // of PRIOR boundaries per doc; parallel unnests zip positionally
+    "x64_cdc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        | t AS (SELECT doc_id,
+        |   CAST(unnest(range(len(w))) AS INT) AS pos, unnest(w) AS tok
+        |  FROM w),
+        | b AS (SELECT doc_id, pos, tok,
+        |   CASE WHEN substr(md5(tok), 1, 1) IN ('0','1','2','3')
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM t),
+        | c AS (SELECT doc_id, pos, tok,
+        |   COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cid
+        |  FROM b),
+        | g AS (SELECT doc_id, cid, COUNT(*) AS n_toks,
+        |   string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM c GROUP BY doc_id, cid)
+        |SELECT md5(chunk) AS chunk_sig,
+        | CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        | COUNT(*) AS n_occ, MIN(n_toks) AS n_toks,
+        | MIN(doc_id) AS first_doc,
+        | CAST((COUNT(*) - 1) * MIN(n_toks) AS BIGINT) AS dup_tokens
+        |FROM g GROUP BY md5(chunk)
+        |HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk_sig""".stripMargin
   )
 }

@@ -159,7 +159,20 @@ object ScaleProfile {
     // source) or near-shared (n_chars) — the Expand shuffle scales ×m,
     // output fixed at 3 rows
     "m5_media_chunks", "u10_flatmap_gaps", "s21_type_adoption",
-    "f18_format", "x61_stratified_sample", "x62_profile_card")
+    "f18_format", "x61_stratified_sample", "x62_profile_card",
+    // round-12 batch 4: r18's support-2 subgraph replicates per disjoint
+    // copy (components ×m, diameters unchanged — CC rounds constant, per-
+    // round joins ×m); m6 rides m1's metadata shape (3 groups at any m);
+    // f19 is a pure narrow projection; u11 cogroups ×m disjoint orderkey
+    // copies (groups ×m, per-group state ~4 lineitems); l10's cells are
+    // the shared 5×5 lang matrix over ×m docs; s22 rides disjoint ×m user
+    // populations into a shared type×type cell grid; x63's bucket sizes
+    // REPLICATE copy 0 (suffixed tokens make signatures copy-local), so
+    // size classes are m-invariant while bucket counts grow ×m; x64's
+    // chunks are copy-local for the same reason — groups ×m
+    "r18_components", "m6_size_profile", "f19_url_parse",
+    "u11_cogroup_recon", "l10_lang_confusion", "s22_first_touch",
+    "x63_band_occupancy", "x64_cdc_chunks")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

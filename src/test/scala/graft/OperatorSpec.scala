@@ -2858,4 +2858,187 @@ class OperatorSpec extends SparkSpec {
         r.getString(4), r.getString(5))).toSet
     assert(got === expected)
   }
+
+  test("r18 components equal a driver union-find over the support-2 subgraph") {
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.length >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comp = nodes.map(n => n -> find(n)).toMap
+    val sizes = comp.groupBy(_._2).map { case (c, g) => c -> g.size.toLong }
+    val expected = nodes.map(n => (n, comp(n), sizes(comp(n)))).toSet
+    val got = ops.Rdf.r18(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    assert(got.exists(_._3 >= 2), "fixture has no multi-node component")
+  }
+
+  test("m6 size profile: discrete quantiles are attained byte lengths") {
+    val lens = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0) % 3, r.getString(1).getBytes("UTF-8").length))
+    val kinds = Map(0L -> "image", 1L -> "audio", 2L -> "video")
+    def pdisc(s: Seq[Int], q: Double): Int = {
+      val sorted = s.sorted
+      sorted(math.ceil(q * sorted.length).toInt.max(1) - 1)
+    }
+    val got = ops.Media.m6(spark, sf001).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("audio", "image", "video"))
+    got.foreach { r =>
+      val g = lens.filter(l => kinds(l._1) == r.getString(0)).map(_._2).toSeq
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getInt(2) === pdisc(g, 0.25), "p25")
+      assert(r.getInt(3) === pdisc(g, 0.50), "p50")
+      assert(r.getInt(4) === pdisc(g, 0.90), "p90")
+      val mean = BigDecimal(g.map(_.toLong).sum.toDouble / g.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(5) - mean) < 1e-9, "mean")
+    }
+  }
+
+  test("f19 parse_url recovers every constructed component") {
+    val rows = ops.Scalars.f19(spark, sf001).collect()
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"source", $"lang", $"n_chars").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getLong(3)))
+      .toMap
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val (src, lang, nc) = docs(r.getLong(0))
+      assert(r.getString(2) === "https")
+      assert(r.getString(3) === s"$src.example.com")
+      assert(r.getString(4) === s"/docs/$lang/${r.getLong(0)}")
+      assert(r.getString(5) === s"lang=$lang&chars=$nc")
+      assert(r.getString(6) === nc.toString)
+      assert(r.getString(1) ===
+        s"https://${r.getString(3)}${r.getString(4)}?${r.getString(5)}")
+    }
+  }
+
+  test("u11 cogroup reconciliation equals the SQL left-join aggregate") {
+    val sql = Tables.orders(spark, sf001).as("o")
+      .join(Tables.lineitem(spark, sf001).as("l"),
+        $"o_orderkey" === $"l_orderkey", "left")
+      .groupBy($"o_orderkey", $"o_totalprice")
+      .agg(count($"l_orderkey").as("n_items"),
+        coalesce(sum(graft.Det.dec2($"l_extendedprice")),
+          lit(0).cast("decimal(18,2)")).as("gross"))
+      .select($"o_orderkey", $"n_items",
+        graft.Det.dec2($"o_totalprice").cast("double").as("o_total"),
+        $"gross".cast("double").as("li_gross"),
+        (graft.Det.dec2($"o_totalprice") - $"gross").cast("double").as("delta"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val got = ops.Udfs.u11(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(got === sql)
+    assert(got.nonEmpty)
+  }
+
+  test("l10 confusion matrix: diagonal mass equals x5 correct count; rows sum to 1") {
+    val x5 = ops.Pipeline.x5(spark, sf001).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3)))
+    val got = ops.Llm.l10(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._3).sum === x5.length.toLong)
+    val diag = got.filter(c => c._1 == c._2).map(_._3).sum
+    assert(diag === x5.map(_._3.toLong).sum, "diagonal = x5 correct count")
+    got.groupBy(_._1).foreach { case (lang, cells) =>
+      val n = x5.count(_._1 == lang).toLong
+      assert(cells.map(_._3).sum === n, s"$lang row mass")
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-3, s"$lang shares")
+    }
+  }
+
+  test("s22 first/last touch: cells partition users; event mass conserved") {
+    val ev = Tables.events(spark, sf001)
+      .select($"user_id", $"event_id", $"event_type", expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3)))
+    val perUser = ev.groupBy(_._1).map { case (u, g) =>
+      val s = g.sortBy(e => (e._4, e._2))
+      (u, s.head._3, s.last._3, g.length.toLong)
+    }.toSeq
+    val expected = perUser.groupBy(c => (c._2, c._3)).map { case ((f, l), g) =>
+      (f, l, g.size.toLong, g.map(_._4).sum)
+    }.toSet
+    val got = ops.Events.s22(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got === expected)
+    val shares = ops.Events.s22(spark, sf001).collect().map(_.getDouble(4))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+  }
+
+  test("x63 band occupancy accounts every signature and x1's candidate mass") {
+    val rows = ops.Pipeline.x63(spark, sf001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
+    val nDocs = Tables.documents(spark, sf001).count()
+    rows.groupBy(_._1).foreach { case (band, g) =>
+      assert(g.map(_._4).sum === nDocs, s"band $band doc mass")
+      g.foreach { r => assert(r._5 === r._2 * (r._2 - 1) / 2 * r._3,
+        s"band $band size ${r._2} pair math") }
+    }
+    // bucket-size-1 classes generate zero candidates; some bucket must
+    // be hot enough to generate pairs on this fixture (x1 finds pairs)
+    assert(rows.exists(r => r._2 >= 2 && r._5 > 0))
+  }
+
+  test("x64 CDC chunks equal a driver recomputation; insertion shifts one chunk") {
+    def md5s(s: String): String = md5bytes(s.getBytes("UTF-8"))
+    def cut(text: String): Seq[String] = {
+      val toks = text.split(" ", -1).toSeq
+      val out = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      toks.foreach { t =>
+        cur += t
+        if ("0123".contains(md5s(t).charAt(0))) {
+          out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer()
+        }
+      }
+      if (cur.nonEmpty) out += cur.toSeq
+      out.toSeq.map(_.mkString(" "))
+    }
+    val docs = Tables.documents(spark, sf001)
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val chunks = docs.flatMap { case (id, t) =>
+      cut(t).map(c => (md5s(c), id, c.split(" ", -1).length.toLong)) }
+    val expected = chunks.groupBy(_._1)
+      .filter(_._2.map(_._2).distinct.length >= 2)
+      .map { case (sig, g) =>
+        (sig, g.map(_._2).distinct.length.toLong, g.length.toLong,
+          g.map(_._3).min, g.map(_._2).min,
+          (g.length - 1) * g.map(_._3).min)
+      }.toSet
+    val got = ops.Pipeline.x64(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture lost its shared CDC chunks")
+    // the CDC property: a token prepended to a document changes only the
+    // first chunk's content — every later chunk is boundary-stable
+    val t = docs.head._2
+    val before = cut(t)
+    val after = cut("zzz_inserted " + t)
+    assert(before.length >= 2, "doc 0 too short for the shift probe")
+    assert(after.takeRight(before.length - 1) ===
+      before.takeRight(before.length - 1))
+  }
 }
