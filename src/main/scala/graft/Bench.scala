@@ -127,7 +127,12 @@ object Bench {
     def line(prec: collection.Map[String, Int]): String = {
       val qs = results.map { case (k, v) => s"\"" + alias(k) + "\":" + fmt(v, prec(k)) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"$sfName"}"""
+      // The sidecar pointer field ("keys":"bench_keys.json", 25 chars) was
+      // reclaimed at the 220-key board (the guard's documented next step):
+      // the committed sidecar self-describes via its "_" entry, and
+      // BASELINE.md/README state the alias scheme. Envelope is now the
+      // driver-contract fields only.
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
     // Precision budget: the line plus its newline must sit inside the
     // driver's 2000-char stdout tail (→ line ≤ 1999 chars). Try centi,

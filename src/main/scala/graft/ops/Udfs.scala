@@ -383,4 +383,28 @@ object Udfs {
       .toDF("o_orderkey", "n_items", "o_total", "li_gross", "delta")
       .orderBy("o_orderkey")
   }
+
+  /** u12 — typed `joinWith` (the pair-preserving Dataset join the u-group
+    * still lacked): orders ⨝ customer as a Dataset[(order, customer)] of
+    * INTACT typed pairs — the surface that keeps both sides' objects
+    * whole through the join (a flat DataFrame join erases the boundary),
+    * then one typed map to the flat output. Plans as the same equi-join
+    * exchange as the SQL face; money through dec2 → double (u7's
+    * discipline).
+    */
+  def u12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val os = Tables.orders(s, d)
+      .select(col("o_orderkey").cast("long").as("ok"),
+        col("o_custkey").cast("long").as("ck"),
+        dec2(col("o_totalprice")).as("total"))
+      .as[(Long, Long, java.math.BigDecimal)]
+    val cs = Tables.customer(s, d)
+      .select(col("c_custkey").cast("long").as("cck"), col("c_name"))
+      .as[(Long, String)]
+    os.joinWith(cs, os("ck") === cs("cck"), "inner")
+      .map { case (o, c) => (o._1, c._2, o._3.setScale(2).doubleValue) }
+      .toDF("o_orderkey", "c_name", "o_total")
+      .orderBy("o_orderkey")
+  }
 }

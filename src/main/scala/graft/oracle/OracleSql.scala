@@ -3284,6 +3284,118 @@ object OracleSql {
         | MIN(doc_id) AS first_doc,
         | CAST((COUNT(*) - 1) * MIN(n_toks) AS BIGINT) AS dup_tokens
         |FROM g GROUP BY md5(chunk)
-        |HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk_sig""".stripMargin
+        |HAVING COUNT(DISTINCT doc_id) >= 2 ORDER BY chunk_sig""".stripMargin,
+
+    // r19: r16's end-pair CTEs, one degree-keyed rollup; mean = double
+    // division of exact BIGINT sums (l5's discipline)
+    "r19_neighbor_degree" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |  FROM lineitem),
+        | prs AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | und AS (SELECT u, v FROM prs UNION ALL SELECT v, u FROM prs),
+        | deg AS (SELECT u AS n, COUNT(*) AS dg FROM und GROUP BY u),
+        | ends AS (SELECT e.u, du.dg AS du, dv.dg AS dv
+        |  FROM und e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n)
+        |SELECT du AS degree, CAST(COUNT(DISTINCT u) AS BIGINT) AS n_nodes,
+        | COUNT(*) AS n_ends,
+        | ROUND(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 4) AS avg_neighbor_degree
+        |FROM ends GROUP BY du ORDER BY degree""".stripMargin,
+
+    // x65: x6's quality terms in exact integer band math (x59's bucketing
+    // discipline) x l1's md5 dup identity
+    "x65_quality_dup_lift" ->
+      """WITH sc AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash,
+        |   CAST(len(string_split(text, ' ')) AS BIGINT) AS wc,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> t IN ('the','a','of','and'))) AS BIGINT) AS stop_cnt,
+        |   CAST(len(list_filter(string_split(text, ' '),
+        |     t -> length(t) <= 2)) AS BIGINT) AS short_cnt
+        |  FROM documents),
+        | b AS (SELECT doc_id, text_hash,
+        |   ((1000 * wc - 500 * stop_cnt - 300 * short_cnt) // wc) // 100
+        |     AS band
+        |  FROM sc),
+        | dups AS (SELECT text_hash, COUNT(*) AS grp_sz FROM b
+        |  GROUP BY text_hash)
+        |SELECT band, COUNT(*) AS n_docs,
+        | CAST(SUM(CASE WHEN grp_sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS dup_docs,
+        | ROUND(CAST(SUM(CASE WHEN grp_sz >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / COUNT(*), 4) AS dup_share
+        |FROM b JOIN dups USING (text_hash)
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    // x66: x1's sig CTE re-banded three ways; pair mass in exact integer
+    // floor-div (even product)
+    "x66_band_whatif" ->
+      """WITH toks AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS t FROM documents),
+        | sig AS (SELECT doc_id, lang,
+        |  list_aggregate(list_transform(t, x -> md5('0:' || x)), 'min') AS mh0,
+        |  list_aggregate(list_transform(t, x -> md5('1:' || x)), 'min') AS mh1,
+        |  list_aggregate(list_transform(t, x -> md5('2:' || x)), 'min') AS mh2,
+        |  list_aggregate(list_transform(t, x -> md5('3:' || x)), 'min') AS mh3,
+        |  list_aggregate(list_transform(t, x -> md5('4:' || x)), 'min') AS mh4,
+        |  list_aggregate(list_transform(t, x -> md5('5:' || x)), 'min') AS mh5,
+        |  list_aggregate(list_transform(t, x -> md5('6:' || x)), 'min') AS mh6,
+        |  list_aggregate(list_transform(t, x -> md5('7:' || x)), 'min') AS mh7
+        |  FROM toks),
+        | bands AS (
+        |  SELECT '8x1' AS config, 0 AS pos, lang, mh0 AS bh FROM sig
+        |  UNION ALL SELECT '8x1', 1, lang, mh1 FROM sig
+        |  UNION ALL SELECT '8x1', 2, lang, mh2 FROM sig
+        |  UNION ALL SELECT '8x1', 3, lang, mh3 FROM sig
+        |  UNION ALL SELECT '8x1', 4, lang, mh4 FROM sig
+        |  UNION ALL SELECT '8x1', 5, lang, mh5 FROM sig
+        |  UNION ALL SELECT '8x1', 6, lang, mh6 FROM sig
+        |  UNION ALL SELECT '8x1', 7, lang, mh7 FROM sig
+        |  UNION ALL SELECT '4x2', 0, lang, md5(mh0 || mh1) FROM sig
+        |  UNION ALL SELECT '4x2', 1, lang, md5(mh2 || mh3) FROM sig
+        |  UNION ALL SELECT '4x2', 2, lang, md5(mh4 || mh5) FROM sig
+        |  UNION ALL SELECT '4x2', 3, lang, md5(mh6 || mh7) FROM sig
+        |  UNION ALL SELECT '2x4', 0, lang, md5(mh0 || mh1 || mh2 || mh3) FROM sig
+        |  UNION ALL SELECT '2x4', 1, lang, md5(mh4 || mh5 || mh6 || mh7) FROM sig),
+        | buck AS (SELECT config, pos, lang, bh, COUNT(*) AS sz
+        |  FROM bands GROUP BY 1, 2, 3, 4)
+        |SELECT config, COUNT(*) AS n_buckets,
+        | CAST(SUM(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS hot_buckets,
+        | CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM buck GROUP BY config ORDER BY config""".stripMargin,
+
+    // f20: DuckDB NULLs division-by-zero and TRY_CASTs natively — the same
+    // null-on-error contract as Spark's try_* family; float strings are
+    // avoided (DuckDB TRY_CAST('17.0' AS INT) rounds, Spark rejects)
+    "f20_try_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | ROUND(l_extendedprice / nullif(l_discount, 0), 4) + 0.0
+        |   AS px_per_disc,
+        | TRY_CAST(CASE WHEN l_orderkey % 1000 = 0 THEN l_returnflag
+        |   ELSE CAST(l_linenumber AS VARCHAR) END AS INT) AS line_num,
+        | TRY_CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS ok_rt,
+        | string_split(l_returnflag || '-' || l_linestatus, '-')[2]
+        |   AS status_part,
+        | string_split(l_returnflag || '-' || l_linestatus, '-')[5]
+        |   AS beyond_end
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, px_per_disc""".stripMargin,
+
+    // s23: s7's coverage-explode idiom at k = 28 + one exact ratio
+    "s23_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // (86400 * 1000000::BIGINT) AS day_idx FROM events),
+        | dau AS (SELECT day_idx, COUNT(*) AS dau FROM ud GROUP BY day_idx),
+        | cover AS (SELECT DISTINCT day_idx + k AS cover_idx, user_id
+        |  FROM ud, (SELECT unnest(range(28)) AS k) ks),
+        | mau AS (SELECT cover_idx, COUNT(*) AS mau FROM cover GROUP BY cover_idx)
+        |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau, mau,
+        | ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
+        |FROM dau JOIN mau ON day_idx = cover_idx ORDER BY day""".stripMargin,
+
+    // u12: the typed pair join is the plain equi join in SQL
+    "u12_typed_joinwith" ->
+      """SELECT o_orderkey, c_name,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

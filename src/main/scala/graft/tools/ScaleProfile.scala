@@ -172,7 +172,18 @@ object ScaleProfile {
     // chunks are copy-local for the same reason — groups ×m
     "r18_components", "m6_size_profile", "f19_url_parse",
     "u11_cogroup_recon", "l10_lang_confusion", "s22_first_touch",
-    "x63_band_occupancy", "x64_cdc_chunks")
+    "x63_band_occupancy", "x64_cdc_chunks",
+    // round-12 batch 5: r19 rides the ×m disjoint subgraphs (per-copy
+    // degree distributions replicate copy 0, so the curve is m-invariant
+    // while the end-pair joins grow ×m); x65's bands are the shared 11-row
+    // axis over ×m docs (dup groups replicate copy 0 under suffixed
+    // copies); x66's bucket sizes replicate copy 0 per config (signatures
+    // copy-local) — bucket COUNTS ×m, 3 output rows; f20 is a pure narrow
+    // projection; s23's coverage explode is ×28 the ×m (user, day) frame
+    // with disjoint user populations; u12 is the orders⨝customer equi
+    // shape over ×m disjoint key copies
+    "r19_neighbor_degree", "x65_quality_dup_lift", "x66_band_whatif",
+    "f20_try_funcs", "s23_stickiness", "u12_typed_joinwith")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -41,13 +41,17 @@ class ContractSpec extends SparkSpec {
     // holds ~237 keys + envelope. Guard = the real key set plus 18
     // synthetic pads (one more than the largest round ever, round 9's
     // +17), modeled through the SAME aliasMap so pad aliases cost what
-    // real ones would. Past ~230 keys the envelope's 25-char
-    // "keys":"bench_keys.json" pointer is the next reclaim.
+    // real ones would. The 25-char "keys":"bench_keys.json" pointer was
+    // reclaimed at the 220-key board (this guard tripped at 238 modeled
+    // keys = 2,000 chars, exactly as its comment predicted) — the sidecar
+    // self-describes via its "_" entry. Next reclaims past ~243 keys:
+    // the "sf" field (~14 chars), then "metric"/"unit" (driver-contract
+    // fields — renegotiate before touching).
     val padded = SparkEntry.queries.keys.toSeq ++
       (0 until 18).map(i => f"zzpad$i%03d_guard")
     val aliases = Bench.aliasMap(padded).values.toSeq.sorted
     val qs = aliases.map(a => "\"" + a + "\":99").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":999.99,"unit":"sec","keys":"bench_keys.json","queries":$qs,"sf":"sf0.1"}"""
+    val line = s"""{"metric":"total","value":999.99,"unit":"sec","queries":$qs,"sf":"sf0.1"}"""
     assert(line.length <= 1999,
       s"worst-case ${padded.size}-key all-integer bench line is ${line.length} chars " +
         "(> 1999): the precision ladder can no longer fit the driver tail — " +

@@ -3041,4 +3041,110 @@ class OperatorSpec extends SparkSpec {
     assert(after.takeRight(before.length - 1) ===
       before.takeRight(before.length - 1))
   }
+
+  test("r19 per-degree curve aggregates to r16's end-pair moments") {
+    val rows = ops.Rdf.r19(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val r16 = ops.Rdf.r16(spark, sf001).collect().head
+    // Σ n_ends over degree classes = r16's total end count, and the
+    // end-weighted mean degree of SOURCES equals r16's avg_end_degree
+    assert(rows.map(_._3).sum === r16.getLong(0))
+    val wavg = rows.map(r => r._1.toDouble * r._3).sum / rows.map(_._3).sum
+    assert(math.abs(wavg - r16.getDouble(1)) < 1e-3, "end-degree mass")
+    rows.foreach { r => assert(r._3 >= r._2, "ends >= nodes per class") }
+    // degree classes partition nodes: Σ n_nodes = |parts sharing an order
+    // with a DIFFERENT part| (p < p2 excludes self-pairs)
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct; if (ps.length >= 2) ps else Nil
+    }.toSet
+    assert(rows.map(_._2).sum === nodes.size.toLong)
+  }
+
+  test("x65 bands partition the corpus; dup mass equals l1's non-singleton mass") {
+    val rows = ops.Pipeline.x65(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(rows.map(_._2).sum === nDocs)
+    val dupTotal = ops.Llm.l1(spark, sf001).collect()
+      .map(_.getLong(2)).filter(_ >= 2).sum
+    assert(rows.map(_._3).sum === dupTotal, "dup mass = l1 groups >= 2")
+    rows.foreach { r =>
+      assert(r._1 >= 0 && r._1 <= 10)
+      assert(math.abs(r._4 - r._3.toDouble / r._2) < 1e-3)
+    }
+  }
+
+  test("x66 what-if: 4x2 config equals x63's occupancy totals; monotone in rows-per-band") {
+    val rows = ops.Pipeline.x66(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .map(t => t._1 -> t).toMap
+    val x63 = ops.Pipeline.x63(spark, sf001).collect()
+      .map(r => (r.getLong(2), r.getLong(4)))
+    assert(rows("4x2")._2 === x63.map(_._1).sum, "bucket count vs x63")
+    assert(rows("4x2")._4 === x63.map(_._2).sum, "pair mass vs x63")
+    // fewer rows per band -> looser buckets -> more candidates
+    assert(rows("8x1")._4 >= rows("4x2")._4)
+    assert(rows("4x2")._4 >= rows("2x4")._4)
+  }
+
+  test("f20 try_* family: zero discounts null, casts and element_at match per-row recompute") {
+    val got = ops.Scalars.f20(spark, sf001).collect()
+    val src = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"l_discount", $"l_returnflag", $"l_linestatus").collect()
+    assert(got.length === src.length)
+    val zeros = src.count(_.getDouble(3) == 0.0)
+    assert(zeros > 0, "fixture lost its zero discounts")
+    assert(got.count(_.isNullAt(2)) === zeros)
+    got.foreach { r =>
+      if (r.getLong(0) % 1000 == 0) assert(r.isNullAt(3), "dirty row nulls")
+      else assert(r.getInt(3) === r.getInt(1), "clean row casts")
+      assert(r.getLong(4) === r.getLong(0), "orderkey round-trips")
+      assert(r.isNullAt(6), "index 5 past end")
+    }
+    assert(got.exists(_.isNullAt(3)), "fixture has no %1000 dirty rows")
+    val statuses = Tables.lineitem(spark, sf001)
+      .select($"l_linestatus").distinct().collect().map(_.getString(0)).toSet
+    assert(got.map(_.getString(5)).toSet === statuses)
+  }
+
+  test("s23 stickiness: mau >= dau, ratio in (0,1], mau covers trailing window") {
+    val rows = ops.Events.s23(spark, sf001).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val ud = Tables.events(spark, sf001)
+      .select($"user_id", expr("(ts div 1000) div 86400000000")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byDay = ud.groupBy(_._2)
+    rows.foreach { case (day, dau, mau, st) =>
+      assert(mau >= dau)
+      assert(st > 0 && st <= 1.0)
+      assert(math.abs(st - dau.toDouble / mau) < 1e-3)
+    }
+    // spot-check one day's mau against a driver recompute
+    val days = byDay.keys.toSeq.sorted
+    val d0 = days.last
+    val expect = ud.filter(p => p._2 <= d0 && p._2 >= d0 - 27)
+      .map(_._1).distinct.length.toLong
+    val got = rows.find(_._1 == java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay(d0)).toString).map(_._3)
+    assert(got === Some(expect), s"mau at day $d0")
+  }
+
+  test("u12 joinWith equals the flat SQL join") {
+    val sql = Tables.orders(spark, sf001)
+      .join(Tables.customer(spark, sf001), $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"c_name",
+        graft.Det.dec2($"o_totalprice").cast("double").as("o_total"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val got = ops.Udfs.u12(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got === sql)
+    assert(got.nonEmpty)
+  }
 }
