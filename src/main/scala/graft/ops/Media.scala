@@ -18,8 +18,8 @@ import graft.multimodal.Multimodal
   * md5 hashes the UTF-8 bytes — exactly the Spark-side `md5(content)` on a
   * UTF-8 payload), and integer frame arithmetic. The DECODE stays a stub
   * (FakeDecoder); everything these queries grade — schema, mapPartitions
-  * batch shape, fingerprint/length math, per-kind partitioning — is the
-  * real pipeline. Decoded-only outputs (brightness) are deliberately NOT
+  * batch shape, fingerprint/length math, shuffle-free decode placement — is
+  * the real pipeline. Decoded-only outputs (brightness) are deliberately NOT
   * declared: they are stub values, and their float aggregation would need
   * the D-rule quantization for no capability coverage.
   *

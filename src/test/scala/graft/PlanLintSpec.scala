@@ -444,4 +444,113 @@ class PlanLintSpec extends SparkSpec {
     val plan = ops.Pipeline.x39(spark, sf001).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroup"), plan.take(500))
   }
+
+  /** Does any exchange (shuffle or broadcast) in this physical plan move a
+    * binary (blob) column? At 100 TB of media that is a payload-sized
+    * network pass — the round-12 weak finding (`extractFeatures` used to
+    * repartition the blob-bearing frame on `kind`). */
+  private def hasBlobExchange(
+      plan: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.types.BinaryType
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // AQE wraps the physical plan (AdaptiveSparkPlanExec's subtree is a
+    // field, not a child), so a plain collect() sees no exchanges — unwrap.
+    // An exchange fed by a PARTIAL AGGREGATE is exempt: its binary columns
+    // are serialized agg buffers (percentile_disc et al.), bounded per
+    // group — not the blob payload the lint hunts.
+    plan.exists {
+      case a: AdaptiveSparkPlanExec => hasBlobExchange(a.executedPlan)
+      case q: QueryStageExec => hasBlobExchange(q.plan)
+      case e: Exchange => !e.child.isInstanceOf[BaseAggregateExec] &&
+        e.child.output.exists(_.dataType == BinaryType)
+      case _ => false
+    }
+  }
+
+  /** The m-group's written contract (ops/Media.scala): blobs never reach a
+    * shuffle — only extracted ~50-byte metadata rows do. Enforce it on the
+    * physical plan of every declared m-key so a reintroduced payload
+    * exchange (repartition, planner broadcast of the media frame, a join
+    * keyed before feature extraction) fails here before the bench. */
+  test("m-group plans carry no blob-bearing exchange") {
+    val offenders = SparkEntry.queries.keys.filter(_.startsWith("m")).filter {
+      name =>
+        hasBlobExchange(
+          SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan)
+    }
+    assert(offenders.isEmpty,
+      s"blob-bearing exchanges: ${offenders.mkString(", ")}")
+  }
+
+  /** Detector controls: a forced repartition of the blob-bearing media
+    * frame MUST flag (this is exactly the round-12 defect), and the fixed
+    * extractFeatures plan must NOT (metadata-only aggregation exchanges are
+    * fine — they move ~50-byte rows, not payloads). */
+  test("blob-exchange lint detector: flags payload repartition, passes metadata shuffles") {
+    import org.apache.spark.sql.functions._
+    val media = multimodal.Multimodal.mediaFromDocuments(spark, sf001)
+    val bad = media.repartition(col("kind")).toDF()
+    assert(hasBlobExchange(bad.queryExecution.executedPlan),
+      "detector must flag a repartition that moves the content column")
+    val good = multimodal.Multimodal.extractFeatures(media)
+      .groupBy(col("kind")).agg(count(lit(1)).as("n")).toDF()
+    assert(!hasBlobExchange(good.queryExecution.executedPlan),
+      "a metadata-only aggregation exchange must not flag")
+  }
+
+  /** The round-12 m-group bug is a CLASS, not an instance: a repartition
+    * keyed ONLY on columns with a declared tiny domain (kind: 3 values,
+    * lang: a handful) caps parallelism at the domain size no matter how
+    * wide the cluster — and when the row carries a binary payload it also
+    * ships every blob byte through that ≤|domain|-partition exchange. Walk
+    * every declared query's analyzed plan: no RepartitionByExpression may
+    * key exclusively on tiny-domain columns while its child carries a
+    * binary column. (Salting — adding a high-cardinality term like
+    * pmod(hash(doc_id), N) — widens the key space and is exempt by
+    * construction: its references are no longer tiny-domain-only.) */
+  test("no tiny-domain payload repartition in any declared query") {
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      if (hasTinyDomainPayloadRepartition(
+          fn(spark, sf001).queryExecution.analyzed)) Some(name)
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"tiny-domain payload repartitions: ${offenders.mkString(", ")}")
+  }
+
+  private val tinyDomainCols = Set("kind", "lang", "split", "l_returnflag",
+    "l_linestatus", "o_orderstatus", "event_type", "source")
+
+  private def hasTinyDomainPayloadRepartition(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    import org.apache.spark.sql.types.BinaryType
+    plan.exists {
+      case r: RepartitionByExpression =>
+        val refs = r.partitionExpressions.flatMap(_.references).map(_.name)
+        refs.nonEmpty && refs.forall(tinyDomainCols.contains) &&
+          r.child.output.exists(_.dataType == BinaryType)
+      case _ => false
+    }
+  }
+
+  /** Controls for the tiny-domain lint: the exact round-12 shape (payload
+    * repartition on `kind`) must flag; the SALTED form and a metadata-only
+    * (no binary column) repartition must not. */
+  test("tiny-domain repartition lint: flags kind-only payload, passes salted and metadata") {
+    import org.apache.spark.sql.functions._
+    val media = multimodal.Multimodal.mediaFromDocuments(spark, sf001).toDF()
+    assert(hasTinyDomainPayloadRepartition(
+      media.repartition(col("kind")).queryExecution.analyzed),
+      "kind-only payload repartition must flag")
+    assert(!hasTinyDomainPayloadRepartition(
+      media.repartition(col("kind"), pmod(hash(col("doc_id")), lit(32)))
+        .queryExecution.analyzed),
+      "salted repartition must not flag (high-cardinality term in the key)")
+    assert(!hasTinyDomainPayloadRepartition(
+      media.drop("content").repartition(col("kind")).queryExecution.analyzed),
+      "metadata-only repartition must not flag (no binary column moves)")
+  }
 }
