@@ -929,15 +929,30 @@ object Rdf {
     * it), the degree frame too (two joins); two keyed equi-joins + one
     * 1-row agg — never a pair explosion.
     */
-  def r16(s: SparkSession, d: String): DataFrame = {
+  /** The DEGREE-ANNOTATED END frame shared by [[r16]]/[[r19]] (the
+    * triangleFrames discipline — round-12 close-out flagged the two
+    * queries re-deriving identical frames): the Ckpt'd undirected
+    * (doubled) edge list joined with the Ckpt'd per-node degree on BOTH
+    * ends — one row per directed end `(u, v, du, dv)`. Both consumers
+    * aggregate it straight down (r16 to one moment row, r19 to ≤|distinct
+    * degrees| rows), so the expensive parts — the co-purchase pair explode
+    * and the two keyed degree joins — exist in exactly one place.
+    * Ckpt on the inputs: the degree agg reads the edge frame and both
+    * degree joins read the degree frame; without truncation each consumer
+    * would re-execute coEdges' self-join per reference. */
+  private[graft] def degreeEnds(s: SparkSession, d: String): DataFrame = {
     val e = coEdges(s, d)
     val und = graft.Ckpt(
       e.union(e.select(col("v").as("u"), col("u").as("v"))))
     val deg = graft.Ckpt(
       und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg")))
-    val ends = und
+    und
       .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+  }
+
+  def r16(s: SparkSession, d: String): DataFrame = {
+    val ends = degreeEnds(s, d)
     ends.agg(count(lit(1)).as("n"),
         sum(col("du")).as("sx"), sum(col("dv")).as("sy"),
         sum((col("du") * col("du")).cast("decimal(38,0)")).as("sxx"),
@@ -999,27 +1014,20 @@ object Rdf {
     * for each degree d, the mean degree of the neighbors of degree-d nodes —
     * the standard per-degree assortativity curve r16's single coefficient
     * summarizes (a falling curve = hubs attach to leaves, rising = rich
-    * club). Same end frames as r16 (two keyed degree joins on the Ckpt'd
-    * undirected edge list), then ONE degree-keyed agg — output ≤ |distinct
-    * degrees| rows at any corpus. The mean is l5's discipline: exact BIGINT
+    * club). Rides [[degreeEnds]] — the SAME shared frame r16 aggregates
+    * (one enumeration, two consumers) — then ONE degree-keyed agg; output
+    * ≤ |distinct degrees| rows at any corpus. The mean is l5's discipline:
+    * exact BIGINT
     * sums, one double division, 4-dp quantized (D4).
     */
-  def r19(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
-    val und = graft.Ckpt(
-      e.union(e.select(col("v").as("u"), col("u").as("v"))))
-    val deg = graft.Ckpt(
-      und.groupBy(col("u").as("n")).agg(count(lit(1)).as("dg")))
-    und
-      .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
-      .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+  def r19(s: SparkSession, d: String): DataFrame =
+    degreeEnds(s, d)
       .groupBy(col("du").as("degree"))
       .agg(countDistinct(col("u")).as("n_nodes"),
         count(lit(1)).as("n_ends"),
         graft.Det.round4nz(sum(col("dv")).cast("double")
           / count(lit(1)).cast("double")).as("avg_neighbor_degree"))
       .orderBy("degree")
-  }
 
   /** r13's range-partitioned, cell-tagged seed panel (x27Cells' idiom) —
     * UN-checkpointed so PlanLintSpec can lint the plan the Ckpt hides. */
