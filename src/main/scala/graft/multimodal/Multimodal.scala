@@ -135,10 +135,10 @@ object Multimodal {
 
   /** Aligned-chunk fingerprints over EVERY kind (m5 — x29's media-side
     * twin): the blob is cut into fixed `nBytes` slices and each slice is
-    * MD5'd, one row per chunk. This is the content-defined-storage shape
-    * (CAS/dedup stores key on chunk hashes); a production variant would
-    * swap the fixed cut for a rolling-hash boundary, which changes only
-    * the `grouped` call here. Same mapPartitions batch iteration as
+    * MD5'd, one row per chunk. This is the content-addressed-storage shape
+    * (CAS/dedup stores key on chunk hashes); the production swap for
+    * shift-resilient boundaries is [[chunkSignaturesCDC]] (same output
+    * schema, rolling-hash cuts). Same mapPartitions batch iteration as
     * [[extractFeatures]] — blobs never leave executor space, only the
     * ~50-byte (sig, idx, len) rows shuffle.
     */
@@ -149,6 +149,61 @@ object Multimodal {
         item.content.grouped(nBytes).zipWithIndex.map { case (chunk, i) =>
           ChunkSig(item.doc_id, item.kind, i, chunk.length, md5Hex(chunk))
         }
+      }
+    }
+  }
+
+  /** CONTENT-DEFINED chunk fingerprints (m5's production swap, x64's
+    * media-side twin at the BYTE level): chunk boundaries are cut where a
+    * Rabin-style rolling hash of the trailing `window` bytes hits a mask
+    * condition, instead of at fixed offsets. The payoff is SHIFT
+    * RESILIENCE — insert one byte early in a blob and aligned chunking
+    * ([[chunkSignatures]]) re-signs every downstream chunk, while CDC
+    * boundaries depend only on a `window`-byte neighborhood, so exactly
+    * the chunks overlapping the edit change (MultimodalSpec proves both
+    * halves). `maskBits` sets the expected chunk length (2^maskBits bytes
+    * on random input).
+    *
+    * The boundary pass is one global scan per blob (boundary eligibility
+    * is position-independent — no per-chunk state), so the operator keeps
+    * chunkSignatures' scale shape: one mapPartitions pass, corpus-linear
+    * in blob bytes, blobs never shuffle — only (sig, idx, len) rows do.
+    */
+  def chunkSignaturesCDC(media: Dataset[MediaItem], window: Int = 16,
+      maskBits: Int = 6): Dataset[ChunkSig] = {
+    import media.sparkSession.implicits._
+    val mask = (1L << maskBits) - 1
+    media.mapPartitions { items =>
+      items.flatMap { item =>
+        val bytes = item.content
+        // P^(window-1) for rolling removal; all arithmetic wraps mod 2^64
+        val P = 1099511628211L
+        var pw = 1L
+        var k = 0
+        while (k < window - 1) { pw *= P; k += 1 }
+        val out = scala.collection.mutable.ArrayBuffer.empty[ChunkSig]
+        var start = 0
+        var idx = 0
+        var h = 0L
+        var i = 0
+        while (i < bytes.length) {
+          if (i >= window) h -= (bytes(i - window) & 0xff).toLong * pw
+          h = h * P + (bytes(i) & 0xff)
+          // cut AFTER i when the trailing-window hash hits the mask; the
+          // predicate reads only bytes(i-window+1..i), never chunk state
+          if (i >= window - 1 && (h & mask) == mask) {
+            val chunk = java.util.Arrays.copyOfRange(bytes, start, i + 1)
+            out += ChunkSig(item.doc_id, item.kind, idx, chunk.length, md5Hex(chunk))
+            idx += 1
+            start = i + 1
+          }
+          i += 1
+        }
+        if (start < bytes.length) {
+          val chunk = java.util.Arrays.copyOfRange(bytes, start, bytes.length)
+          out += ChunkSig(item.doc_id, item.kind, idx, chunk.length, md5Hex(chunk))
+        }
+        out.iterator
       }
     }
   }

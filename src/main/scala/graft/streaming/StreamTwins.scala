@@ -546,6 +546,64 @@ object StreamTwins {
       }
   }
 
+  /** The current dedup card of one chunk signature, as emitted by
+    * [[incrChunkDedup]] — batch m5's row shape (n_docs ≥ 2 filter applied
+    * downstream on the snapshot, where batch applies it after its agg). */
+  case class ChunkCard(chunk_sig: String, n_docs: Long, n_occ: Long,
+    n_kinds: Long, first_doc: Long, chunk_bytes: Int, dup_bytes: Long)
+  /** Per-signature index state: distinct docs/kinds seen, occurrences,
+    * chunk byte length (same sig ⇒ same bytes, so any row's value). */
+  case class ChunkIndexState(docs: Seq[Long], kinds: Seq[String], occ: Long,
+    bytes: Int)
+
+  /** m5's streaming face (round-12 verdict item 6 — the MULTIMODAL ingest
+    * twin, [[incrDedup]]'s contract lifted from whole-document hashes to
+    * content-addressed CHUNKS): `flatMapGroupsWithState` keyed on
+    * `chunk_sig`, whose state — the docs/kinds/occurrence account of that
+    * chunk — IS the CAS store's refcount index, maintained incrementally as
+    * blobs arrive. Each micro-batch re-emits the signature's current card
+    * (update mode — the sink keeps the last row per sig, the two-tier
+    * changelog shape of [[retentionLedger]]); the downstream `n_docs >= 2`
+    * cut over the snapshot is exactly batch m5's shared-chunk card.
+    *
+    * First-arrival invariant: every per-sig stat is a MONOTONE fold (set
+    * unions, counter, min) — the final snapshot is identical under ANY
+    * micro-batch split of the feed, and `first_doc` = min doc_id matches
+    * batch m5's survivor convention without needing arrival order
+    * (StreamTwinsSpec asserts snapshot ≡ batch m5 under two different
+    * splits). Rows still process in (doc_id, chunk_idx) order within a
+    * batch so intermediate emissions are deterministic too.
+    *
+    * Scale: state shards by chunk signature — the same key batch m5
+    * aggregates on; per-sig state is the distinct-doc list, i.e. the CAS
+    * refcount ledger a blob store keeps anyway (cap or sketch it for
+    * pathological boilerplate chunks; the shape stays keyed). Only ~50-byte
+    * (sig, idx, len) rows reach the stream — blobs are chunked+hashed in
+    * the upstream mapPartitions pass and never shuffle ([[Multimodal
+    * .chunkSignatures]] / [[Multimodal.chunkSignaturesCDC]] both feed it).
+    */
+  def incrChunkDedup(
+      chunks: Dataset[graft.multimodal.Multimodal.ChunkSig]): Dataset[ChunkCard] = {
+    import chunks.sparkSession.implicits._
+    chunks
+      .groupByKey(_.chunk_sig)
+      .flatMapGroupsWithState[ChunkIndexState, ChunkCard](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (sig: String, rows: Iterator[graft.multimodal.Multimodal.ChunkSig],
+         state: GroupState[ChunkIndexState]) =>
+          var st = state.getOption.getOrElse(ChunkIndexState(Nil, Nil, 0L, 0))
+          rows.toSeq.sortBy(r => (r.doc_id, r.chunk_idx)).foreach { r =>
+            st = ChunkIndexState(
+              if (st.docs.contains(r.doc_id)) st.docs else st.docs :+ r.doc_id,
+              if (st.kinds.contains(r.kind)) st.kinds else st.kinds :+ r.kind,
+              st.occ + 1, r.byte_len)
+          }
+          state.update(st)
+          Iterator.single(ChunkCard(sig, st.docs.size, st.occ, st.kinds.size,
+            st.docs.min, st.bytes, (st.occ - 1) * st.bytes))
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

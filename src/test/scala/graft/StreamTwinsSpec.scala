@@ -657,4 +657,47 @@ class StreamTwinsSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally query.stop()
   }
+
+  /** m5's streaming face: the incrChunkDedup snapshot (last card per sig,
+    * n_docs >= 2) must equal batch m5 — and equal it under TWO different
+    * micro-batch splits (the first-arrival invariant: per-sig state is a
+    * monotone fold, so the snapshot is split-independent). */
+  test("incremental chunk dedup: streamed snapshot reproduces batch m5 under any split") {
+    import graft.multimodal.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val chunks = Multimodal
+      .chunkSignatures(Multimodal.mediaFromDocuments(spark, sf001), 64)
+      .collect().toSeq.sortBy(r => (r.doc_id, r.chunk_idx))
+
+    def snapshot(nSplits: Int, name: String): Set[(String, Long, Long, Long, Long, Long)] = {
+      val stream = MemoryStream[Multimodal.ChunkSig]
+      val query = StreamTwins.incrChunkDedup(stream.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        chunks.grouped(chunks.length / nSplits + 1).foreach { c =>
+          stream.addData(c); query.processAllAvailable()
+        }
+        // update-mode sink keeps every emission; the card is monotone in
+        // n_occ, so the latest card per sig is the max-n_occ row
+        spark.table(name).as[StreamTwins.ChunkCard].collect()
+          .groupBy(_.chunk_sig).values
+          .map(_.maxBy(_.n_occ))
+          .filter(_.n_docs >= 2)
+          .map(c => (c.chunk_sig, c.n_docs, c.n_occ, c.n_kinds, c.first_doc,
+            c.dup_bytes))
+          .toSet
+      } finally query.stop()
+    }
+
+    val snap3 = snapshot(3, "incrchunk3")
+    val batch = ops.Media.m5(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(6)))
+      .toSet
+    assert(batch.nonEmpty, "fixture must contain shared chunks")
+    assert(snap3 === batch)
+    // different split, same snapshot (first-arrival invariant)
+    assert(snapshot(7, "incrchunk7") === snap3)
+  }
 }
