@@ -27,20 +27,28 @@ object Bench {
     * ContractSpec asserts the file matches this function and that the
     * all-integer worst-case line with pad margin fits 1,999 chars).
     *
-    * Scheme (round 12, the 2-char ENUMERATED form the round-11 ADVICE
-    * called for before ~200 keys — the mnemonic first-segment scheme's
-    * ~2.6-char average tripped the worst-case guard at the 200-key board):
-    * keys sorted, alias i = base-26 "aa".."zz" (capacity 676). Every key
-    * costs exactly len("\"aa\":99,") = 8 chars at 2-char values, so the
-    * line budget is linear and predictable. Deterministic from the key
-    * set alone; ADDING a key shifts later aliases, which is safe because
-    * every BENCH_r*.json is decoded through the sidecar committed in the
-    * same round — cross-round comparison always goes through full names.
+    * Scheme (round 13, BASE-62 enumerated — round 12's uniform 2-char
+    * base-26 form tripped the worst-case guard at the 224-key board,
+    * 242 modeled keys × 8 = over the tail by ~9 chars): keys sorted,
+    * alias i = the shortest base-62 string over [a-zA-Z0-9] — ONE char
+    * for the first 62 keys (7 chars/key at 2-char values), two chars
+    * after (8 chars/key; capacity 62 + 62² = 3,906). The 62 single-char
+    * aliases buy back 62 chars of line budget without touching any
+    * driver-contract envelope field (the guard's alternative was
+    * reclaiming "sf", which IS in the driver's documented line format).
+    * Deterministic from the key set alone; ADDING a key shifts later
+    * aliases, which is safe because every BENCH_r*.json is decoded
+    * through the sidecar committed in the same round — cross-round
+    * comparison always goes through full names.
     */
+  private val aliasChars =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toIndexedSeq
   def aliasMap(names: Seq[String]): Map[String, String] = {
-    require(names.size <= 676, s"alias space exhausted: ${names.size} keys")
+    require(names.size <= 62 + 62 * 62,
+      s"alias space exhausted: ${names.size} keys")
     names.sorted.zipWithIndex.map { case (n, i) =>
-      n -> s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+      n -> (if (i < 62) aliasChars(i).toString
+            else s"${aliasChars((i - 62) / 62)}${aliasChars((i - 62) % 62)}")
     }.toMap
   }
 

@@ -623,4 +623,47 @@ object Events {
           / col("mau").cast("double")).as("stickiness"))
       .orderBy("day")
   }
+
+  /** s24 — CONVERSION LAG distribution per signup-cohort week: among each
+    * week's first-time signups, how many converted (first purchase at or
+    * after first signup — s5's rule) and the p25/p50/p90 signup→purchase
+    * latency in whole minutes. The activation-SPEED card growth teams read
+    * beside s5's funnel (which only says how MANY convert).
+    *
+    * Determinism: firsts are conditional minima over exact integer µs (D3,
+    * order-insensitive); lag minutes are integer division, so the discrete
+    * quantiles SELECT an input integer (a26's percentile_disc discipline —
+    * no float interpolation crosses the gate; unconverted users carry NULL
+    * lag, which both engines' quantile skips); the rate is one exact-long
+    * double division (D4).
+    *
+    * Scale: one user-keyed agg (map-side-combinable conditional minima) →
+    * one week-keyed agg whose percentile state is bounded by the cohort's
+    * distinct lag values; output ≤ |weeks| rows at any corpus.
+    */
+  def s24(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    Tables.events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("fs"),
+        min(when(col("event_type") === "purchase", col("us"))).as("fp"))
+      .filter(col("fs").isNotNull)
+      .withColumn("lag_min",
+        when(col("fp") >= col("fs"), expr("(fp - fs) div 60000000")))
+      .groupBy(expr(s"(fs div $usPerDay) div 7").as("cohort_week"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("lag_min")).as("n_converted"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY lag_min) AS BIGINT)")
+          .as("p25_lag_min"),
+        expr("CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY lag_min) AS BIGINT)")
+          .as("p50_lag_min"),
+        expr("CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY lag_min) AS BIGINT)")
+          .as("p90_lag_min"))
+      .select(col("cohort_week"), col("n_users"), col("n_converted"),
+        graft.Det.round4nz(col("n_converted").cast("double")
+          / col("n_users").cast("double")).as("conv_rate"),
+        col("p25_lag_min"), col("p50_lag_min"), col("p90_lag_min"))
+      .orderBy("cohort_week")
+  }
 }

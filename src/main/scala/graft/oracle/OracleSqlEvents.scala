@@ -356,5 +356,35 @@ private[oracle] object OracleSqlEvents {
         |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, dau, mau,
         | ROUND(CAST(dau AS DOUBLE) / mau, 4) AS stickiness
         |FROM dau JOIN mau ON day_idx = cover_idx ORDER BY day""".stripMargin,
+
+    // s24: discrete quantiles restated via cumulative counts (a26's
+    // discipline) over integer lag minutes; NULL lag (unconverted) is
+    // excluded from the quantile mass exactly as percentile_disc skips it
+    "s24_conversion_lag" ->
+      """WITH u AS (SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS fs,
+        |   MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp
+        |  FROM events GROUP BY user_id),
+        | lag AS (SELECT (fs // (86400 * 1000000::BIGINT)) // 7 AS cohort_week,
+        |   CASE WHEN fp >= fs THEN (fp - fs) // 60000000 END AS lag_min
+        |  FROM u WHERE fs IS NOT NULL),
+        | base AS (SELECT cohort_week, COUNT(*) AS n_users,
+        |   COUNT(lag_min) AS n_converted FROM lag GROUP BY cohort_week),
+        | c AS (SELECT cohort_week, lag_min, COUNT(*) AS n FROM lag
+        |  WHERE lag_min IS NOT NULL GROUP BY 1, 2),
+        | cum AS (SELECT cohort_week, lag_min,
+        |   CAST(SUM(n) OVER (PARTITION BY cohort_week ORDER BY lag_min) AS BIGINT) AS cum,
+        |   CAST(SUM(n) OVER (PARTITION BY cohort_week) AS BIGINT) AS total
+        |  FROM c),
+        | q AS (SELECT cohort_week,
+        |   MIN(CASE WHEN cum * 100 >= total * 25 THEN lag_min END) AS p25_lag_min,
+        |   MIN(CASE WHEN cum * 100 >= total * 50 THEN lag_min END) AS p50_lag_min,
+        |   MIN(CASE WHEN cum * 100 >= total * 90 THEN lag_min END) AS p90_lag_min
+        |  FROM cum GROUP BY cohort_week)
+        |SELECT b.cohort_week, b.n_users, b.n_converted,
+        | ROUND(CAST(b.n_converted AS DOUBLE) / b.n_users, 4) + 0.0 AS conv_rate,
+        | q.p25_lag_min, q.p50_lag_min, q.p90_lag_min
+        |FROM base b LEFT JOIN q ON b.cohort_week = q.cohort_week
+        |ORDER BY b.cohort_week""".stripMargin,
   )
 }

@@ -772,5 +772,43 @@ private[oracle] object OracleSqlX2 {
         |   AS hot_buckets,
         | CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
         |FROM buck GROUP BY config ORDER BY config""".stripMargin,
+
+    // x67: the oracle states the tolerance flag as the constant 1 (x44's
+    // declared-tolerance pattern) — a Spark HLL estimate off by >5% fails
+    // the hash gate instead of shipping silently
+    "x67_approx_vocab" ->
+      """SELECT lang, COUNT(DISTINCT tok) AS exact_vocab, 1 AS within_5pct
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "x68_context_curve" ->
+      """WITH tc AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        | tot AS (SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS tt FROM tc),
+        | ls AS (SELECT unnest([64, 128, 256, 512, 1024]) AS ctx_len)
+        |SELECT ctx_len,
+        | CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_docs_truncated,
+        | ROUND(CAST(SUM(CASE WHEN n > ctx_len THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / MAX(nd), 4) + 0.0 AS frac_docs_truncated,
+        | CAST(SUM(CASE WHEN n > ctx_len THEN n - ctx_len ELSE 0 END) AS BIGINT)
+        |   AS tokens_lost,
+        | ROUND(CAST(SUM(CASE WHEN n > ctx_len THEN n - ctx_len ELSE 0 END) AS DOUBLE)
+        |   / MAX(tt), 4) + 0.0 AS frac_tokens_lost
+        |FROM ls, tc, tot GROUP BY ctx_len ORDER BY ctx_len""".stripMargin,
+
+    // x69: the norm is quantized to 4 dp BEFORE banding and averaging
+    // (l5's exact-decimal mean discipline), so both engines band and sum
+    // identical doubles
+    "x69_norm_audit" ->
+      """WITH n AS (SELECT ROUND(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x * x))), 4) + 0.0 AS nrm
+        |  FROM embeddings)
+        |SELECT CAST(FLOOR(nrm * 10) AS INT) AS norm_band, COUNT(*) AS n_vecs,
+        | MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+        | ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
+        |   + 0.0 AS mean_norm
+        |FROM n GROUP BY 1 ORDER BY norm_band""".stripMargin,
   )
 }

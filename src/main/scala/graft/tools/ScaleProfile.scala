@@ -183,7 +183,16 @@ object ScaleProfile {
     // with disjoint user populations; u12 is the orders⨝customer equi
     // shape over ×m disjoint key copies
     "r19_neighbor_degree", "x65_quality_dup_lift", "x66_band_whatif",
-    "f20_try_funcs", "s23_stickiness", "u12_typed_joinwith")
+    "f20_try_funcs", "s23_stickiness", "u12_typed_joinwith",
+    // round 13: s24 rides disjoint ×m user populations (cohort weeks
+    // shared → rows ×m into a fixed week axis); x67's exact distinct
+    // explodes ×m docs into the 5-lang axis with ~disjoint suffixed
+    // vocabularies (HLL registers constant per lang); x68 is a narrow
+    // token-count pass ×m into a literal 5-length axis; x69 is one
+    // narrow dot-product pass over ×m rotated vectors into a constant
+    // band axis
+    "s24_conversion_lag", "x67_approx_vocab", "x68_context_curve",
+    "x69_norm_audit")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -33,20 +33,19 @@ class ContractSpec extends SparkSpec {
     // (centi → deci → demote fastest queries to integer seconds) keeps
     // any REAL line ≤ 1,999, so the ONE invariant the ladder cannot save
     // is its own floor: the all-integer (2-char-value) line must fit the
-    // driver's 2,000-char tail. Round 12 moved to the 2-char ENUMERATED
-    // alias scheme (the mnemonic first-segment scheme's ~2.6-char average
-    // tripped this guard at the 200-key board — the escalation the
-    // round-11 ADVICE called for): every key now costs exactly 8 chars at
-    // 2-char values ("\"aa\":99,"), so the budget is linear — 1,999 chars
-    // holds ~237 keys + envelope. Guard = the real key set plus 18
-    // synthetic pads (one more than the largest round ever, round 9's
-    // +17), modeled through the SAME aliasMap so pad aliases cost what
-    // real ones would. The 25-char "keys":"bench_keys.json" pointer was
-    // reclaimed at the 220-key board (this guard tripped at 238 modeled
-    // keys = 2,000 chars, exactly as its comment predicted) — the sidecar
-    // self-describes via its "_" entry. Next reclaims past ~243 keys:
-    // the "sf" field (~14 chars), then "metric"/"unit" (driver-contract
-    // fields — renegotiate before touching).
+    // driver's 2,000-char tail. Round 13 moved to the BASE-62 enumerated
+    // alias scheme (round 12's uniform 2-char base-26 form tripped this
+    // guard at the 224-key board, 242 modeled keys — exactly the ~237-key
+    // ceiling its comment predicted): the first 62 keys get SINGLE-char
+    // aliases (7 chars at 2-char values), the rest 2-char (8 chars), so
+    // 1,999 chars now holds ~245 keys + envelope, with capacity 3,906.
+    // Guard = the real key set plus 18 synthetic pads (one more than the
+    // largest round ever, round 9's +17), modeled through the SAME
+    // aliasMap so pad aliases cost what real ones would. The 25-char
+    // "keys":"bench_keys.json" pointer was reclaimed at the 220-key
+    // board — the sidecar self-describes via its "_" entry. Next reclaims
+    // past ~245 keys: the "sf" field (~14 chars), then "metric"/"unit"
+    // (driver-contract fields — renegotiate before touching).
     val padded = SparkEntry.queries.keys.toSeq ++
       (0 until 18).map(i => f"zzpad$i%03d_guard")
     val aliases = Bench.aliasMap(padded).values.toSeq.sorted

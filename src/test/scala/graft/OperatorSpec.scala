@@ -3147,4 +3147,64 @@ class OperatorSpec extends SparkSpec {
     assert(got === sql)
     assert(got.nonEmpty)
   }
+
+  test("s24 conversion lag: cohorts cover signup users, quantiles ordered") {
+    val rows = ops.Events.s24(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val signupUsers = Tables.events(spark, sf001)
+      .filter($"event_type" === "signup")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === signupUsers,
+      "every user with a signup lands in exactly one cohort")
+    rows.foreach { r =>
+      val (nu, nc) = (r.getLong(1), r.getLong(2))
+      assert(nc <= nu)
+      assert(math.abs(r.getDouble(3) - nc.toDouble / nu) < 1e-4)
+      if (nc > 0) {
+        val (p25, p50, p90) = (r.getLong(4), r.getLong(5), r.getLong(6))
+        assert(p25 >= 0 && p25 <= p50 && p50 <= p90, r.toString)
+      } else assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+  }
+
+  test("x67 approx vocab: HLL estimate certified within 5% of exact, per lang") {
+    val rows = ops.Pipeline.x67(spark, sf001).collect()
+    assert(rows.length === 5, "one row per fixture language")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getInt(2) === 1,
+        s"lang ${r.getString(0)}: estimate strayed past the declared 5%")
+    }
+  }
+
+  test("x68 context curve: monotone in context length, fractions consistent") {
+    val rows = ops.Pipeline.x68(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(64, 128, 256, 512, 1024))
+    val nd = Tables.documents(spark, sf001).count()
+    val tt = Tables.documents(spark, sf001)
+      .select(size(split($"text", " ")).cast("bigint")).collect()
+      .map(_.getLong(0)).sum
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "docs truncated falls with length")
+      assert(a.getLong(3) >= b.getLong(3), "tokens lost falls with length")
+    }
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1).toDouble / nd) < 1e-4)
+      assert(math.abs(r.getDouble(4) - r.getLong(3).toDouble / tt) < 1e-4)
+    }
+  }
+
+  test("x69 norm audit: bands partition the corpus, stats ordered") {
+    val rows = ops.Pipeline.x69(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sum ===
+      Tables.embeddings(spark, sf001).count())
+    rows.foreach { r =>
+      val (band, mn, mx, mean) =
+        (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(mn <= mx && mean >= mn - 1e-4 && mean <= mx + 1e-4)
+      assert(math.floor(mn * 10).toInt === band, r.toString)
+      assert(math.floor(mx * 10).toInt === band, r.toString)
+    }
+  }
 }
