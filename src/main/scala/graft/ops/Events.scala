@@ -666,4 +666,97 @@ object Events {
         col("p25_lag_min"), col("p50_lag_min"), col("p90_lag_min"))
       .orderBy("cohort_week")
   }
+
+  /** EWMA weights in [[s25]], as exact integers 0.3·0.7^(k−1)·10⁷ for
+    * k = 1..7 (mirrored as literals in the oracle and consumed by the
+    * streaming twin — keep in sync). */
+  private[graft] val EwmaWeights =
+    Seq(3000000L, 2100000L, 1470000L, 1029000L, 720300L, 504210L, 352947L)
+
+  /** s25 — EWMA ANOMALY card over the daily event series: each day's count
+    * against the exponentially-weighted moving average of the PRIOR seven
+    * series points (α = 0.3, weights renormalized over the points actually
+    * present near the series head), flagged when the count exceeds twice
+    * the smoothed level — the standard monitoring smoother beside s13's
+    * per-user z-score rule (EWMA tracks level shifts a global σ misses).
+    * Lags step over SERIES rows, i.e. days with ≥1 event; on the fixture
+    * the day axis is dense so rows = calendar days.
+    *
+    * Determinism: the weights are the exact integers 0.3·0.7^(k−1)·10⁷
+    * ([[EwmaWeights]]), so the weighted numerator and the present-weight
+    * denominator are exact BIGINT lag() math (the 10⁷ scale cancels in
+    * the ratio); ONE double division rounds the level (D4), and both the
+    * spike predicate and the deviation ratio compare against the ROUNDED
+    * level, so the engines decide identical flags. Day 1 has no history →
+    * NULL level, flag 0. Headroom: daily count × 3·10⁶ must stay under
+    * Long.Max — ~3·10¹² events/day; past that the numerator moves to
+    * DECIMAL(38,0) unchanged in shape.
+    *
+    * Scale: the corpus-sized work is ONE keyed count; the partition-less
+    * window runs over the DAILY aggregate — bounded by the calendar, not
+    * the corpus (s13's argument).
+    */
+  def s25(s: SparkSession, d: String): DataFrame = {
+    val usPerDay = 86400L * 1000000L
+    val daily = Tables.events(s, d)
+      .select(expr(s"(ts div 1000) div $usPerDay").as("day_idx"))
+      .groupBy("day_idx").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("day_idx")
+    val lags = EwmaWeights.indices.map(i => lag(col("cnt"), i + 1).over(w))
+    val num = EwmaWeights.zip(lags).map { case (wt, l) =>
+      coalesce(l * lit(wt), lit(0L)) }.reduce(_ + _)
+    val den = EwmaWeights.zip(lags).map { case (wt, l) =>
+      when(l.isNotNull, lit(wt)).otherwise(lit(0L)) }.reduce(_ + _)
+    daily
+      .withColumn("ewma", when(den > 0,
+        round4nz(num.cast("double") / den.cast("double"))))
+      .select(asDate(timestamp_seconds(col("day_idx") * 86400)).as("day"),
+        col("cnt"), col("ewma"),
+        when(col("ewma").isNotNull,
+          round4nz(col("cnt").cast("double") / col("ewma"))).as("ratio"),
+        when(col("ewma").isNotNull
+          && col("cnt").cast("double") > lit(2.0) * col("ewma"), 1)
+          .otherwise(0).as("is_spike"))
+      .orderBy("day")
+  }
+
+  /** s26 — LINEAR multi-touch ATTRIBUTION: each purchase divides one unit
+    * of conversion credit equally among the same user's click/view touches
+    * in the prior 7 days (strictly before the purchase), rolled up per
+    * touch type — the equal-weight model beside s22's first/last-touch
+    * extremes (which hand the whole unit to one end of the path).
+    *
+    * Determinism: the lookback predicate is exact integer µs (D3); the
+    * per-touch credit 1/n is quantized to 4 dp BEFORE summing (decimal
+    * sums are order-insensitive — the x69 discipline), and the emitted
+    * total re-rounds the exact decimal's double cast (D4).
+    *
+    * Scale: ONE user-keyed equi-join (both sides corpus-sized — sort-merge
+    * on the natural user key; a bot-skewed user salts exactly like j13)
+    * whose pair fan-out is bounded by purchases/user × touches-in-window,
+    * then one per-conversion window count and one 3-row rollup. Never a
+    * time-range self-join across users.
+    */
+  def s26(s: SparkSession, d: String): DataFrame = {
+    val us7d = 7L * 86400L * 1000000L
+    val ev = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"))
+    val touches = ev.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("us").as("t_us"), col("event_type").as("touch_type"))
+    val convs = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+    val n = Window.partitionBy("c_id")
+    convs.join(touches, Seq("user_id"))
+      .filter(col("t_us") < col("c_us")
+        && col("t_us") >= col("c_us") - lit(us7d))
+      .withColumn("credit",
+        round4fast(lit(1.0) / count(lit(1)).over(n).cast("double"))
+          .cast("decimal(18,4)"))
+      .groupBy("touch_type")
+      .agg(countDistinct(col("t_id")).as("n_touches"),
+        countDistinct(col("c_id")).as("n_conversions"),
+        round4nz(sum(col("credit")).cast("double")).as("total_credit"))
+      .orderBy("touch_type")
+  }
 }

@@ -158,4 +158,29 @@ object Media {
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
       .orderBy("prefix_sig")
+
+  /** m7 — media EXACT-DUPLICATE keep list: one row per full-blob
+    * fingerprint (l1's all-groups shape at the BLOB layer — dup_cnt 1
+    * means unique): item count, distinct kinds carrying the payload, the
+    * kept representative (min doc_id — l1/x25's deterministic survivor
+    * rule), the item size, and the reclaimable duplicate bytes
+    * ((n−1)·size; 0 for uniques). The content-addressed-storage gc
+    * inventory m5's chunk dedup refines below whole-file granularity.
+    *
+    * Scale: the fingerprint is computed IN the scan partitions
+    * (shuffle-free decode path — only the ~50-byte metadata row reaches
+    * the sig-keyed agg, never the payload), and every aggregate is
+    * map-side combinable. Output is bounded by distinct content, not
+    * items.
+    */
+  def m7(s: SparkSession, d: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.mediaFromDocuments(s, d))
+      .groupBy(col("sig"))
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("kind")).as("n_kinds"),
+        min(col("doc_id")).as("keep_doc"),
+        min(col("byte_len")).as("item_bytes"),
+        ((count(lit(1)) - 1) * min(col("byte_len"))).cast("bigint")
+          .as("dup_bytes"))
+      .orderBy("sig")
 }

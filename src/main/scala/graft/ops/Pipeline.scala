@@ -2755,4 +2755,114 @@ object Pipeline {
         graft.Det.round4nz(sum(col("nrm").cast("decimal(18,4)")).cast("double")
           / count(lit(1)).cast("double")).as("mean_norm"))
       .orderBy("norm_band")
+
+  /** Number of BPE merge rounds in [[x70]] (the oracle unrolls the same
+    * count as a CTE chain — keep in sync). */
+  val BpeRounds = 3
+
+  /** [[x70]]'s greedy-left merge fold over the space-joined symbol string
+    * `sym` with merge pair columns `p1`/`p2` in scope (exposed for the
+    * adversarial-case spec; the oracle states the identical fold via
+    * DuckDB `list_reduce`). */
+  private[graft] val BpeMergeExpr =
+    """aggregate(slice(split(sym, ' '), 2, size(split(sym, ' ')) - 1),
+      |  element_at(split(sym, ' '), 1),
+      |  (acc, x) -> CASE WHEN x = p2 AND (acc = p1
+      |      OR right(acc, length(p1) + 1) = concat(' ', p1))
+      |    THEN concat(acc, x) ELSE concat(acc, ' ', x) END)""".stripMargin
+
+  /** x70 — BPE TRAINER, [[BpeRounds]] true merge rounds (x31 computes one
+    * round's pair statistic; this IS the Sennrich et al. 2016 training
+    * loop): each round counts adjacent symbol pairs over the vocabulary
+    * weighted by term frequency, picks the top pair (count desc, pair asc
+    * — a total order, D6), and GREEDILY merges it left-to-right
+    * non-overlapping in every word before the next round counts again.
+    * Emits one row per round: the merged pair and its corpus count — the
+    * head of the merges.txt a production tokenizer ships.
+    *
+    * Greedy-left merge as ONE narrow higher-order fold per round (no
+    * shuffle, no UDF): symbols live space-joined; `aggregate` folds each
+    * symbol in, appending WITHOUT a separator when the accumulator's last
+    * symbol is p1 and the incoming symbol is p2. The suffix test
+    * `right(acc, len(p1)+1) = ' '‖p1` (or acc = p1 exactly) cannot fire
+    * across a symbol boundary — symbols never contain spaces — and a
+    * just-merged tail p1‖p2 can never re-match p1 (it would need a space
+    * inside p1‖p2), so the fold IS leftmost-nonoverlapping greedy BPE —
+    * including runs like [a,a,a] → [aa,a]. DuckDB restates the identical
+    * fold via `list_reduce` (which seeds from the first element, as the
+    * Spark side does explicitly).
+    *
+    * Scale — the BPE-trainer discipline (x31): after ONE corpus explode
+    * into the Ckpt'd term-frequency table, every round is vocabulary-
+    * sized (Σ|w| over DISTINCT words); the top-1 plans as
+    * TakeOrderedAndProject and re-enters the next round as a 1-row
+    * BROADCAST (never a driver collect — the r8 lazy-scalar rule).
+    */
+  def x70(s: SparkSession, d: String): DataFrame = {
+    val tf = graft.Ckpt(Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
+        .as("sym"), col("wc")))
+    def topPair(vocab: DataFrame): DataFrame =
+      vocab.select(col("wc"), split(col("sym"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), col("cnt"),
+          element_at(split(col("pair"), " "), 1).as("p1"),
+          element_at(split(col("pair"), " "), 2).as("p2"))
+    val (out, _) = (1 to BpeRounds).foldLeft(
+        (Seq.empty[DataFrame], tf)) { case ((acc, vocab), r) =>
+      val tp = graft.Ckpt(topPair(vocab))
+      val merged = vocab.crossJoin(broadcast(tp.select(col("p1"), col("p2"))))
+        .select(expr(BpeMergeExpr).as("sym"), col("wc"))
+      val row = tp.select(lit(r).as("round"), col("pair"),
+        concat(col("p1"), col("p2")).as("merged"), col("cnt"))
+      (acc :+ row, merged)
+    }
+    out.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** x71 — VOCABULARY GROWTH curve (Heaps' law audit): documents in
+    * doc_id order cut into 10 equal id-range buckets; per bucket the
+    * token mass, the NEW vocabulary types first seen there, and the
+    * cumulative curves — the card that says whether the corpus's
+    * vocabulary is still growing (more data keeps paying for tokenizer
+    * and embedding-table sizing) or has saturated. Sub-linear type growth
+    * against linear token growth is the healthy Heaps signature; a late
+    * bucket spiking new types flags a contamination/format break (x43's
+    * drift alarm at the type level).
+    *
+    * Determinism: buckets key on exact integer id arithmetic against the
+    * max id (a 1-row broadcast scalar, never a driver collect); firsts
+    * are MIN over buckets (order-insensitive); counts exact.
+    *
+    * Scale: one narrow pass for token mass + ONE (token)-keyed min-agg
+    * (map-side combinable — the same shuffle class as x26's vocabulary
+    * head) + a ≤10-row window. Output 10 rows at any corpus.
+    */
+  def x71(s: SparkSession, d: String): DataFrame = {
+    val mx = Tables.documents(s, d).agg(max(col("doc_id")).as("mx"))
+    val db = Tables.documents(s, d).crossJoin(mx)
+      .select(expr("(doc_id * 10) div (mx + 1)").as("bucket"), col("text"))
+    val bt = db
+      .select(col("bucket"), size(split(col("text"), " ")).cast("bigint").as("n"))
+      .groupBy("bucket").agg(sum(col("n")).as("n_tokens"))
+    val nt = db.select(col("bucket"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket")
+    bt.join(nt, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        sum(coalesce(col("new_types"), lit(0L))).over(w).as("cum_types"))
+      .orderBy("bucket")
+  }
 }

@@ -519,7 +519,7 @@ object Rdf {
     * the multi-million-row wedge stream twice for no benefit (hash join
     * builds the 1.2M-edge side; measured 7.9 → 4.9 s at sf0.1). */
   private[graft] def triangleFrames(s: SparkSession,
-      d: String): (DataFrame, DataFrame) = {
+      d: String): (DataFrame, DataFrame, DataFrame) = {
     val edges = graft.Ckpt(coEdges(s, d))
     val deg = graft.Ckpt(
       edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
@@ -538,11 +538,11 @@ object Rdf {
         col("s") === col("s2") && col("tk") < col("tk2"))
       .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
     val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
-    (deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
+    (edges, deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
   }
 
   def r9(s: SparkSession, d: String): DataFrame = {
-    val (deg, tri) = triangleFrames(s, d)
+    val (_, deg, tri) = triangleFrames(s, d)
     tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("p_partkey"))
       .groupBy("p_partkey").agg(count(lit(1)).as("tri_cnt"))
@@ -568,7 +568,7 @@ object Rdf {
     * property — r9's argument).
     */
   def r17(s: SparkSession, d: String): DataFrame = {
-    val (deg, tri) = triangleFrames(s, d)
+    val (_, deg, tri) = triangleFrames(s, d)
     val triCnt = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri_cnt"))
@@ -892,7 +892,7 @@ object Rdf {
     * data (u, v ordering is D1's output sort).
     */
   def r15(s: SparkSession, d: String): DataFrame = {
-    val (deg, tri) = triangleFrames(s, d)
+    val (_, deg, tri) = triangleFrames(s, d)
     val cn = tri
       .select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
@@ -1056,5 +1056,41 @@ object Rdf {
       .withColumn("sid", col("off") + col("rn"))
       .select(col("n"), expr("sid div 64").as("w"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(sid % 64 AS INT))").as("bits"))
+  }
+
+  /** r20 — LOCAL BRIDGES of the co-purchase graph: edges whose endpoints
+    * share NO common neighbor (zero-triangle edges — removing one strictly
+    * lengthens every u↔v path; Easley–Kleinberg's local-bridge notion).
+    * The complement of r15's triangle-supported links: r15 scores the
+    * embedded edges, this surfaces the long-range shortcuts a
+    * neighborhood-similarity pruner (r10/r15 consumers) must NOT cut. Per
+    * node with ≥1 incident local bridge: degree and incident-bridge count.
+    *
+    * Scale: rides [[triangleFrames]]' Ckpt'd edge/degree/oriented-triangle
+    * frames (one shared enumeration — the degreeEnds discipline); triangle
+    * edges are a bounded 3-explode of the triangle list normalized to
+    * (least, greatest) key order, and the bridge set is ONE left-anti
+    * equi-join on the edge key — never a pair explosion past the oriented
+    * wedge bound. Output ≤ |nodes| rows. The orientation is a PLAN
+    * property (r9's argument): the oracle states plain partkey-ordered
+    * triangles and a NOT EXISTS anti join.
+    */
+  def r20(s: SparkSession, d: String): DataFrame = {
+    val (edges, deg, tri) = triangleFrames(s, d)
+    val triEdges = tri
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    edges.join(triEdges, Seq("u", "v"), "left_anti")
+      .select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("n_bridges"))
+      .join(deg, Seq("n"))
+      .select(col("n").as("p_partkey"), col("dg").as("deg"), col("n_bridges"))
+      .orderBy("p_partkey")
   }
 }

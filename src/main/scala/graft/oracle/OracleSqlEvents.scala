@@ -386,5 +386,67 @@ private[oracle] object OracleSqlEvents {
         | q.p25_lag_min, q.p50_lag_min, q.p90_lag_min
         |FROM base b LEFT JOIN q ON b.cohort_week = q.cohort_week
         |ORDER BY b.cohort_week""".stripMargin,
+
+    // s25: EWMA weights are the exact integers 0.3*0.7^(k-1)*10^7
+    // (Events.EwmaWeights — keep in sync); numerator/denominator are
+    // exact BIGINT lag math, one rounded division, and both the ratio
+    // and the spike flag compare against the ROUNDED level
+    "s25_ewma_anomaly" ->
+      """WITH daily AS (SELECT epoch_us(ts) // (86400 * 1000000::BIGINT)
+        |   AS day_idx, COUNT(*) AS cnt FROM events GROUP BY 1),
+        | lg AS (SELECT day_idx, cnt,
+        |   lag(cnt, 1) OVER (ORDER BY day_idx) AS l1,
+        |   lag(cnt, 2) OVER (ORDER BY day_idx) AS l2,
+        |   lag(cnt, 3) OVER (ORDER BY day_idx) AS l3,
+        |   lag(cnt, 4) OVER (ORDER BY day_idx) AS l4,
+        |   lag(cnt, 5) OVER (ORDER BY day_idx) AS l5,
+        |   lag(cnt, 6) OVER (ORDER BY day_idx) AS l6,
+        |   lag(cnt, 7) OVER (ORDER BY day_idx) AS l7
+        |  FROM daily),
+        | lv AS (SELECT day_idx, cnt,
+        |   CAST(COALESCE(l1 * 3000000, 0) + COALESCE(l2 * 2100000, 0)
+        |    + COALESCE(l3 * 1470000, 0) + COALESCE(l4 * 1029000, 0)
+        |    + COALESCE(l5 * 720300, 0) + COALESCE(l6 * 504210, 0)
+        |    + COALESCE(l7 * 352947, 0) AS BIGINT) AS num,
+        |   CAST(CASE WHEN l1 IS NULL THEN 0 ELSE 3000000 END
+        |    + CASE WHEN l2 IS NULL THEN 0 ELSE 2100000 END
+        |    + CASE WHEN l3 IS NULL THEN 0 ELSE 1470000 END
+        |    + CASE WHEN l4 IS NULL THEN 0 ELSE 1029000 END
+        |    + CASE WHEN l5 IS NULL THEN 0 ELSE 720300 END
+        |    + CASE WHEN l6 IS NULL THEN 0 ELSE 504210 END
+        |    + CASE WHEN l7 IS NULL THEN 0 ELSE 352947 END AS BIGINT) AS den
+        |  FROM lg),
+        | ew AS (SELECT day_idx, cnt, CASE WHEN den > 0 THEN
+        |    ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) + 0.0
+        |   END AS ewma FROM lv)
+        |SELECT CAST(to_timestamp(day_idx * 86400) AS DATE) AS day, cnt, ewma,
+        | CASE WHEN ewma IS NOT NULL
+        |  THEN ROUND(CAST(cnt AS DOUBLE) / ewma, 4) + 0.0 END AS ratio,
+        | CASE WHEN ewma IS NOT NULL AND CAST(cnt AS DOUBLE) > 2.0 * ewma
+        |  THEN 1 ELSE 0 END AS is_spike
+        |FROM ew ORDER BY day""".stripMargin,
+
+    // s26: the per-touch credit 1/n is quantized to 4 dp BEFORE the
+    // decimal sum (x69's exact-sum discipline); 1.0 must be cast to
+    // DOUBLE (a bare 1.0 is DECIMAL in DuckDB and decimal division
+    // truncates differently)
+    "s26_linear_attribution" ->
+      """WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        | t AS (SELECT user_id, event_id AS t_id, us AS t_us,
+        |   event_type AS touch_type FROM ev
+        |  WHERE event_type IN ('click', 'view')),
+        | c AS (SELECT user_id, event_id AS c_id, us AS c_us FROM ev
+        |  WHERE event_type = 'purchase'),
+        | pr AS (SELECT t.touch_type, t.t_id, c.c_id,
+        |   COUNT(*) OVER (PARTITION BY c.c_id) AS n
+        |  FROM c JOIN t ON c.user_id = t.user_id
+        |   AND t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000)
+        |SELECT touch_type,
+        | CAST(COUNT(DISTINCT t_id) AS BIGINT) AS n_touches,
+        | CAST(COUNT(DISTINCT c_id) AS BIGINT) AS n_conversions,
+        | ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / n, 4)
+        |   AS DECIMAL(18,4))) AS DOUBLE), 4) + 0.0 AS total_credit
+        |FROM pr GROUP BY touch_type ORDER BY touch_type""".stripMargin,
   )
 }

@@ -385,5 +385,27 @@ private[oracle] object OracleSqlGraph {
         | COUNT(*) AS n_ends,
         | ROUND(CAST(SUM(dv) AS DOUBLE) / COUNT(*), 4) AS avg_neighbor_degree
         |FROM ends GROUP BY du ORDER BY degree""".stripMargin,
+
+    // r20: the degree orientation is a PLAN property (r9's argument) —
+    // the oracle states plain partkey-ordered triangles and a NOT EXISTS
+    // anti join against the normalized triangle-edge set
+    "r20_local_bridges" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |   FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+        |   JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        | te AS (SELECT a AS u, b AS v FROM tri
+        |   UNION ALL SELECT a, c FROM tri UNION ALL SELECT b, c FROM tri),
+        | br AS (SELECT u, v FROM e WHERE NOT EXISTS
+        |   (SELECT 1 FROM te WHERE te.u = e.u AND te.v = e.v)),
+        | deg AS (SELECT p, COUNT(*) AS dg FROM
+        |   (SELECT u AS p FROM e UNION ALL SELECT v AS p FROM e) b GROUP BY p),
+        | nb AS (SELECT p, COUNT(*) AS n_bridges FROM
+        |   (SELECT u AS p FROM br UNION ALL SELECT v AS p FROM br) x GROUP BY p)
+        |SELECT nb.p AS p_partkey, deg.dg AS deg, nb.n_bridges
+        |FROM nb JOIN deg ON nb.p = deg.p ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -264,5 +264,21 @@ private[oracle] object OracleSqlLlm {
         | ROUND(CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs)
         |   OVER (PARTITION BY actual_lang) AS DOUBLE), 4) AS row_share
         |FROM cell ORDER BY actual_lang, pred_lang""".stripMargin,
+
+    // m7: whole-blob dedup groups — md5(VARCHAR) hashes the UTF-8 bytes,
+    // exactly the Spark side's blob fingerprint on the encode(text) payload
+    "m7_media_dedup" ->
+      """WITH m AS (SELECT doc_id,
+        |   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |   octet_length(encode(text)) AS byte_len,
+        |   md5(text) AS sig
+        |  FROM documents)
+        |SELECT sig, CAST(COUNT(*) AS BIGINT) AS n_items,
+        | CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
+        | MIN(doc_id) AS keep_doc,
+        | CAST(MIN(byte_len) AS INT) AS item_bytes,
+        | CAST((COUNT(*) - 1) * MIN(byte_len) AS BIGINT) AS dup_bytes
+        |FROM m GROUP BY sig ORDER BY sig""".stripMargin,
   )
 }

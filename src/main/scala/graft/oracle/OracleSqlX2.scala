@@ -810,5 +810,75 @@ private[oracle] object OracleSqlX2 {
         | ROUND(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4)
         |   + 0.0 AS mean_norm
         |FROM n GROUP BY 1 ORDER BY norm_band""".stripMargin,
+
+    // x70: Pipeline.BpeRounds = 3 merge rounds unrolled as CTE chains;
+    // the greedy-left merge is the IDENTICAL fold as Spark's `aggregate`
+    // — list_reduce seeds from the first element, appends p2 without a
+    // separator when the accumulator's last space-delimited symbol is p1
+    "x70_bpe_train" ->
+      """WITH tf AS (SELECT w, COUNT(*) AS wc
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w),
+        | v1 AS (SELECT array_to_string(list_transform(
+        |    range(1, length(w) + 1), i -> w[i]), ' ') AS sym, wc FROM tf),
+        | pc1 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |   SELECT wc, unnest(list_transform(range(1, len(l)),
+        |     i -> l[i] || ' ' || l[i + 1])) AS pair
+        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v1))
+        |  GROUP BY pair),
+        | t1 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
+        |   string_split(pair, ' ')[2] AS p2x
+        |  FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+        | v2 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
+        |    CASE WHEN x = t.p2x AND (acc = t.p1x
+        |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
+        |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
+        |  FROM v1, t1 t),
+        | pc2 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |   SELECT wc, unnest(list_transform(range(1, len(l)),
+        |     i -> l[i] || ' ' || l[i + 1])) AS pair
+        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v2))
+        |  GROUP BY pair),
+        | t2 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
+        |   string_split(pair, ' ')[2] AS p2x
+        |  FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
+        | v3 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
+        |    CASE WHEN x = t.p2x AND (acc = t.p1x
+        |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
+        |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
+        |  FROM v2, t2 t),
+        | pc3 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+        |   SELECT wc, unnest(list_transform(range(1, len(l)),
+        |     i -> l[i] || ' ' || l[i + 1])) AS pair
+        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v3))
+        |  GROUP BY pair),
+        | t3 AS (SELECT pair, cnt FROM pc3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM (
+        | SELECT 1 AS round, pair, cnt FROM t1
+        | UNION ALL SELECT 2, pair, cnt FROM t2
+        | UNION ALL SELECT 3, pair, cnt FROM t3) u
+        |ORDER BY round""".stripMargin,
+
+    // x71: bucket arithmetic on the max id (a scalar, never collected);
+    // window SUM(BIGINT) is HUGEINT in DuckDB — cast before emission (D9)
+    "x71_vocab_growth" ->
+      """WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+        | d AS (SELECT (doc_id * 10) // (mx + 1) AS bucket, text
+        |  FROM documents, mx),
+        | bt AS (SELECT bucket,
+        |   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY bucket),
+        | fb AS (SELECT tok, MIN(bucket) AS bucket FROM
+        |   (SELECT bucket, unnest(string_split(text, ' ')) AS tok FROM d) x
+        |  GROUP BY tok),
+        | nt AS (SELECT bucket, COUNT(*) AS new_types FROM fb GROUP BY bucket)
+        |SELECT bt.bucket, bt.n_tokens,
+        | CAST(SUM(bt.n_tokens) OVER (ORDER BY bt.bucket) AS BIGINT)
+        |   AS cum_tokens,
+        | CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+        | CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY bt.bucket)
+        |   AS BIGINT) AS cum_types
+        |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
+        |ORDER BY bt.bucket""".stripMargin,
   )
 }

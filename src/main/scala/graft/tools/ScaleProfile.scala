@@ -192,7 +192,18 @@ object ScaleProfile {
     // narrow dot-product pass over ×m rotated vectors into a constant
     // band axis
     "s24_conversion_lag", "x67_approx_vocab", "x68_context_curve",
-    "x69_norm_audit")
+    "x69_norm_audit",
+    // round-13 batch 2: x70's per-round work is vocabulary-sized — the
+    // suffixed ×m vocabularies grow ~×m so rounds scale with corpus, but
+    // the corpus explode happens once into the Ckpt'd tf table; x71 is
+    // one token-keyed min-agg ×m into a fixed 10-bucket axis; s25's
+    // window rides the calendar-bounded daily aggregate (corpus work =
+    // one keyed count); s26's pair fan-out is per-user-bounded and user
+    // populations are disjoint across ×m copies; r20 rides the ×m
+    // disjoint co-purchase subgraphs (triangle/bridge sets replicate
+    // copy 0); m7's dup groups replicate copy 0 under suffixed copies
+    "x70_bpe_train", "x71_vocab_growth", "s25_ewma_anomaly",
+    "s26_linear_attribution", "r20_local_bridges", "m7_media_dedup")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -3207,4 +3207,141 @@ class OperatorSpec extends SparkSpec {
       assert(math.floor(mx * 10).toInt === band, r.toString)
     }
   }
+
+  test("x70 BPE merge fold: greedy-left on adversarial symbol runs") {
+    // (sym, p1, p2, expected): equal-symbol runs merge leftmost
+    // non-overlapping; a pair must NEVER match across a symbol boundary
+    // (the 'h x' tail of symbol 'th' case); merged tails don't re-match.
+    val cases = Seq(
+      ("a a a", "a", "a", "aa a"),
+      ("a a a a a", "a", "a", "aa aa a"),
+      ("x h x h x", "h", "x", "x hx hx"),
+      ("a th x", "h", "x", "a th x"),
+      ("t h e", "t", "h", "th e"),
+      ("th e", "th", "e", "the"),
+      ("ab b b", "ab", "b", "abb b"),
+      ("q", "q", "q", "q"))
+    cases.foreach { case (sym, p1, p2, want) =>
+      val got = spark.sql(
+        s"SELECT ${ops.Pipeline.BpeMergeExpr} AS m FROM VALUES " +
+        s"('$sym', '$p1', '$p2') AS t(sym, p1, p2)").head().getString(0)
+      assert(got === want, s"fold('$sym', '$p1'+'$p2')")
+    }
+  }
+
+  test("x70 BPE train: 3 rounds, round 1 equals the brute-force top pair") {
+    val rows = ops.Pipeline.x70(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    rows.foreach { r =>
+      assert(r.getString(2) === r.getString(1).replace(" ", ""))
+      assert(r.getLong(3) > 0)
+    }
+    // brute-force round 1: char-pair counts weighted by word frequency
+    val wc = Tables.documents(spark, sf001)
+      .select(explode(split($"text", " ")).as("w"))
+      .collect().map(_.getString(0)).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val pairCnt = wc.toSeq.flatMap { case (w, c) =>
+      w.sliding(2).map(p => (s"${p(0)} ${p(1)}", c)) }
+      .groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+    val top = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.head
+    assert((rows(0).getString(1), rows(0).getLong(3)) === top)
+  }
+
+  test("x71 vocab growth: cumulative curves reconcile with corpus totals") {
+    val rows = ops.Pipeline.x71(spark, sf001).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 9L))
+    val totalToks = Tables.documents(spark, sf001)
+      .select(size(split($"text", " ")).cast("bigint")).collect()
+      .map(_.getLong(0)).sum
+    val vocab = Tables.documents(spark, sf001)
+      .select(explode(split($"text", " ")).as("t"))
+      .distinct().count()
+    assert(rows.last.getLong(2) === totalToks, "cum_tokens covers the corpus")
+    assert(rows.last.getLong(4) === vocab, "cum_types reaches the vocabulary")
+    assert(rows.map(_.getLong(3)).sum === vocab)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) === a.getLong(2) + b.getLong(1))
+      assert(b.getLong(4) === a.getLong(4) + b.getLong(3))
+    }
+  }
+
+  test("s25 EWMA anomaly: head has no level, a middle row recomputes") {
+    val rows = ops.Events.s25(spark, sf001).collect()
+    assert(rows.length >= 10)
+    assert(rows(0).isNullAt(2) && rows(0).getInt(4) === 0,
+      "day 1 has no history")
+    assert(rows.drop(1).forall(!_.isNullAt(2)))
+    val wts = Seq(3000000L, 2100000L, 1470000L, 1029000L, 720300L, 504210L,
+      352947L)
+    val cnts = rows.map(_.getLong(1))
+    for (i <- Seq(3, 10, rows.length - 1)) {
+      val k = math.min(i, 7)
+      val num = (1 to k).map(j => cnts(i - j) * wts(j - 1)).sum
+      val den = (1 to k).map(j => wts(j - 1)).sum
+      val want = math.floor(num.toDouble / den.toDouble * 1e4 + 0.5) / 1e4
+      assert(math.abs(rows(i).getDouble(2) - want) < 1.1e-4, s"row $i")
+      assert(rows(i).getInt(4) ===
+        (if (cnts(i).toDouble > 2.0 * rows(i).getDouble(2)) 1 else 0))
+    }
+  }
+
+  test("s26 linear attribution: credit mass equals credited conversions") {
+    val rows = ops.Events.s26(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("click", "view"))
+    rows.foreach(r => assert(r.getLong(1) > 0 && r.getLong(2) > 0))
+    // every credited conversion hands out EXACTLY round4(1/n) × n ≈ 1
+    val credited = {
+      val ev = Tables.events(spark, sf001)
+        .select($"event_id", $"user_id", expr("ts div 1000").as("us"),
+          $"event_type")
+      val t = ev.filter($"event_type".isin("click", "view"))
+        .select($"user_id", $"us".as("t_us"))
+      ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("c_id"), $"us".as("c_us"))
+        .join(t, Seq("user_id"))
+        .filter($"t_us" < $"c_us" && $"t_us" >= $"c_us" - lit(604800000000L))
+        .select("c_id").distinct().count()
+    }
+    val totalCredit = rows.map(_.getDouble(3)).sum
+    assert(math.abs(totalCredit - credited) < credited * 5e-4 + 1e-3,
+      s"credit mass $totalCredit vs $credited credited conversions")
+  }
+
+  test("r20 local bridges: complement of triangle support, ends reconcile") {
+    // sf0.01: sf0.001's co-purchase graph is so dense EVERY edge is
+    // triangle-supported (verified brute force — 8,899 edges, 0 bridges),
+    // so the zero-row result there is correct but vacuous
+    val rows = ops.Rdf.r20(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // bridge-end mass = 2 × bridge-edge count, recomputed brute force
+    val li = Tables.lineitem(spark, sf01)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val edges = li.join(li.select($"ok".as("ok2"), $"p".as("p2")),
+        $"ok" === $"ok2" && $"p" < $"p2")
+      .select($"p".as("u"), $"p2".as("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, g) => (n, g.map(_._2).toSet) }
+    val bridgeEdges = edges.filter { case (u, v) =>
+      (adj(u) & adj(v)).isEmpty }
+    assert(rows.map(_.getLong(2)).sum === 2L * bridgeEdges.size)
+    val wantEnds = bridgeEdges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, g) => (n, g.size.toLong) }
+    rows.foreach { r =>
+      assert(wantEnds(r.getLong(0)) === r.getLong(2), r.toString)
+      assert(adj(r.getLong(0)).size === r.getLong(1), "degree column")
+    }
+  }
+
+  test("m7 media dedup: all-groups inventory reconciles item mass") {
+    val rows = ops.Media.m7(spark, sf001).collect()
+    val items = Tables.documents(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum === items)
+    assert(rows.map(_.getString(0)).distinct.length === rows.length)
+    rows.foreach { r =>
+      assert(r.getLong(5) === (r.getLong(1) - 1) * r.getInt(4), r.toString)
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= 3)
+    }
+  }
 }
