@@ -604,6 +604,59 @@ object StreamTwins {
       }
   }
 
+  /** s25 twin — streaming EWMA anomaly ledger via flatMapGroupsWithState:
+    * consumes the DAILY-COUNT ledger (one final row per closed day, in day
+    * order — the shape an upstream streaming window count emits on day
+    * close) and scores each day against the EWMA of the prior ≤7 series
+    * rows with batch s25's exact integer weights. Because the batch level
+    * uses PRIOR days only, a day scores the moment its row arrives — the
+    * emitted stream equals batch s25 row-for-row under ANY micro-batch
+    * split (asserted in StreamTwinsSpec), no open-tail subtraction needed
+    * (unlike sessionize).
+    *
+    * State: the last ≤7 (day, cnt) pairs — O(1) per series. Scale: the
+    * heavy work (counting events into days) is the upstream DISTRIBUTED
+    * window aggregation; this stage sees one row per calendar day, the
+    * same calendar-bounded frame batch s25's partition-less window runs
+    * over. Rounding mirrors `Det.round4` (BigDecimal HALF_UP on the
+    * shortest double repr — the builtin Spark `round` path).
+    */
+  case class EwmaDay(day_idx: Long, cnt: Long)
+  case class EwmaOut(day_idx: Long, cnt: Long, ewma: Option[Double],
+    ratio: Option[Double], is_spike: Int)
+  case class EwmaState(entries: List[(Long, Long)])
+
+  def ewmaLedger(days: Dataset[EwmaDay]): Dataset[EwmaOut] = {
+    import days.sparkSession.implicits._
+    val wts = graft.ops.Events.EwmaWeights
+    def r4(x: Double): Double =
+      BigDecimal(x.toString).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    days
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Int, rows: Iterator[EwmaDay], state: GroupState[EwmaState]) =>
+          var hist = state.getOption.map(_.entries).getOrElse(Nil)
+          val out = Seq.newBuilder[EwmaOut]
+          rows.toSeq.sortBy(_.day_idx).foreach { d =>
+            val prior = hist.filter(_._1 < d.day_idx).sortBy(-_._1).take(7)
+            val num = prior.zipWithIndex.map { case ((_, c), i) =>
+              c * wts(i) }.sum
+            val den = prior.indices.map(wts).sum
+            if (den > 0) {
+              val ew = r4(num.toDouble / den.toDouble)
+              out += EwmaOut(d.day_idx, d.cnt, Some(ew),
+                Some(r4(d.cnt.toDouble / ew)),
+                if (d.cnt.toDouble > 2.0 * ew) 1 else 0)
+            } else out += EwmaOut(d.day_idx, d.cnt, None, None, 0)
+            hist = ((d.day_idx, d.cnt) :: hist).sortBy(-_._1).take(7)
+          }
+          state.update(EwmaState(hist))
+          out.result().iterator
+      }
+  }
+
   /** Custom arbitrary state (mapGroupsWithState): per-user running count and
     * value sum, updated incrementally — the streaming form of a reducer that
     * folds a per-key accumulator [RECON: the reference's reducer-side

@@ -700,4 +700,37 @@ class StreamTwinsSpec extends SparkSpec {
     // different split, same snapshot (first-arrival invariant)
     assert(snapshot(7, "incrchunk7") === snap3)
   }
+
+  test("EWMA ledger twin: streamed days equal batch s25 under any split") {
+    implicit val sqlCtx = spark.sqlContext
+    val batch = ops.Events.s25(spark, sf001).collect().toSeq
+    val inputs = Tables.events(spark, sf001)
+      .select(expr(s"(ts div 1000) div ${86400L * 1000000L}").as("day_idx"))
+      .groupBy("day_idx").agg(count(lit(1)).as("cnt"))
+      .orderBy("day_idx").collect()
+      .map(r => StreamTwins.EwmaDay(r.getLong(0), r.getLong(1))).toSeq
+    for (chunkSize <- Seq(1, 7, inputs.length)) {
+      val stream = MemoryStream[StreamTwins.EwmaDay]
+      val query = StreamTwins.ewmaLedger(stream.toDS())
+        .writeStream.format("memory").queryName(s"ewma$chunkSize")
+        .outputMode("append").start()
+      try {
+        inputs.grouped(chunkSize).foreach { c =>
+          stream.addData(c); query.processAllAvailable()
+        }
+        val streamed = spark.table(s"ewma$chunkSize")
+          .orderBy("day_idx").collect()
+        assert(streamed.length === batch.length)
+        streamed.zip(batch).foreach { case (s, b) =>
+          assert(s.getLong(0) === b.getDate(0).toLocalDate.toEpochDay)
+          assert(s.getLong(1) === b.getLong(1), "cnt")
+          if (b.isNullAt(2)) assert(s.isNullAt(2))
+          else assert(s.getDouble(2) === b.getDouble(2), "ewma")
+          if (b.isNullAt(3)) assert(s.isNullAt(3))
+          else assert(s.getDouble(3) === b.getDouble(3), "ratio")
+          assert(s.getInt(4) === b.getInt(4), "is_spike")
+        }
+      } finally query.stop()
+    }
+  }
 }
