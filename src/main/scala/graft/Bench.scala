@@ -27,28 +27,33 @@ object Bench {
     * ContractSpec asserts the file matches this function and that the
     * all-integer worst-case line with pad margin fits 1,999 chars).
     *
-    * Scheme (round 13, BASE-62 enumerated — round 12's uniform 2-char
-    * base-26 form tripped the worst-case guard at the 224-key board,
-    * 242 modeled keys × 8 = over the tail by ~9 chars): keys sorted,
-    * alias i = the shortest base-62 string over [a-zA-Z0-9] — ONE char
-    * for the first 62 keys (7 chars/key at 2-char values), two chars
-    * after (8 chars/key; capacity 62 + 62² = 3,906). The 62 single-char
-    * aliases buy back 62 chars of line budget without touching any
-    * driver-contract envelope field (the guard's alternative was
-    * reclaiming "sf", which IS in the driver's documented line format).
-    * Deterministic from the key set alone; ADDING a key shifts later
-    * aliases, which is safe because every BENCH_r*.json is decoded
-    * through the sidecar committed in the same round — cross-round
-    * comparison always goes through full names.
+    * Scheme (round 13, enumerated shortest-alias — round 12's uniform
+    * 2-char base-26 form tripped the worst-case guard at the 224-key
+    * board): keys sorted, alias i = ONE char for the first 90 keys
+    * (the 62 alphanumerics plus 28 JSON-safe punctuation chars — any
+    * printable ASCII key is legal JSON as long as it isn't `"`, `\`, or
+    * the sidecar's reserved "_"; 7 chars/key at 2-char values), then
+    * two base-62 chars (8 chars/key; capacity 90 + 62² = 3,934). The
+    * batch-3 board (232 keys + 18 guard pads = 250 modeled) overflowed
+    * the 62-single scheme by 10 chars; the 28 extra singles buy back 28
+    * without touching any driver-contract envelope field (the
+    * alternative was reclaiming "sf", which IS in the driver's
+    * documented line format — that renegotiation is the next lever at
+    * ~262 modeled keys). Deterministic from the key set alone; ADDING a
+    * key shifts later aliases, which is safe because every BENCH_r*.json
+    * is decoded through the sidecar committed in the same round —
+    * cross-round comparison always goes through full names.
     */
   private val aliasChars =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toIndexedSeq
+  private val aliasSingles = aliasChars ++ "!#$%&'()*+,-./:;<=>?@[]^{|}~"
   def aliasMap(names: Seq[String]): Map[String, String] = {
-    require(names.size <= 62 + 62 * 62,
+    require(names.size <= aliasSingles.size + 62 * 62,
       s"alias space exhausted: ${names.size} keys")
+    val n1 = aliasSingles.size
     names.sorted.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < 62) aliasChars(i).toString
-            else s"${aliasChars((i - 62) / 62)}${aliasChars((i - 62) % 62)}")
+      n -> (if (i < n1) aliasSingles(i).toString
+            else s"${aliasChars((i - n1) / 62)}${aliasChars((i - n1) % 62)}")
     }.toMap
   }
 

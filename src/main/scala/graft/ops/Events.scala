@@ -759,4 +759,59 @@ object Events {
         round4nz(sum(col("credit")).cast("double")).as("total_credit"))
       .orderBy("touch_type")
   }
+
+  /** s27 — strict SEQUENCE funnel with per-step deadlines (the
+    * MATCH_RECOGNIZE / sessionized-pattern class; s5's funnel is
+    * unordered signup→purchase with no time bound): per user, first
+    * signup → first click STRICTLY after it within 24h → first purchase
+    * strictly after THAT CLICK within 24h; stage rows carry user counts
+    * and step conversion. The order-and-deadline contract is what
+    * product funnels actually state, and it is NOT expressible as s5's
+    * two conditional minima — the click's window anchors on the signup,
+    * the purchase's on the qualifying click.
+    *
+    * Determinism: all exact integer µs (D3); firsts are conditional MINs
+    * over a running per-user window min (order-insensitive aggregates
+    * over a deterministic running frame ordered (us, event_id));
+    * conversions are one rounded division each (D4), NULL at stage 1.
+    *
+    * Scale: ONE user-keyed running window + ONE user-keyed agg for
+    * stages 1–2; stage 3 is one user-keyed equi-join against the
+    * purchase slice (fan-out bounded by purchases/user) + agg; the
+    * 3-row presentation explodes a 1-row global aggregate. No cross-user
+    * work anywhere.
+    */
+  def s27(s: SparkSession, d: String): DataFrame = {
+    val us24h = 86400L * 1000000L
+    val ev = Tables.events(s, d).select(col("user_id"),
+      expr("ts div 1000").as("us"), col("event_type"), col("event_id"))
+    val wRun = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev.withColumn("run_fs",
+      min(when(col("event_type") === "signup", col("us"))).over(wRun))
+    val uc = staged.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("us"))).as("fs"),
+      min(when(col("event_type") === "click" && col("us") > col("run_fs")
+        && col("us") <= col("run_fs") + us24h, col("us"))).as("fc"))
+    val fp = uc.filter(col("fc").isNotNull)
+      .join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("us") > col("fc") && col("us") <= col("fc") + us24h)
+      .groupBy("user_id").agg(min(col("us")).as("fp"))
+    uc.join(fp, Seq("user_id"), "left_outer")
+      .agg(count(col("fs")).as("n1"), count(col("fc")).as("n2"),
+        count(col("fp")).as("n3"))
+      .select(explode(array(
+        struct(lit("1_signup").as("stage"), col("n1").as("n_users"),
+          lit(null).cast("double").as("conv_from_prev")),
+        struct(lit("2_click_24h").as("stage"), col("n2").as("n_users"),
+          when(col("n1") > 0, round4nz(col("n2").cast("double")
+            / col("n1").cast("double"))).as("conv_from_prev")),
+        struct(lit("3_purchase_24h").as("stage"), col("n3").as("n_users"),
+          when(col("n2") > 0, round4nz(col("n3").cast("double")
+            / col("n2").cast("double"))).as("conv_from_prev")))).as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_users").as("n_users"),
+        col("r.conv_from_prev").as("conv_from_prev"))
+      .orderBy("stage")
+  }
 }

@@ -2771,6 +2771,40 @@ object Pipeline {
       |      OR right(acc, length(p1) + 1) = concat(' ', p1))
       |    THEN concat(acc, x) ELSE concat(acc, ' ', x) END)""".stripMargin
 
+  /** The [[BpeRounds]]-round trainer chain shared by [[x70]]/[[x72]]: the
+    * Ckpt'd initial (sym, wc) vocabulary plus, per round, the Ckpt'd
+    * 1-row top-pair frame and the post-merge vocabulary (each caller
+    * materializes its own chain — the triangleFrames discipline). */
+  private[ops] def bpeChain(s: SparkSession,
+      d: String): (DataFrame, Seq[(DataFrame, DataFrame)]) = {
+    val tf = graft.Ckpt(Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .filter(length(col("w")) >= 2)
+      .select(expr(
+        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
+        .as("sym"), col("wc")))
+    def topPair(vocab: DataFrame): DataFrame =
+      vocab.select(col("wc"), split(col("sym"), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), col("cnt"),
+          element_at(split(col("pair"), " "), 1).as("p1"),
+          element_at(split(col("pair"), " "), 2).as("p2"))
+    val (rounds, _) = (1 to BpeRounds).foldLeft(
+        (Seq.empty[(DataFrame, DataFrame)], tf)) { case ((acc, vocab), _) =>
+      val tp = graft.Ckpt(topPair(vocab))
+      val merged = vocab.crossJoin(broadcast(tp.select(col("p1"), col("p2"))))
+        .select(expr(BpeMergeExpr).as("sym"), col("wc"))
+      (acc :+ ((tp, merged)), merged)
+    }
+    (tf, rounds)
+  }
+
   /** x70 — BPE TRAINER, [[BpeRounds]] true merge rounds (x31 computes one
     * round's pair statistic; this IS the Sennrich et al. 2016 training
     * loop): each round counts adjacent symbol pairs over the vocabulary
@@ -2799,34 +2833,45 @@ object Pipeline {
     * BROADCAST (never a driver collect — the r8 lazy-scalar rule).
     */
   def x70(s: SparkSession, d: String): DataFrame = {
-    val tf = graft.Ckpt(Tables.documents(s, d)
-      .select(explode(split(col("text"), " ")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("wc"))
-      .filter(length(col("w")) >= 2)
-      .select(expr(
-        "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
-        .as("sym"), col("wc")))
-    def topPair(vocab: DataFrame): DataFrame =
-      vocab.select(col("wc"), split(col("sym"), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .select(col("pair"), col("cnt"),
-          element_at(split(col("pair"), " "), 1).as("p1"),
-          element_at(split(col("pair"), " "), 2).as("p2"))
-    val (out, _) = (1 to BpeRounds).foldLeft(
-        (Seq.empty[DataFrame], tf)) { case ((acc, vocab), r) =>
-      val tp = graft.Ckpt(topPair(vocab))
-      val merged = vocab.crossJoin(broadcast(tp.select(col("p1"), col("p2"))))
-        .select(expr(BpeMergeExpr).as("sym"), col("wc"))
-      val row = tp.select(lit(r).as("round"), col("pair"),
+    val (_, rounds) = bpeChain(s, d)
+    rounds.zipWithIndex.map { case ((tp, _), i) =>
+      tp.select(lit(i + 1).as("round"), col("pair"),
         concat(col("p1"), col("p2")).as("merged"), col("cnt"))
-      (acc :+ row, merged)
-    }
-    out.reduce(_ unionByName _).orderBy("round")
+    }.reduce(_ unionByName _).orderBy("round")
+  }
+
+  /** x72 — BPE COMPRESSION curve: the corpus symbol mass after each of
+    * [[x70]]'s merge rounds (round 0 = character level), the symbols
+    * saved vs round 0, and the compression ratio — the measurement that
+    * says what the trained merges BUY (x49's fertility is the same
+    * question for a FIXED tokenizer; this scores the trainer's own
+    * ladder). Mass is over the mergeable vocabulary (single-char words
+    * carry no pairs and are excluded from every round identically, so
+    * deltas are unaffected).
+    *
+    * Determinism: mass = Σ wc·|symbols| — exact BIGINT; the ratio is one
+    * rounded division against the round-0 mass carried on a 1-row
+    * broadcast scalar (D4).
+    *
+    * Scale: rides [[bpeChain]] (corpus explode once into the Ckpt'd tf;
+    * per-round work vocabulary-sized); each mass row is ONE agg over a
+    * vocabulary-sized frame. Output [[BpeRounds]]+1 rows at any corpus.
+    */
+  def x72(s: SparkSession, d: String): DataFrame = {
+    val (tf, rounds) = bpeChain(s, d)
+    val states = tf +: rounds.map(_._2)
+    val mass = states.zipWithIndex.map { case (v, r) =>
+      v.agg(sum(col("wc") * size(split(col("sym"), " "))).as("corpus_symbols"))
+        .select(lit(r).as("round"), col("corpus_symbols"))
+    }.reduce(_ unionByName _)
+    val base = states.head
+      .agg(sum(col("wc") * size(split(col("sym"), " "))).as("m0"))
+    mass.crossJoin(base)
+      .select(col("round"), col("corpus_symbols"),
+        (col("m0") - col("corpus_symbols")).as("symbols_saved"),
+        graft.Det.round4nz(col("corpus_symbols").cast("double")
+          / col("m0").cast("double")).as("compression"))
+      .orderBy("round")
   }
 
   /** x71 — VOCABULARY GROWTH curve (Heaps' law audit): documents in

@@ -31,6 +31,53 @@ private[oracle] object OracleSqlCtes {
       |  FROM bands a JOIN bands b ON a.lang = b.lang AND a.pos = b.pos
       |   AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** x70's 3-round BPE trainer chain (tf → v1 → pc1/t1 → v2 → pc2/t2 →
+    * v3 → pc3/t3), shared verbatim by x72's compression rollup (which
+    * appends a v4 = round-3 merge applied) so the two oracles cannot
+    * drift. The list_reduce lambda is the IDENTICAL greedy-left fold as
+    * the Spark side's `aggregate` (Pipeline.BpeMergeExpr).
+    */
+  private[oracle] val x70Ctes =
+    """WITH tf AS (SELECT w, COUNT(*) AS wc
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE length(w) >= 2 GROUP BY w),
+      | v1 AS (SELECT array_to_string(list_transform(
+      |    range(1, length(w) + 1), i -> w[i]), ' ') AS sym, wc FROM tf),
+      | pc1 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+      |   SELECT wc, unnest(list_transform(range(1, len(l)),
+      |     i -> l[i] || ' ' || l[i + 1])) AS pair
+      |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v1))
+      |  GROUP BY pair),
+      | t1 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
+      |   string_split(pair, ' ')[2] AS p2x
+      |  FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
+      | v2 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
+      |    CASE WHEN x = t.p2x AND (acc = t.p1x
+      |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
+      |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
+      |  FROM v1, t1 t),
+      | pc2 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+      |   SELECT wc, unnest(list_transform(range(1, len(l)),
+      |     i -> l[i] || ' ' || l[i + 1])) AS pair
+      |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v2))
+      |  GROUP BY pair),
+      | t2 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
+      |   string_split(pair, ' ')[2] AS p2x
+      |  FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
+      | v3 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
+      |    CASE WHEN x = t.p2x AND (acc = t.p1x
+      |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
+      |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
+      |  FROM v2, t2 t),
+      | pc3 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+      |   SELECT wc, unnest(list_transform(range(1, len(l)),
+      |     i -> l[i] || ' ' || l[i + 1])) AS pair
+      |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v3))
+      |  GROUP BY pair),
+      | t3 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
+      |   string_split(pair, ' ')[2] AS p2x
+      |  FROM pc3 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+
   /** x13's scoring CTE chain (through a per-doc `scored` frame), shared
     * verbatim by x33's bucketing rollup so the two oracles cannot drift.
     */

@@ -448,5 +448,40 @@ private[oracle] object OracleSqlEvents {
         | ROUND(CAST(SUM(CAST(ROUND(CAST(1.0 AS DOUBLE) / n, 4)
         |   AS DECIMAL(18,4))) AS DOUBLE), 4) + 0.0 AS total_credit
         |FROM pr GROUP BY touch_type ORDER BY touch_type""".stripMargin,
+
+    // s27: the click window anchors on the running signup min (a window
+    // over the per-user event stream), the purchase window on the
+    // qualifying click — the strict-order funnel s5's unordered minima
+    // cannot state
+    "s27_sequence_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type, event_id
+        |  FROM events),
+        | st AS (SELECT user_id, us, event_type,
+        |   MIN(CASE WHEN event_type = 'signup' THEN us END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS run_fs FROM ev),
+        | uc AS (SELECT user_id,
+        |   MIN(CASE WHEN event_type = 'signup' THEN us END) AS fs,
+        |   MIN(CASE WHEN event_type = 'click' AND us > run_fs
+        |        AND us <= run_fs + 86400000000 THEN us END) AS fc
+        |  FROM st GROUP BY user_id),
+        | fp AS (SELECT u.user_id, MIN(e.us) AS fp
+        |  FROM uc u JOIN ev e ON e.user_id = u.user_id
+        |   AND e.event_type = 'purchase' AND u.fc IS NOT NULL
+        |   AND e.us > u.fc AND e.us <= u.fc + 86400000000
+        |  GROUP BY u.user_id),
+        | c AS (SELECT COUNT(u.fs) AS n1, COUNT(u.fc) AS n2,
+        |   COUNT(f.fp) AS n3
+        |  FROM uc u LEFT JOIN fp f ON u.user_id = f.user_id)
+        |SELECT * FROM (
+        | SELECT '1_signup' AS stage, CAST(n1 AS BIGINT) AS n_users,
+        |   CAST(NULL AS DOUBLE) AS conv_from_prev FROM c
+        | UNION ALL SELECT '2_click_24h', CAST(n2 AS BIGINT),
+        |   CASE WHEN n1 > 0
+        |    THEN ROUND(CAST(n2 AS DOUBLE) / n1, 4) + 0.0 END FROM c
+        | UNION ALL SELECT '3_purchase_24h', CAST(n3 AS BIGINT),
+        |   CASE WHEN n2 > 0
+        |    THEN ROUND(CAST(n3 AS DOUBLE) / n2, 4) + 0.0 END FROM c) z
+        |ORDER BY stage""".stripMargin,
   )
 }

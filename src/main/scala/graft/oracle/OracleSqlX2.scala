@@ -811,53 +811,41 @@ private[oracle] object OracleSqlX2 {
         |   + 0.0 AS mean_norm
         |FROM n GROUP BY 1 ORDER BY norm_band""".stripMargin,
 
-    // x70: Pipeline.BpeRounds = 3 merge rounds unrolled as CTE chains;
-    // the greedy-left merge is the IDENTICAL fold as Spark's `aggregate`
-    // — list_reduce seeds from the first element, appends p2 without a
+    // x70: Pipeline.BpeRounds = 3 merge rounds unrolled as the shared
+    // x70Ctes chain (OracleSqlCtes — x72 rides it verbatim); the
+    // greedy-left merge is the IDENTICAL fold as Spark's `aggregate` —
+    // list_reduce seeds from the first element, appends p2 without a
     // separator when the accumulator's last space-delimited symbol is p1
-    "x70_bpe_train" ->
-      """WITH tf AS (SELECT w, COUNT(*) AS wc
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE length(w) >= 2 GROUP BY w),
-        | v1 AS (SELECT array_to_string(list_transform(
-        |    range(1, length(w) + 1), i -> w[i]), ' ') AS sym, wc FROM tf),
-        | pc1 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
-        |   SELECT wc, unnest(list_transform(range(1, len(l)),
-        |     i -> l[i] || ' ' || l[i + 1])) AS pair
-        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v1))
-        |  GROUP BY pair),
-        | t1 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
-        |   string_split(pair, ' ')[2] AS p2x
-        |  FROM pc1 ORDER BY cnt DESC, pair LIMIT 1),
-        | v2 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
-        |    CASE WHEN x = t.p2x AND (acc = t.p1x
-        |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
-        |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
-        |  FROM v1, t1 t),
-        | pc2 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
-        |   SELECT wc, unnest(list_transform(range(1, len(l)),
-        |     i -> l[i] || ' ' || l[i + 1])) AS pair
-        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v2))
-        |  GROUP BY pair),
-        | t2 AS (SELECT pair, cnt, string_split(pair, ' ')[1] AS p1x,
-        |   string_split(pair, ' ')[2] AS p2x
-        |  FROM pc2 ORDER BY cnt DESC, pair LIMIT 1),
-        | v3 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
-        |    CASE WHEN x = t.p2x AND (acc = t.p1x
-        |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
-        |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
-        |  FROM v2, t2 t),
-        | pc3 AS (SELECT pair, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
-        |   SELECT wc, unnest(list_transform(range(1, len(l)),
-        |     i -> l[i] || ' ' || l[i + 1])) AS pair
-        |   FROM (SELECT string_split(sym, ' ') AS l, wc FROM v3))
-        |  GROUP BY pair),
-        | t3 AS (SELECT pair, cnt FROM pc3 ORDER BY cnt DESC, pair LIMIT 1)
+    "x70_bpe_train" -> (OracleSqlCtes.x70Ctes +
+      """
         |SELECT round, pair, replace(pair, ' ', '') AS merged, cnt FROM (
         | SELECT 1 AS round, pair, cnt FROM t1
         | UNION ALL SELECT 2, pair, cnt FROM t2
         | UNION ALL SELECT 3, pair, cnt FROM t3) u
-        |ORDER BY round""".stripMargin,
+        |ORDER BY round""".stripMargin),
+
+    // x72: x70's chain verbatim + the round-3 merge applied (v4); mass
+    // sums are exact BIGINT, the ratio one rounded division vs round 0
+    "x72_bpe_compression" -> (OracleSqlCtes.x70Ctes +
+      """,
+        | v4 AS (SELECT list_reduce(string_split(sym, ' '), (acc, x) ->
+        |    CASE WHEN x = t.p2x AND (acc = t.p1x
+        |      OR right(acc, length(t.p1x) + 1) = ' ' || t.p1x)
+        |     THEN acc || x ELSE acc || ' ' || x END) AS sym, wc
+        |  FROM v3, t3 t),
+        | mass AS (
+        |  SELECT 0 AS round, CAST(SUM(wc * len(string_split(sym, ' ')))
+        |    AS BIGINT) AS corpus_symbols FROM v1
+        |  UNION ALL SELECT 1, CAST(SUM(wc * len(string_split(sym, ' ')))
+        |    AS BIGINT) FROM v2
+        |  UNION ALL SELECT 2, CAST(SUM(wc * len(string_split(sym, ' ')))
+        |    AS BIGINT) FROM v3
+        |  UNION ALL SELECT 3, CAST(SUM(wc * len(string_split(sym, ' ')))
+        |    AS BIGINT) FROM v4),
+        | m0 AS (SELECT corpus_symbols AS m0 FROM mass WHERE round = 0)
+        |SELECT round, corpus_symbols, m0 - corpus_symbols AS symbols_saved,
+        | ROUND(CAST(corpus_symbols AS DOUBLE) / m0, 4) + 0.0 AS compression
+        |FROM mass, m0 ORDER BY round""".stripMargin),
 
     // x71: bucket arithmetic on the max id (a scalar, never collected);
     // window SUM(BIGINT) is HUGEINT in DuckDB — cast before emission (D9)

@@ -203,7 +203,11 @@ object ScaleProfile {
     // disjoint co-purchase subgraphs (triangle/bridge sets replicate
     // copy 0); m7's dup groups replicate copy 0 under suffixed copies
     "x70_bpe_train", "x71_vocab_growth", "s25_ewma_anomaly",
-    "s26_linear_attribution", "r20_local_bridges", "m7_media_dedup")
+    "s26_linear_attribution", "r20_local_bridges", "m7_media_dedup",
+    // round-13 batch 3: x72 rides x70's vocabulary-sized chain (4 extra
+    // vocab-sized aggs); s27 is user-keyed window/agg/join over disjoint
+    // ×m user populations into a fixed 3-row axis
+    "x72_bpe_compression", "s27_sequence_funnel")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

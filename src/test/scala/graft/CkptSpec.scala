@@ -62,7 +62,12 @@ class CkptSpec extends SparkSpec {
       // round 11: x57 (Ckpt'd signature index feeding the banding and
       // both verify probes), r17 (triangleFrames' Ckpt'd degree +
       // oriented frames)
-      "x57_incr_neardup", "r17_clustering")
+      "x57_incr_neardup", "r17_clustering",
+      // round 13: x70/x72 (bpeChain's Ckpt'd tf + per-round 1-row top
+      // pairs — the corpus explode must run ONCE, every merge round
+      // re-reads the truncated frame), r20 (triangleFrames' edge +
+      // degree + oriented frames through the shared enumeration)
+      "x70_bpe_train", "x72_bpe_compression", "r20_local_bridges")
     val before = qs.map(q => q -> rows(SparkEntry.queries(q)(spark, sf001))).toMap
     withCheckpointDir {
       qs.foreach { q =>

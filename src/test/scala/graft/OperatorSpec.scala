@@ -3334,6 +3334,56 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("x72 BPE compression: monotone mass, saved = round-count of merges") {
+    val rows = ops.Pipeline.x72(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq === Seq(0, 1, 2, 3))
+    // round-0 mass = total chars of length>=2 corpus words
+    val m0 = Tables.documents(spark, sf001)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .agg(sum(length($"w"))).head().getLong(0)
+    assert(rows(0).getLong(1) === m0)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(1) < a.getLong(1), "each merge round reduces mass")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) === m0 - r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(1).toDouble / m0) < 1e-4)
+    }
+    // each round's mass drop = that round's merge count (one symbol saved
+    // per merged occurrence) — x70's counts are pair OCCURRENCES, merges
+    // are the greedy non-overlapping subset, so drop <= count
+    val tops = ops.Pipeline.x70(spark, sf001).collect()
+    rows.sliding(2).zip(tops.iterator).foreach { case (Array(a, b), t) =>
+      assert(a.getLong(1) - b.getLong(1) <= t.getLong(3), t.toString)
+    }
+  }
+
+  test("s27 sequence funnel: stage counts nest and match brute force") {
+    val rows = ops.Events.s27(spark, sf001).collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("1_signup", "2_click_24h", "3_purchase_24h"))
+    val Array(n1, n2, n3) = rows.map(_.getLong(1))
+    assert(n1 >= n2 && n2 >= n3 && n2 > 0, s"$n1/$n2/$n3")
+    // brute force per user over collected events
+    val evs = Tables.events(spark, sf001)
+      .select($"user_id", expr("ts div 1000").as("us"), $"event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val d = 86400000000L
+    val byUser = evs.groupBy(_._1)
+    val want = byUser.values.map { es =>
+      val fs = es.filter(_._3 == "signup").map(_._2).minOption
+      val fc = fs.flatMap(f => es.filter(e => e._3 == "click"
+        && e._2 > f && e._2 <= f + d).map(_._2).minOption)
+      val fp = fc.flatMap(c => es.filter(e => e._3 == "purchase"
+        && e._2 > c && e._2 <= c + d).map(_._2).minOption)
+      (fs.isDefined, fc.isDefined, fp.isDefined)
+    }.toSeq
+    assert((n1, n2, n3) === (want.count(_._1).toLong,
+      want.count(_._2).toLong, want.count(_._3).toLong))
+    assert(rows(1).getDouble(2) > 0 && rows(0).isNullAt(2))
+  }
+
   test("m7 media dedup: all-groups inventory reconciles item mass") {
     val rows = ops.Media.m7(spark, sf001).collect()
     val items = Tables.documents(spark, sf001).count()
