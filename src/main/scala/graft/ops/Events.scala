@@ -754,9 +754,14 @@ object Events {
         round4fast(lit(1.0) / count(lit(1)).over(n).cast("double"))
           .cast("decimal(18,4)"))
       .groupBy("touch_type")
+      // round AFTER the agg: round4fast references its input ~8 times, and
+      // each reference of an in-agg sum() becomes its own aggregate
+      // expression in the physical plan (plan-audit finding)
       .agg(countDistinct(col("t_id")).as("n_touches"),
         countDistinct(col("c_id")).as("n_conversions"),
-        round4nz(sum(col("credit")).cast("double")).as("total_credit"))
+        sum(col("credit")).as("credit_sum"))
+      .select(col("touch_type"), col("n_touches"), col("n_conversions"),
+        round4nz(col("credit_sum").cast("double")).as("total_credit"))
       .orderBy("touch_type")
   }
 

@@ -1069,11 +1069,16 @@ object Rdf {
     * Scale: rides [[triangleFrames]]' Ckpt'd edge/degree/oriented-triangle
     * frames (one shared enumeration — the degreeEnds discipline); triangle
     * edges are a bounded 3-explode of the triangle list normalized to
-    * (least, greatest) key order, and the bridge set is ONE left-anti
-    * equi-join on the edge key — never a pair explosion past the oriented
-    * wedge bound. Output ≤ |nodes| rows. The orientation is a PLAN
-    * property (r9's argument): the oracle states plain partkey-ordered
-    * triangles and a NOT EXISTS anti join.
+    * (least, greatest) key order and DISTINCT'd before the anti join, so
+    * the SHUFFLE_HASH build side is bounded by the EDGE count, not the
+    * triangle count (3·|tri| can exceed |edges| by orders of magnitude on
+    * clustered graphs — the unaggregated build was the plan-audit finding;
+    * unhinted, the Ckpt'd-RDD unknown-stats SMJ fallback sorts the full
+    * 3-explode stream instead). The bridge set is ONE left-anti equi-join
+    * on the edge key — never a pair explosion past the oriented wedge
+    * bound. Output ≤ |nodes| rows. The orientation is a PLAN property
+    * (r9's argument): the oracle states plain partkey-ordered triangles
+    * and a NOT EXISTS anti join.
     */
   def r20(s: SparkSession, d: String): DataFrame = {
     val (edges, deg, tri) = triangleFrames(s, d)
@@ -1085,8 +1090,8 @@ object Rdf {
           greatest(col("a"), col("c")).as("v")),
         struct(least(col("b"), col("c")).as("u"),
           greatest(col("b"), col("c")).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-    edges.join(triEdges, Seq("u", "v"), "left_anti")
+      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    edges.join(triEdges.hint("SHUFFLE_HASH"), Seq("u", "v"), "left_anti")
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_bridges"))
       .join(deg, Seq("n"))
