@@ -37,7 +37,11 @@ object ExplainAudit {
       "x45_dsir_weights", "x46_temperature_mix", "j19_band_bucket",
       "r13_harmonic", "s16_peak_hour", "x49_fertility", "j20_or_join",
       "x57_incr_neardup", "w12_topk_ties", "r17_clustering",
-      "x58_prefix_dedup", "s18_churn")
+      "x58_prefix_dedup", "s18_churn",
+      // round 13: the BPE chain (Ckpt'd 1-row top-pair broadcasts), the
+      // edge-bounded bridge anti-join, the attribution pair join
+      "x70_bpe_train", "x72_bpe_compression", "r20_local_bridges",
+      "s26_linear_attribution", "s27_sequence_funnel", "m7_media_dedup")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
