@@ -405,4 +405,34 @@ class PropertySpec extends SparkSpec {
       assert(dist === expected)
     }
   }
+
+  test("BPE merge fold equals reference greedy-left merge on random symbol lists") {
+    // Reference semantics (Sennrich BPE merge step): scan left to right,
+    // replace each non-overlapping (p1, p2) adjacency with p1+p2.
+    def refMerge(syms: List[String], p1: String, p2: String): List[String] = {
+      val out = List.newBuilder[String]
+      var rest = syms
+      while (rest.nonEmpty) rest match {
+        case a :: b :: tl if a == p1 && b == p2 => out += a + b; rest = tl
+        case a :: tl => out += a; rest = tl
+        case Nil => ()
+      }
+      out.result()
+    }
+    // symbols from a tiny alphabet so runs and near-miss boundaries (the
+    // 'h x' tail of a previously merged 'th' class) are common; pairs
+    // drawn from the same alphabet INCLUDING already-merged 2-char
+    // symbols to fuzz the suffix test across merge generations
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "aa", "x")
+    val gen = Gen.zip(Gen.nonEmptyListOf(sym).map(_.take(12)),
+      Gen.zip(sym, sym))
+    cases(gen, n = 40).foreach { case (syms, (p1, p2)) =>
+      val got = spark.sql(
+        s"SELECT ${ops.Pipeline.BpeMergeExpr} AS m FROM VALUES " +
+        s"('${syms.mkString(" ")}', '$p1', '$p2') AS t(sym, p1, p2)")
+        .head().getString(0)
+      assert(got === refMerge(syms, p1, p2).mkString(" "),
+        s"fold(${syms.mkString("[", " ", "]")}, '$p1'+'$p2')")
+    }
+  }
 }
