@@ -521,6 +521,15 @@ object Rdf {
   private[graft] def triangleFrames(s: SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame) = {
     val edges = graft.Ckpt(coEdges(s, d))
+    val (deg, tri) = orientedTriangles(edges)
+    (edges, deg, tri)
+  }
+
+  /** r9's Suri–Vassilvitskii oriented enumeration parameterized over an
+    * arbitrary Ckpt'd undirected `u < v` edge frame (extracted for the
+    * [[r21]] truss peeler, whose edge set changes per round): returns the
+    * Ckpt'd degree frame and the triangle list (a, b, c). */
+  private def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
     val deg = graft.Ckpt(
       edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg")))
@@ -538,8 +547,23 @@ object Rdf {
         col("s") === col("s2") && col("tk") < col("tk2"))
       .select(col("s").as("a"), col("tk.n").as("b"), col("tk2.n").as("c"))
     val closing = oriented.select(col("s").as("b"), col("tk.n").as("c"))
-    (edges, deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
+    (deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
   }
+
+  /** Per-edge triangle support of an undirected `u < v` edge frame: the
+    * normalized 3-explode of [[orientedTriangles]] counted per edge key
+    * (shared by [[r21]]'s peel rounds and its emission support). */
+  private def edgeSupport(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)._2
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v")),
+        struct(least(col("a"), col("c")).as("u"),
+          greatest(col("a"), col("c")).as("v")),
+        struct(least(col("b"), col("c")).as("u"),
+          greatest(col("b"), col("c")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
 
   def r9(s: SparkSession, d: String): DataFrame = {
     val (_, deg, tri) = triangleFrames(s, d)
@@ -1097,5 +1121,39 @@ object Rdf {
       .join(deg, Seq("n"))
       .select(col("n").as("p_partkey"), col("dg").as("deg"), col("n_bridges"))
       .orderBy("p_partkey")
+  }
+
+  /** Number of peel rounds in [[r21]] (the oracle unrolls the same count —
+    * keep in sync). Bounded by oracle necessity, like r11/r12/r14: the
+    * to-fixpoint peeler is the same loop with a convergence check on the
+    * per-round change count. */
+  val TrussPeels = 2
+
+  /** r21 — 4-TRUSS peeling, [[TrussPeels]] bounded rounds (Cohen 2008):
+    * repeatedly drop every edge in fewer than 2 triangles OF THE CURRENT
+    * subgraph, then emit the surviving edges with their residual support —
+    * the cohesive-subgraph primitive between r9's raw triangle counts and
+    * r14's degree-based k-core (truss peeling cascades: removing a weak
+    * edge can orphan a previously-strong one, which is exactly what the
+    * per-round recount captures and a one-shot support filter misses).
+    *
+    * Scale: each round re-runs the [[orientedTriangles]] O(√m)-bounded
+    * enumeration on the SHRUNKEN Ckpt'd edge frame (monotone — rounds get
+    * cheaper), one keyed support agg, one left-semi equi-join; never a
+    * pair explosion past the oriented wedge bound. Counts are exact longs;
+    * the edge key is a total order (D6). The oracle states the identical
+    * unrolled rounds over plain partkey-ordered triangles (orientation is
+    * a PLAN property — r9's argument).
+    */
+  def r21(s: SparkSession, d: String): DataFrame = {
+    val e0 = graft.Ckpt(coEdges(s, d))
+    val peeled = (1 to TrussPeels).foldLeft(e0) { (edges, _) =>
+      graft.Ckpt(edges.join(
+        edgeSupport(edges).filter(col("sup") >= 2).hint("SHUFFLE_HASH"),
+        Seq("u", "v"), "left_semi"))
+    }
+    peeled.join(edgeSupport(peeled), Seq("u", "v"), "left_outer")
+      .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+      .orderBy("u", "v")
   }
 }

@@ -407,5 +407,39 @@ private[oracle] object OracleSqlGraph {
         |   (SELECT u AS p FROM br UNION ALL SELECT v AS p FROM br) x GROUP BY p)
         |SELECT nb.p AS p_partkey, deg.dg AS deg, nb.n_bridges
         |FROM nb JOIN deg ON nb.p = deg.p ORDER BY p_partkey""".stripMargin,
+
+    // r21: Rdf.TrussPeels = 2 peel rounds unrolled; each round recounts
+    // triangle support INSIDE the surviving edge set (the cascade a
+    // one-shot filter misses); orientation is a PLAN property (r9)
+    "r21_truss" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | t0 AS (SELECT ea.u AS a, ea.v AS b, eb.v AS c
+        |   FROM e0 ea JOIN e0 eb ON ea.u = eb.u AND ea.v < eb.v
+        |   JOIN e0 ec ON ec.u = ea.v AND ec.v = eb.v),
+        | s0 AS (SELECT u, v, COUNT(*) AS sup FROM (
+        |   SELECT a AS u, b AS v FROM t0 UNION ALL SELECT a, c FROM t0
+        |   UNION ALL SELECT b, c FROM t0) x GROUP BY u, v),
+        | p1 AS (SELECT e0.u, e0.v FROM e0
+        |   JOIN s0 ON e0.u = s0.u AND e0.v = s0.v AND s0.sup >= 2),
+        | t1 AS (SELECT ea.u AS a, ea.v AS b, eb.v AS c
+        |   FROM p1 ea JOIN p1 eb ON ea.u = eb.u AND ea.v < eb.v
+        |   JOIN p1 ec ON ec.u = ea.v AND ec.v = eb.v),
+        | s1 AS (SELECT u, v, COUNT(*) AS sup FROM (
+        |   SELECT a AS u, b AS v FROM t1 UNION ALL SELECT a, c FROM t1
+        |   UNION ALL SELECT b, c FROM t1) x GROUP BY u, v),
+        | p2 AS (SELECT p1.u, p1.v FROM p1
+        |   JOIN s1 ON p1.u = s1.u AND p1.v = s1.v AND s1.sup >= 2),
+        | t2 AS (SELECT ea.u AS a, ea.v AS b, eb.v AS c
+        |   FROM p2 ea JOIN p2 eb ON ea.u = eb.u AND ea.v < eb.v
+        |   JOIN p2 ec ON ec.u = ea.v AND ec.v = eb.v),
+        | s2 AS (SELECT u, v, COUNT(*) AS sup FROM (
+        |   SELECT a AS u, b AS v FROM t2 UNION ALL SELECT a, c FROM t2
+        |   UNION ALL SELECT b, c FROM t2) x GROUP BY u, v)
+        |SELECT p2.u, p2.v, CAST(COALESCE(s2.sup, 0) AS BIGINT) AS support
+        |FROM p2 LEFT JOIN s2 ON p2.u = s2.u AND p2.v = s2.v
+        |ORDER BY p2.u, p2.v""".stripMargin,
   )
 }

@@ -207,7 +207,10 @@ object ScaleProfile {
     // round-13 batch 3: x72 rides x70's vocabulary-sized chain (4 extra
     // vocab-sized aggs); s27 is user-keyed window/agg/join over disjoint
     // ×m user populations into a fixed 3-row axis
-    "x72_bpe_compression", "s27_sequence_funnel")
+    "x72_bpe_compression", "s27_sequence_funnel",
+    // r21 rides the ×m disjoint co-purchase subgraphs; per-copy truss
+    // structure replicates copy 0, rounds stay 2, enumeration ∝ edges
+    "r21_truss")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

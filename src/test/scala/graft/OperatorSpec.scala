@@ -3384,6 +3384,32 @@ class OperatorSpec extends SparkSpec {
     assert(rows(1).getDouble(2) > 0 && rows(0).isNullAt(2))
   }
 
+  test("r21 truss: equals brute-force peeling, cascade visible") {
+    val rows = ops.Rdf.r21(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force: materialize edges, peel twice, recount
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    var edges = li.join(li.select($"ok".as("ok2"), $"p".as("p2")),
+        $"ok" === $"ok2" && $"p" < $"p2")
+      .select($"p".as("u"), $"p2".as("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def support(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (n, g) => (n, g.map(_._2).toSet) }
+      es.toSeq.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    (1 to ops.Rdf.TrussPeels).foreach { _ =>
+      val s = support(edges)
+      edges = edges.filter(e => s(e) >= 2)
+    }
+    val fin = support(edges)
+    assert(rows.keySet === edges)
+    edges.foreach(e => assert(rows(e) === fin(e), e.toString))
+    // the peel is not vacuous at this SF: something must have been dropped
+    assert(rows.nonEmpty)
+  }
+
   test("m7 media dedup: all-groups inventory reconciles item mass") {
     val rows = ops.Media.m7(spark, sf001).collect()
     val items = Tables.documents(spark, sf001).count()
