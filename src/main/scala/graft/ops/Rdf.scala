@@ -550,11 +550,14 @@ object Rdf {
     (deg, wedges.join(closing.hint("SHUFFLE_HASH"), Seq("b", "c")))
   }
 
-  /** Per-edge triangle support of an undirected `u < v` edge frame: the
-    * normalized 3-explode of [[orientedTriangles]] counted per edge key
-    * (shared by [[r21]]'s peel rounds and its emission support). */
-  private def edgeSupport(edges: DataFrame): DataFrame =
-    orientedTriangles(edges)._2
+  /** The normalized 3-explode of a triangle frame (a, b, c) into its three
+    * canonical `(least, greatest)` edges — ONE row per (triangle, edge)
+    * incidence. The single body behind [[edgeSupportOf]]'s keyed count
+    * (r15/r21) and [[r20]]'s DISTINCT'd anti-join build (round-13 verdict:
+    * r15 carried a verbatim copy because [[edgeSupport]] re-ran the
+    * enumeration instead of taking a triangle frame). */
+  private def triangleEdges(tri: DataFrame): DataFrame =
+    tri
       .select(explode(array(
         struct(least(col("a"), col("b")).as("u"),
           greatest(col("a"), col("b")).as("v")),
@@ -563,7 +566,18 @@ object Rdf {
         struct(least(col("b"), col("c")).as("u"),
           greatest(col("b"), col("c")).as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("sup"))
+
+  /** Per-edge triangle support of a PRECOMPUTED triangle frame (shared by
+    * [[r15]]'s common-neighbor count and [[r21]]'s emission support over
+    * an already-enumerated frame). */
+  private def edgeSupportOf(tri: DataFrame): DataFrame =
+    triangleEdges(tri).groupBy("u", "v").agg(count(lit(1)).as("sup"))
+
+  /** Per-edge triangle support of an undirected `u < v` edge frame: runs
+    * the oriented enumeration, then counts the 3-explode per edge key
+    * ([[r21]]'s peel rounds, whose edge set changes per round). */
+  private def edgeSupport(edges: DataFrame): DataFrame =
+    edgeSupportOf(orientedTriangles(edges)._2)
 
   def r9(s: SparkSession, d: String): DataFrame = {
     val (_, deg, tri) = triangleFrames(s, d)
@@ -917,16 +931,7 @@ object Rdf {
     */
   def r15(s: SparkSession, d: String): DataFrame = {
     val (_, deg, tri) = triangleFrames(s, d)
-    val cn = tri
-      .select(explode(array(
-        struct(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v")),
-        struct(least(col("a"), col("c")).as("u"),
-          greatest(col("a"), col("c")).as("v")),
-        struct(least(col("b"), col("c")).as("u"),
-          greatest(col("b"), col("c")).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val cn = edgeSupportOf(tri).select(col("u"), col("v"), col("sup").as("cn"))
     cn.join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
       .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
@@ -1106,15 +1111,7 @@ object Rdf {
     */
   def r20(s: SparkSession, d: String): DataFrame = {
     val (edges, deg, tri) = triangleFrames(s, d)
-    val triEdges = tri
-      .select(explode(array(
-        struct(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v")),
-        struct(least(col("a"), col("c")).as("u"),
-          greatest(col("a"), col("c")).as("v")),
-        struct(least(col("b"), col("c")).as("u"),
-          greatest(col("b"), col("c")).as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v")).distinct()
+    val triEdges = triangleEdges(tri).distinct()
     edges.join(triEdges.hint("SHUFFLE_HASH"), Seq("u", "v"), "left_anti")
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("n_bridges"))
@@ -1155,5 +1152,50 @@ object Rdf {
     peeled.join(edgeSupport(peeled), Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
       .orderBy("u", "v")
+  }
+
+  /** Number of min-label propagation rounds in [[r22]] (the oracle unrolls
+    * the same count as chained CTE rounds — keep in sync). Bounded by
+    * oracle necessity, like r11/r12/r14/r21; the to-fixpoint form is
+    * [[DedupCluster.components]]' pointer doubling (r18), which converges
+    * in O(log diameter) rounds rather than O(diameter). */
+  val LabelPropRounds = 3
+
+  /** r22 — LABEL-PROPAGATION COMMUNITIES, [[LabelPropRounds]] bounded
+    * rounds of min-label flooding over the raw co-purchase graph: every
+    * node starts labeled with its own key; each round it adopts the
+    * minimum of its own and its neighbors' labels (r12's delta-relax
+    * shape with MIN-label instead of MIN-distance). After k rounds each
+    * label region is exactly the k-hop basin of its local minimum — the
+    * community sketch an analyst reads BEFORE committing to r18's full
+    * fixpoint on the support-pruned graph (bounded rounds on the RAW
+    * graph show the mesoscale structure that full CC on an unpruned
+    * graph collapses into one giant component). Output per node: its
+    * round-k label and the label's population.
+    *
+    * Scale: per round ONE keyed join (labels against the Ckpt'd doubled
+    * edge frame) + ONE node-keyed MIN agg — never a pair explosion, state
+    * is one (node, label) row per node, and every round's frame is Ckpt'd
+    * (two consumers: the next round's join + the final size card). All
+    * integer labels (D2); the oracle states the identical unrolled rounds.
+    */
+  def r22(s: SparkSession, d: String): DataFrame = {
+    val e = coEdges(s, d)
+    val und = graft.Ckpt(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    var lbl = graft.Ckpt(und.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lbl")))
+    for (_ <- 1 to LabelPropRounds) {
+      val nbrMin = und
+        .join(lbl.select(col("n").as("v"), col("lbl").as("nl")), Seq("v"))
+        .groupBy(col("u").as("n")).agg(min(col("nl")).as("nmin"))
+      lbl = graft.Ckpt(lbl.join(nbrMin, Seq("n"))
+        .select(col("n"), least(col("lbl"), col("nmin")).as("lbl")))
+    }
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
+    lbl.join(sizes, Seq("lbl"))
+      .select(col("n").as("p_partkey"), col("lbl").as("community"),
+        col("comm_size"))
+      .orderBy("p_partkey")
   }
 }

@@ -222,4 +222,49 @@ object Sketches {
         (col("cms_est") - col("cnt")).as("overcount"))
       .orderBy(col("true_cnt").desc, col("w"))
   }
+
+  /** x73 — APPROX-PERCENTILE gate (x67's estimate-vs-exact pattern on the
+    * quantile sketch): per event type, the exact interpolated p50/p95 of
+    * the 2-dp metric value (s19's declared card) PLUS an in-band flag for
+    * `approx_percentile` — the documented 100 TB swap for s19/x62's exact
+    * percentiles (a KLL/GK mergeable sketch of fixed size per group vs an
+    * exact percentile that buffers the group). The band is the sketch's
+    * own CONTRACT restated in exact terms: accuracy 10⁴ bounds the rank
+    * error at 10⁻⁴·n, so the returned p50 is a true element between the
+    * exact 45th and 55th percentiles (p95 between the 90th and 99th) for
+    * any n ≥ 100 — groups below 100 rows auto-pass, because at that size
+    * production runs the exact path anyway and interpolation-vs-element
+    * discretization can cross the band edge. The estimate itself stays
+    * OUT of the hash (only the flag is graded — x44/x67's
+    * declared-tolerance discipline); the oracle states the flags as the
+    * constant 1, so a sketch drifting past its contract fails the gate
+    * instead of shipping silently.
+    *
+    * Scale: one type-keyed agg; the exact percentiles are the oracle-
+    * checkable declaration (s19's caveat), the sketch rides the same
+    * shuffle with O(accuracy) state per group. Exact values 6-dp rounded
+    * like s19 (D4); flags are integers.
+    */
+  def x73(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        graft.Det.dec2(col("value")).cast("double").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(percentile(col("v"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("v"), lit(0.95)), 6).as("p95"),
+        percentile(col("v"), lit(0.45)).as("lo50"),
+        percentile(col("v"), lit(0.55)).as("hi50"),
+        percentile(col("v"), lit(0.90)).as("lo95"),
+        percentile(col("v"), lit(0.99)).as("hi95"),
+        percentile_approx(col("v"), lit(0.5), lit(10000)).as("ap50"),
+        percentile_approx(col("v"), lit(0.95), lit(10000)).as("ap95"))
+      .select(col("event_type"), col("n_events"), col("p50"), col("p95"),
+        when(col("n_events") < 100
+          || (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")), 1)
+          .otherwise(0).as("p50_in_band"),
+        when(col("n_events") < 100
+          || (col("ap95") >= col("lo95") && col("ap95") <= col("hi95")), 1)
+          .otherwise(0).as("p95_in_band"))
+      .orderBy("event_type")
 }

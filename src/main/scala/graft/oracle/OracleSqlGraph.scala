@@ -441,5 +441,30 @@ private[oracle] object OracleSqlGraph {
         |SELECT p2.u, p2.v, CAST(COALESCE(s2.sup, 0) AS BIGINT) AS support
         |FROM p2 LEFT JOIN s2 ON p2.u = s2.u AND p2.v = s2.v
         |ORDER BY p2.u, p2.v""".stripMargin,
+
+    // r22: Rdf.LabelPropRounds = 3 min-label flooding rounds unrolled as
+    // chained CTE rounds — each round the node keeps the min of its own
+    // and its neighbors' labels (every node has >= 1 neighbor in the
+    // doubled edge list, so the inner join covers all nodes)
+    "r22_labelprop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+        |   FROM lineitem),
+        | e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+        | l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM u0),
+        | l1 AS (SELECT t.n, LEAST(t.lbl, MIN(x.lbl)) AS lbl FROM l0 t
+        |   JOIN u0 ON u0.u = t.n JOIN l0 x ON x.n = u0.v
+        |   GROUP BY t.n, t.lbl),
+        | l2 AS (SELECT t.n, LEAST(t.lbl, MIN(x.lbl)) AS lbl FROM l1 t
+        |   JOIN u0 ON u0.u = t.n JOIN l1 x ON x.n = u0.v
+        |   GROUP BY t.n, t.lbl),
+        | l3 AS (SELECT t.n, LEAST(t.lbl, MIN(x.lbl)) AS lbl FROM l2 t
+        |   JOIN u0 ON u0.u = t.n JOIN l2 x ON x.n = u0.v
+        |   GROUP BY t.n, t.lbl),
+        | sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS comm_size
+        |   FROM l3 GROUP BY lbl)
+        |SELECT l3.n AS p_partkey, l3.lbl AS community, sz.comm_size
+        |FROM l3 JOIN sz ON l3.lbl = sz.lbl ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -868,5 +868,19 @@ private[oracle] object OracleSqlX2 {
         |   AS BIGINT) AS cum_types
         |FROM bt LEFT JOIN nt ON bt.bucket = nt.bucket
         |ORDER BY bt.bucket""".stripMargin,
+
+    // x73: x67's declared-tolerance pattern on the quantile sketch — the
+    // oracle states the in-band flags as the constant 1; a Spark
+    // approx_percentile drifting past its rank-error contract fails the
+    // hash gate instead of shipping silently. Exact percentiles are
+    // s19's quantile_cont parity.
+    "x73_approx_quantile" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        | ROUND(quantile_cont(v, 0.5), 6) AS p50,
+        | ROUND(quantile_cont(v, 0.95), 6) AS p95,
+        | 1 AS p50_in_band, 1 AS p95_in_band
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

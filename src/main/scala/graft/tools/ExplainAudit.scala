@@ -41,7 +41,9 @@ object ExplainAudit {
       // round 13: the BPE chain (Ckpt'd 1-row top-pair broadcasts), the
       // edge-bounded bridge anti-join, the attribution pair join
       "x70_bpe_train", "x72_bpe_compression", "r20_local_bridges",
-      "s26_linear_attribution", "s27_sequence_funnel", "m7_media_dedup")
+      "s26_linear_attribution", "s27_sequence_funnel", "m7_media_dedup",
+      // round 14: the label-flood round joins, the percentile-sketch agg
+      "r22_labelprop", "x73_approx_quantile")
     interesting.foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, sf).queryExecution.explainString(

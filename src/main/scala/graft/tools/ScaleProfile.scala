@@ -210,7 +210,12 @@ object ScaleProfile {
     "x72_bpe_compression", "s27_sequence_funnel",
     // r21 rides the ×m disjoint co-purchase subgraphs; per-copy truss
     // structure replicates copy 0, rounds stay 2, enumeration ∝ edges
-    "r21_truss")
+    "r21_truss",
+    // round 14: r22 is 3× (keyed join + keyed MIN) over the ×m disjoint
+    // subgraphs — linear in edges, labels replicate copy 0 per copy;
+    // x73 is one type-keyed agg with O(accuracy) sketch state per group
+    // into a |types|-row axis
+    "r22_labelprop", "x73_approx_quantile")
 
   val DefaultMults = Seq(1, 2, 4, 8)
 

@@ -3420,4 +3420,43 @@ class OperatorSpec extends SparkSpec {
       assert(r.getLong(2) >= 1 && r.getLong(2) <= 3)
     }
   }
+
+  test("r22 label propagation equals brute-force min-label flooding") {
+    val rows = ops.Rdf.r22(spark, sf001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val li = Tables.lineitem(spark, sf001)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("p")).distinct()
+    val edges = li.join(li.select($"ok".as("ok2"), $"p".as("p2")),
+        $"ok" === $"ok2" && $"p" < $"p2")
+      .select($"p".as("u"), $"p2".as("v")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, g) => (n, g.map(_._2)) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to ops.Rdf.LabelPropRounds).foreach { _ =>
+      lbl = lbl.map { case (n, l) => n -> math.min(l, adj(n).map(lbl).min) }
+    }
+    val sizes = lbl.values.groupBy(identity).map { case (l, g) => (l, g.size.toLong) }
+    assert(rows.keySet === lbl.keySet)
+    lbl.foreach { case (n, l) => assert(rows(n) === ((l, sizes(l))), n.toString) }
+    // bounded rounds must be a REAL sketch at this SF: more than one
+    // community survives (full CC would collapse to ~1 giant label)
+    assert(rows.values.map(_._1).toSet.size > 1)
+  }
+
+  test("x73 approx quantile: flags certify the sketch, exact values match s19") {
+    val rows = ops.Sketches.x73(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val s19 = ops.Events.s19(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(5))).toMap
+    rows.foreach { r =>
+      val t = r.getString(0)
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(2) <= r.getDouble(3), s"$t: p50 > p95")
+      assert(r.getDouble(2) === s19(t)._1, s"$t: p50 drifted from s19")
+      assert(r.getDouble(3) === s19(t)._2, s"$t: p95 drifted from s19")
+      assert(r.getInt(4) === 1, s"$t: approx p50 strayed past its rank band")
+      assert(r.getInt(5) === 1, s"$t: approx p95 strayed past its rank band")
+    }
+  }
 }
