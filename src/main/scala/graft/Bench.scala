@@ -36,17 +36,26 @@ object Bench {
     * two base-62 chars (8 chars/key; capacity 90 + 62² = 3,934). The
     * batch-3 board (232 keys + 18 guard pads = 250 modeled) overflowed
     * the 62-single scheme by 10 chars; the 28 extra singles buy back 28
-    * without touching any driver-contract envelope field (the
-    * alternative was reclaiming "sf", which IS in the driver's
-    * documented line format — that renegotiation is the next lever at
-    * ~262 modeled keys). Deterministic from the key set alone; ADDING a
+    * without touching any driver-contract envelope field. Round 14 (the
+    * 235-key board tripped the guard by 6): singles widened to the FULL
+    * 92 legal chars (every printable ASCII except `"`, `\`, and the
+    * sidecar-reserved `_` — space and backtick are legal JSON string
+    * chars and the sidecar is consumed by JSON parsers, never by
+    * whitespace-split tooling), the "sf" VALUE emits as the numeric
+    * scale factor (the FIELD stays — the documented format binds the
+    * key, not the value's lexical form), and the headline total emits
+    * at decisecond precision (per-key attribution lives in "queries"
+    * and Profile floors, not the total's centiseconds). Past ~247 real
+    * keys even reclaiming "metric"/"unit" cannot absorb a +10-key
+    * round — see BASELINE.md round 14 for the renegotiation proposal.
+    * Deterministic from the key set alone; ADDING a
     * key shifts later aliases, which is safe because every BENCH_r*.json
     * is decoded through the sidecar committed in the same round —
     * cross-round comparison always goes through full names.
     */
   private val aliasChars =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toIndexedSeq
-  private val aliasSingles = aliasChars ++ "!#$%&'()*+,-./:;<=>?@[]^{|}~"
+  private val aliasSingles = aliasChars ++ "!#$%&'()*+,-./:;<=>?@[]^{|}~` "
   def aliasMap(names: Seq[String]): Map[String, String] = {
     require(names.size <= aliasSingles.size + 62 * 62,
       s"alias space exhausted: ${names.size} keys")
@@ -144,8 +153,12 @@ object Bench {
       // reclaimed at the 220-key board (the guard's documented next step):
       // the committed sidecar self-describes via its "_" entry, and
       // BASELINE.md/README state the alias scheme. Envelope is now the
-      // driver-contract fields only.
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      // driver-contract fields only; round 14 compacted the VALUES of
+      // "sf" (numeric scale factor when the dir name is sfX.Y) and
+      // "value" (decisecond total) — the fields themselves are untouched.
+      val sfJson = if (sfName.matches("sf[0-9.]+")) sfName.stripPrefix("sf")
+        else "\"" + sfName + "\""
+      s"""{"metric":"total","value":${fmt(total, 1)},"unit":"sec","queries":$qs,"sf":$sfJson}"""
     }
     // Precision budget: the line plus its newline must sit inside the
     // driver's 2000-char stdout tail (→ line ≤ 1999 chars). Try centi,

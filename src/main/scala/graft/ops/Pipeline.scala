@@ -2775,34 +2775,96 @@ object Pipeline {
     * Ckpt'd initial (sym, wc) vocabulary plus, per round, the Ckpt'd
     * 1-row top-pair frame and the post-merge vocabulary (each caller
     * materializes its own chain — the triangleFrames discipline). */
-  private[ops] def bpeChain(s: SparkSession,
-      d: String): (DataFrame, Seq[(DataFrame, DataFrame)]) = {
-    val tf = graft.Ckpt(Tables.documents(s, d)
+  /** The Ckpt'd initial character-level (sym, wc) vocabulary — the ONE
+    * corpus-linear pass every BPE round rides (shared by [[bpeChain]]
+    * and the capability-tier [[bpeTrain]]). */
+  private[ops] def bpeTf(s: SparkSession, d: String): DataFrame =
+    graft.Ckpt(Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
       .filter(length(col("w")) >= 2)
       .select(expr(
         "array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')")
         .as("sym"), col("wc")))
-    def topPair(vocab: DataFrame): DataFrame =
-      vocab.select(col("wc"), split(col("sym"), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("wc"), explode(expr(
-          "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
-          .as("pair"))
-        .groupBy("pair").agg(sum(col("wc")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1)
-        .select(col("pair"), col("cnt"),
-          element_at(split(col("pair"), " "), 1).as("p1"),
-          element_at(split(col("pair"), " "), 2).as("p2"))
+
+  /** One round's pair statistic: the top adjacent symbol pair of a
+    * vocabulary frame by (corpus count desc, pair asc) — plans as
+    * TakeOrderedAndProject over a vocabulary-sized pair explode. */
+  private[ops] def bpeTopPair(vocab: DataFrame): DataFrame =
+    vocab.select(col("wc"), split(col("sym"), " ").as("l"))
+      .filter(size(col("l")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+      .select(col("pair"), col("cnt"),
+        element_at(split(col("pair"), " "), 1).as("p1"),
+        element_at(split(col("pair"), " "), 2).as("p2"))
+
+  private[ops] def bpeChain(s: SparkSession,
+      d: String): (DataFrame, Seq[(DataFrame, DataFrame)]) = {
+    val tf = bpeTf(s, d)
     val (rounds, _) = (1 to BpeRounds).foldLeft(
         (Seq.empty[(DataFrame, DataFrame)], tf)) { case ((acc, vocab), _) =>
-      val tp = graft.Ckpt(topPair(vocab))
+      val tp = graft.Ckpt(bpeTopPair(vocab))
       val merged = vocab.crossJoin(broadcast(tp.select(col("p1"), col("p2"))))
         .select(expr(BpeMergeExpr).as("sym"), col("wc"))
       (acc :+ ((tp, merged)), merged)
     }
     (tf, rounds)
+  }
+
+  /** CAPABILITY-tier k-round BPE trainer (x70's loop generalized past the
+    * oracle-bounded [[BpeRounds]]): up to `maxRounds` merge rounds,
+    * stopping early when no pair remains or the best pair's corpus count
+    * drops below `minCount` (Sennrich 2016's convergence criterion).
+    * Output is merges.txt-shaped — one row per EXECUTED round: (round,
+    * pair, merged, cnt) plus the post-merge corpus symbol mass (x72's
+    * per-round measurement riding the same chain). The
+    * [[BpeRounds]]-round prefix equals x70/x72 exactly — same tf, same
+    * top-pair statistic, same greedy-left fold (PropertySpec asserts
+    * both equalities), so the declared keys ARE this trainer at k = 3,
+    * and the prefix is k-invariant (each round depends only on the
+    * previous vocabulary).
+    *
+    * Scale: identical per-round bill as x70 — the corpus appears once
+    * in the Ckpt'd [[bpeTf]] explode, every round is VOCABULARY-sized
+    * (Σ|w| over distinct words, shrinking as merges land), and the top
+    * pair re-enters the merge as a 1-row broadcast. The only driver-side
+    * reads are the per-round 1-row convergence check (r18's per-round
+    * change-count class — inherent to any early-stopping iteration) and
+    * the 1-value mass scalar; the output itself is merges-sized, i.e.
+    * metadata. Each post-merge vocabulary is Ckpt'd (two consumers: the
+    * next round's pair count + the mass agg).
+    */
+  def bpeTrain(s: SparkSession, d: String, maxRounds: Int,
+      minCount: Long = 1L): DataFrame = {
+    import s.implicits._
+    var vocab = bpeTf(s, d)
+    var out = Vector.empty[(Int, String, String, Long, Long)]
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      val tp = graft.Ckpt(bpeTopPair(vocab))
+      val hd = tp.collect()
+      if (hd.isEmpty || hd.head.getAs[Long]("cnt") < minCount) done = true
+      else {
+        val row = hd.head
+        val merged = graft.Ckpt(vocab
+          .crossJoin(broadcast(tp.select(col("p1"), col("p2"))))
+          .select(expr(BpeMergeExpr).as("sym"), col("wc")))
+        val mass = merged
+          .agg(sum(col("wc") * size(split(col("sym"), " "))).as("m"))
+          .head.getLong(0)
+        out :+= ((r, row.getAs[String]("pair"),
+          row.getAs[String]("p1") + row.getAs[String]("p2"),
+          row.getAs[Long]("cnt"), mass))
+        vocab = merged
+        r += 1
+      }
+    }
+    out.toDF("round", "pair", "merged", "cnt", "corpus_symbols")
   }
 
   /** x70 — BPE TRAINER, [[BpeRounds]] true merge rounds (x31 computes one

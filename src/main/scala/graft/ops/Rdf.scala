@@ -1021,16 +1021,29 @@ object Rdf {
     * is label-scheme-invariant, and min-label is stated directly by the
     * recursive reach CTE.
     */
-  def r18(s: SparkSession, d: String): DataFrame = {
+  /** The SUPPORT-THRESHOLDED co-purchase edge set shared by [[r18]]/[[r22]]:
+    * parts adjacent iff ≥ 2 distinct orders contain both — the
+    * frequent-itemset subgraph. Raw co-purchase is too dense for
+    * structure queries at any real scale (measured: even 3 bounded
+    * min-label rounds flood the ENTIRE sf0.01 raw graph — avg degree
+    * ~115 — to one label; the support-2 subgraph holds 186 distinct
+    * 3-hop basins over 1,880 nodes), so both component analytics run
+    * support-pruned. ONE keyed agg over the order-local pair explode
+    * (per-order fan-out ~4 lineitems — corpus-linear). */
+  private[graft] def supportEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val pairs = li
-      .join(li.select(col("ok").as("ok2"), col("p").as("p2")),
+    li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
         col("ok") === col("ok2") && col("p") < col("p2"))
-      .groupBy(col("p").as("a_id"), col("p2").as("b_id"))
+      .groupBy(col("p").as("u"), col("p2").as("v"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
-      .select(col("a_id"), col("b_id"))
+      .select(col("u"), col("v"))
+  }
+
+  def r18(s: SparkSession, d: String): DataFrame = {
+    val pairs = supportEdges(s, d)
+      .select(col("u").as("a_id"), col("v").as("b_id"))
     val comp = DedupCluster.components(pairs)
       .select(col("doc_id").as("p_partkey"), col("cluster_id").as("component"))
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("comp_size"))
@@ -1162,16 +1175,18 @@ object Rdf {
   val LabelPropRounds = 3
 
   /** r22 — LABEL-PROPAGATION COMMUNITIES, [[LabelPropRounds]] bounded
-    * rounds of min-label flooding over the raw co-purchase graph: every
-    * node starts labeled with its own key; each round it adopts the
-    * minimum of its own and its neighbors' labels (r12's delta-relax
-    * shape with MIN-label instead of MIN-distance). After k rounds each
-    * label region is exactly the k-hop basin of its local minimum — the
-    * community sketch an analyst reads BEFORE committing to r18's full
-    * fixpoint on the support-pruned graph (bounded rounds on the RAW
-    * graph show the mesoscale structure that full CC on an unpruned
-    * graph collapses into one giant component). Output per node: its
-    * round-k label and the label's population.
+    * rounds of min-label flooding over [[supportEdges]] (r18's
+    * frequent-itemset subgraph — the RAW graph is measured-degenerate:
+    * see supportEdges' scaladoc): every node starts labeled with its own
+    * key; each round it adopts the minimum of its own and its neighbors'
+    * labels (r12's delta-relax shape with MIN-label instead of
+    * MIN-distance). After k rounds each label region is exactly the
+    * k-hop basin of its local minimum — the mesoscale community sketch
+    * an analyst reads BEFORE committing to r18's full fixpoint (at
+    * sf0.01: 186 round-3 basins vs r18's fewer, larger converged
+    * components; the two keys share the edge frame and differ exactly
+    * in the bounded-vs-fixpoint contract). Output per node: its round-k
+    * label and the label's population.
     *
     * Scale: per round ONE keyed join (labels against the Ckpt'd doubled
     * edge frame) + ONE node-keyed MIN agg — never a pair explosion, state
@@ -1180,7 +1195,7 @@ object Rdf {
     * integer labels (D2); the oracle states the identical unrolled rounds.
     */
   def r22(s: SparkSession, d: String): DataFrame = {
-    val e = coEdges(s, d)
+    val e = supportEdges(s, d)
     val und = graft.Ckpt(
       e.union(e.select(col("v").as("u"), col("u").as("v"))))
     var lbl = graft.Ckpt(und.select(col("u").as("n")).distinct()

@@ -443,14 +443,16 @@ private[oracle] object OracleSqlGraph {
         |ORDER BY p2.u, p2.v""".stripMargin,
 
     // r22: Rdf.LabelPropRounds = 3 min-label flooding rounds unrolled as
-    // chained CTE rounds — each round the node keeps the min of its own
-    // and its neighbors' labels (every node has >= 1 neighbor in the
-    // doubled edge list, so the inner join covers all nodes)
+    // chained CTE rounds over r18's support-2 subgraph — each round the
+    // node keeps the min of its own and its neighbors' labels (every
+    // node has >= 1 neighbor in the doubled edge list, so the inner
+    // join covers all nodes)
     "r22_labelprop" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
         |   FROM lineitem),
-        | e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
-        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        | e0 AS (SELECT a.p AS u, b.p AS v
+        |   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+        |   GROUP BY a.p, b.p HAVING COUNT(*) >= 2),
         | u0 AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
         | l0 AS (SELECT DISTINCT u AS n, u AS lbl FROM u0),
         | l1 AS (SELECT t.n, LEAST(t.lbl, MIN(x.lbl)) AS lbl FROM l0 t

@@ -194,6 +194,61 @@ object StreamTwins {
       }
   }
 
+  /** s27 twin — the strict-sequence funnel as a per-user O(1) state
+    * machine (signup → qualifying click ≤ 24h → qualifying purchase
+    * ≤ 24h): state is the three anchor timestamps (`MaxValue` = unseen)
+    * plus a processed-event count for the spec's snapshot discipline.
+    * Anchors are WRITE-ONCE under the twin's contract — an event-time-
+    * ordered feed (batches are time-ordered splits; within a batch the
+    * iterator is unordered, so the fold sorts it by (ts, event_id), the
+    * same total order batch s27's running window declares). In that
+    * order the first qualifying click seen IS the minimal qualifying
+    * click, so O(1) state suffices where out-of-order arrival would
+    * need the full click/purchase history (ewmaLedger's discipline:
+    * state the ordering contract, keep the state constant-size).
+    * Emits the user's current anchor row each batch (update mode); the
+    * 3-row stage rollup — batch s27's presentation — runs downstream
+    * over the latest snapshot per user.
+    */
+  case class SeqFunnelState(fs: Long, fc: Long, fp: Long, cnt: Long)
+  case class SeqFunnelRow(user_id: Long, first_signup: Option[Long],
+    first_click_24h: Option[Long], first_purchase_24h: Option[Long],
+    event_cnt: Long)
+
+  def seqFunnel(events: Dataset[Event]): Dataset[SeqFunnelRow] = {
+    import events.sparkSession.implicits._
+    val us24h = 86400L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SeqFunnelState, SeqFunnelRow](
+        GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SeqFunnelState]) =>
+          val prev = state.getOption
+            .getOrElse(SeqFunnelState(Long.MaxValue, Long.MaxValue,
+              Long.MaxValue, 0L))
+          var fs = prev.fs; var fc = prev.fc; var fp = prev.fp
+          var cnt = prev.cnt
+          rows.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            val us = e.ts / 1000
+            e.event_type match {
+              case "signup" if fs == Long.MaxValue => fs = us
+              case "click" if fc == Long.MaxValue && fs != Long.MaxValue
+                && us > fs && us <= fs + us24h => fc = us
+              case "purchase" if fp == Long.MaxValue && fc != Long.MaxValue
+                && us > fc && us <= fc + us24h => fp = us
+              case _ =>
+            }
+            cnt += 1
+          }
+          state.update(SeqFunnelState(fs, fc, fp, cnt))
+          SeqFunnelRow(user,
+            if (fs == Long.MaxValue) None else Some(fs),
+            if (fc == Long.MaxValue) None else Some(fc),
+            if (fp == Long.MaxValue) None else Some(fp),
+            cnt)
+      }
+  }
+
   /** s6 twin — streaming cohort retention. A retention cell's
     * `countDistinct(user_id)` is not incrementally maintainable by the
     * streaming runner, so the twin is the standard two-tier changelog

@@ -435,4 +435,30 @@ class PropertySpec extends SparkSpec {
         s"fold(${syms.mkString("[", " ", "]")}, '$p1'+'$p2')")
     }
   }
+
+  test("capability BPE trainer: 3-round prefix equals x70/x72, prefix k-invariant, converges") {
+    // the declared keys ARE the trainer at k = BpeRounds: merges equal x70
+    val t3 = ops.Pipeline.bpeTrain(spark, sf001, ops.Pipeline.BpeRounds)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    val x70 = ops.Pipeline.x70(spark, sf001)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(t3.map(t => (t._1, t._2, t._3, t._4)).toSeq === x70.toSeq)
+    // ... and the per-round mass equals x72's curve at rounds 1..k
+    val x72 = ops.Pipeline.x72(spark, sf001)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    t3.foreach { t => assert(t._5 === x72(t._1), s"round ${t._1} mass") }
+    // prefix is k-invariant and the top count never increases (a merge
+    // only creates pairs bounded by the merged pair's own count)
+    val t6 = ops.Pipeline.bpeTrain(spark, sf001, 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(t6.length === 6, "fixture must sustain 6 merge rounds")
+    assert(t6.take(3).toSeq === t3.toSeq)
+    t6.sliding(2).foreach(p => assert(p(0)._4 >= p(1)._4, "count monotone"))
+    t6.sliding(2).foreach(p => assert(p(0)._5 > p(1)._5, "mass shrinks"))
+    // convergence: an unreachable min-count stops before round 1
+    assert(ops.Pipeline.bpeTrain(spark, sf001, 5, Long.MaxValue).count() === 0)
+  }
 }

@@ -271,6 +271,52 @@ class StreamTwinsSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming strict-sequence funnel equals batch s27 under randomized splits") {
+    implicit val sqlCtx = spark.sqlContext
+    // the twin's contract is an event-time-ordered feed; the SPLIT POINTS
+    // are randomized (seeded) so micro-batch boundaries land between every
+    // kind of step pair — with ~100 chunks over 5k+ events, many users'
+    // signup→click and click→purchase boundaries are crossed mid-step
+    val events = fixtureEvents.sortBy(e => (e.ts, e.event_id))
+    val batchRows = ops.Events.s27(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq(7, 14).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val stream = MemoryStream[Event]
+      val query = StreamTwins.seqFunnel(stream.toDS())
+        .writeStream.format("memory").queryName(s"seqfunnel$seed")
+        .outputMode("update").start()
+      try {
+        var rest = events
+        while (rest.nonEmpty) {
+          val (chunk, tail) = rest.splitAt(1 + r.nextInt(50))
+          stream.addData(chunk)
+          query.processAllAvailable()
+          rest = tail
+        }
+        // update mode re-emits per batch; event_cnt is monotone, so the
+        // max-cnt row per user is the final state. Stage conversions are
+        // pure functions of the three stage counts, so count equality is
+        // full-output equality with batch s27.
+        val snap = spark.table(s"seqfunnel$seed")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+              .orderBy(col("event_cnt").desc)))
+          .filter(col("rn") === 1)
+        val counts = snap.agg(
+            count(col("first_signup")).as("n1"),
+            count(col("first_click_24h")).as("n2"),
+            count(col("first_purchase_24h")).as("n3"))
+          .collect().head
+        assert(counts.getLong(0) === batchRows("1_signup"), s"seed $seed: stage 1")
+        assert(counts.getLong(1) === batchRows("2_click_24h"), s"seed $seed: stage 2")
+        assert(counts.getLong(2) === batchRows("3_purchase_24h"), s"seed $seed: stage 3")
+        assert(counts.getLong(0) > counts.getLong(2),
+          "fixture must exercise a non-trivial funnel")
+      } finally query.stop()
+    }
+  }
+
   test("streaming retention ledger rolls up to batch s6") {
     implicit val sqlCtx = spark.sqlContext
     val events = fixtureEvents.sortBy(_.ts)
