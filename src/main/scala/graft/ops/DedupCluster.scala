@@ -38,6 +38,16 @@ object DedupCluster {
         .distinct())
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // Convergence probe state: every step only ever DECREASES a node's
+    // label (hook takes min over a set containing the node's own label;
+    // shortcut jumps lbl ← lbl(lbl) ≤ lbl), so Σ label is strictly
+    // decreasing until the fixpoint and UNCHANGED exactly at it. Tracking
+    // the sum turns the per-round convergence check from a keyed
+    // next⋈old join + filter + count into ONE 1-row aggregate over the
+    // already-materialized frame (round-14 optimization, guide §1.2 —
+    // the join bought nothing the monotone invariant doesn't give).
+    // DECIMAL(38,0) keeps the sum exact at any id magnitude.
+    var labelSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -63,10 +73,13 @@ object DedupCluster {
           col("label") === col("via"))
         .select(col("id"), col("l2").as("label"))
         .transform(graft.Ckpt.apply)
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val sumNow = next
+        .agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO)).as("s"))
+        .head().getDecimal(0)
       labels = next
-      converged = changed == 0
+      converged = labelSum != null && sumNow.compareTo(labelSum) == 0
+      labelSum = sumNow
       i += 1
     }
     if (!converged) {

@@ -124,8 +124,15 @@ object Pipeline {
   }
 
   private def x1CandEnc(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    val sig = x1Sig(s, d)
-    (x1CandFromSig(s, sig), x1Enc(s, d), sig)
+    // Round-14 optimization (guide §2.4 — duplicated subtrees): the sig
+    // frame feeds BOTH sides of the banding self-join and the enc frame
+    // BOTH per-pair verify joins, and the differently-projected references
+    // defeat ReuseExchange — the round-13 plan computed each corpus
+    // subtree (explode + dictionary SHUFFLE_HASH join + per-doc agg)
+    // TWICE per query (x1/x59/x17). One Ckpt each runs them once; both
+    // frames are doc-sized and narrow.
+    val sig = graft.Ckpt(x1Sig(s, d))
+    (x1CandFromSig(s, sig), graft.Ckpt(x1Enc(s, d)), sig)
   }
 
   private def x1Enc(s: SparkSession, d: String): DataFrame =
@@ -297,7 +304,11 @@ object Pipeline {
       .drop("df")
 
   def x3(s: SparkSession, d: String): DataFrame = {
-    val posts = shinglePosts(s, d)
+    // posts feeds the size agg AND both posting-join sides; the renamed
+    // references defeat ReuseExchange, so un-Ckpt'd the explode + distinct
+    // + df-cap window subtree runs three times (round-14, guide §2.4;
+    // l7/l9's shared-frame discipline)
+    val posts = graft.Ckpt(shinglePosts(s, d))
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
@@ -328,7 +339,8 @@ object Pipeline {
     * 2 directional rows against its own size.
     */
   def x23(s: SparkSession, d: String): DataFrame = {
-    val posts = shinglePosts(s, d)
+    // x3's round-14 rationale: posts has three renamed consumers
+    val posts = graft.Ckpt(shinglePosts(s, d))
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
@@ -339,7 +351,9 @@ object Pipeline {
       .agg(count(lit(1)).cast("int").as("inter"))
     val sa = sz.select(col("doc_id").as("a_id"), col("sz").as("a_sz"))
     val sb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
-    val both = inter.join(sa, "a_id").join(sb, "b_id")
+    // both feeds the two directional filters — un-Ckpt'd, the whole
+    // posting join + size joins ran twice (once per union branch)
+    val both = graft.Ckpt(inter.join(sa, "a_id").join(sb, "b_id"))
     val dirA = both.filter(col("inter") * 10 >= col("a_sz") * 8)
       .select(col("lang"), col("a_id").as("contained_id"),
         col("b_id").as("container_id"),
@@ -935,11 +949,22 @@ object Pipeline {
 
   def x20(s: SparkSession, d: String): DataFrame = {
     val edges = graft.Ckpt(x20Edges(s, d))
+    // labels0 stays Ckpt'd: un-checkpointed it is a NARROW documents scan
+    // below the first shuffle, and the static planner would broadcast it
+    // from the scan estimate (the planner-chosen-broadcast lint class —
+    // corpus-sized driver HashedRelation at 100 TB)
     var labels = graft.Ckpt(Tables.documents(s, d)
       .select(col("doc_id"), col("doc_id").as("lbl")))
     for (_ <- 1 to ClusterRounds) {
+      // only the HOOK is materialized: the shortcut references the hooked
+      // frame twice (self-join), so hooked must be Ckpt'd, but the
+      // shortcut's output has exactly ONE consumer — the next round's
+      // (Ckpt'd) hook — so a second per-round barrier bought nothing;
+      // dropping it removes 8 of the 17 materialization jobs while the
+      // lineage stays bounded (each round's plan roots at the previous
+      // round's Ckpt'd hook). Round-14 optimization, guide §1.2/§5.
       val hooked = graft.Ckpt(x20Hook(edges, labels))
-      labels = graft.Ckpt(x20Shortcut(hooked))
+      labels = x20Shortcut(hooked)
     }
     labels
       .select(col("doc_id"), col("lbl").as("cluster"),
@@ -1125,10 +1150,12 @@ object Pipeline {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).cast("bigint").as("n_tokens"))
-    val occ = docs
+    // occ feeds the dup-index agg AND the coverage join — Ckpt so the
+    // 5-gram explode + md5 pass runs once (round-14, guide §2.4)
+    val occ = graft.Ckpt(docs
       .select(col("doc_id"), posexplode(graft.functions.NGrams.ngrams(col("w"), 5)))
       .select(col("doc_id"), col("pos"),
-        md5(col("col").cast("binary")).as("gh"))
+        md5(col("col").cast("binary")).as("gh")))
     val dupIdx = occ.groupBy(col("gh"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") < col("mx"))
@@ -1327,7 +1354,10 @@ object Pipeline {
     *    aggregate output — AQE sizes it); then one doc_id-keyed rollup.
     */
   def x29(s: SparkSession, d: String): DataFrame = {
-    val chunks = x29Chunks(s, d).select("doc_id", "idx", "h")
+    // narrow (doc, idx, hash) projection feeds the keep-index agg AND the
+    // join back — Ckpt so the chunk explode + md5 pass runs once
+    // (round-14, guide §2.4)
+    val chunks = graft.Ckpt(x29Chunks(s, d).select("doc_id", "idx", "h"))
     chunks.join(x29Keep(chunks), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
@@ -1374,7 +1404,9 @@ object Pipeline {
     * by document length, never corpus-sized.
     */
   def x32(s: SparkSession, d: String): DataFrame = {
-    val chunks = x29Chunks(s, d)
+    // two consumers (keep-index agg + payload join) — one chunk explode
+    // (round-14, guide §2.4; x29's rationale with the payload kept)
+    val chunks = graft.Ckpt(x29Chunks(s, d))
     chunks.join(x29Keep(chunks.select("doc_id", "idx", "h")), Seq("h"))
       .withColumn("kept",
         col("doc_id") === col("kd") && col("idx") === col("ki"))
@@ -1489,12 +1521,15 @@ object Pipeline {
         md5(col("col").cast("binary")).as("h"))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(W - 1), 0)
-    val fps = occ.withColumn("sel",
+    // fps feeds three consumers (shared-hash index, per-doc counts, the
+    // shared-count join) — Ckpt so the 5-gram explode + winnow window +
+    // distinct run once, not three times (round-14, guide §2.4)
+    val fps = graft.Ckpt(occ.withColumn("sel",
         min(concat(col("h"),
           lpad((lit(99999999) - col("pos")).cast("string"), 8, "0"))).over(win))
       .filter(col("pos") >= W - 1) // full windows only (standard winnowing)
       .select(col("doc_id"), substring(col("sel"), 1, 32).as("fh"))
-      .distinct()
+      .distinct())
     val shared = fps.groupBy("fh")
       .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
       .filter(col("mn") < col("mx")).select(col("fh"))
@@ -1732,7 +1767,9 @@ object Pipeline {
   def x44(s: SparkSession, d: String): DataFrame = {
     val sig = graft.Ckpt(x1Sig(s, d))
     val cand = x1CandFromSig(s, sig)
-    val enc = x1Enc(s, d)
+    // enc feeds both verify joins — one materialization (x1CandEnc's
+    // round-14 rationale)
+    val enc = graft.Ckpt(x1Enc(s, d))
     // doc_id + the 8 slots only — sig also carries lang, which would
     // be ambiguous against cand's after the probe joins
     val sigSlots = sig.select(
@@ -2599,7 +2636,9 @@ object Pipeline {
     * integer floor-div over bucket sizes; output is 3 rows at any corpus.
     */
   def x66(s: SparkSession, d: String): DataFrame = {
-    val sig = x1Sig(s, d)
+    // one Ckpt, three re-banding consumers — un-Ckpt'd, the signature
+    // subtree ran once per config branch (round-14, guide §2.4)
+    val sig = graft.Ckpt(x1Sig(s, d))
     def conf(name: String, bhs: Column*): DataFrame =
       sig.select(col("doc_id"), col("lang"), posexplode(array(bhs: _*))
         .as(Seq("pos", "bh")))

@@ -349,7 +349,6 @@ object Rdf {
     // so its rank always lives in the in-edge rank frame below and the
     // per-round mass aggregation never needs the full node set
     val dangling = graft.Ckpt(nodes.join(srcs, Seq("node"), "left_anti"))
-    val nDangling = dangling.count()
     // r7's plan discipline carries over: the rank frame holds ONLY in-edge
     // nodes; a no-in-edge node's rank is the round's CONSTANT
     // 0.15·S + share·17 DIV 20 (share makes it round-VARYING, unlike r7's
@@ -383,8 +382,14 @@ object Rdf {
     var pr: Option[DataFrame] = None
     for (i <- 1 to PageRankIters) {
       val massF = pr match {
-        case None => s.range(1)
-          .select(lit(nDangling * unit).as("dmass"))
+        // round 1: every dangling node holds the init rank `unit`, so the
+        // mass is |dangling|·unit — computed as a LAZY 1-row aggregate off
+        // the Ckpt'd dangling frame (round-14: this was a driver-side
+        // `dangling.count()` action — one synchronous job the query never
+        // needed, since the value only ever feeds the crossJoined share
+        // frame)
+        case None => dangling
+          .agg((count(lit(1)) * unit).as("dmass"))
         case Some(p) =>
           dangling.join(p.select(col("dst").as("node"), col("pr")),
               Seq("node"))
@@ -498,17 +503,39 @@ object Rdf {
     * strategy. Edge/orientation frames are each read by multiple
     * consumers → materialized once ([[graft.Ckpt]]).
     */
+  /** The per-order co-purchase PAIR STREAM shared by [[coEdges]] /
+    * [[supportEdges]] / [[r12]]'s weighted edges: one row per
+    * (order, unordered part pair), normalized `u < v`. Round-14
+    * optimization (guide §2.3/§2.4 — do fewer shuffles): each order's
+    * DISTINCT part set is collected with ONE keyed aggregation
+    * (collect_set dedups in-agg, map-side partial) and the C(k,2) pairs
+    * are generated by a nested array transform — no self-join. The
+    * previous formulation (project→DISTINCT→keyed self-join) paid three
+    * corpus-sized exchanges (the (ok,p) distinct plus a re-key of BOTH
+    * join sides onto the order key); this pays exactly one. Per-order
+    * fan-out is bounded by order size (~4 lineitems), so both the
+    * collected set and the pair explode are corpus-linear.
+    *
+    * Determinism: collect_set's element ORDER is partition-dependent, but
+    * the emitted pair SET per order is position-order-invariant (every
+    * i<j slot pair, normalized via least/greatest), and every consumer
+    * immediately runs a keyed DISTINCT/agg over (u, v) — D-rules hold.
+    */
+  private[graft] def orderPairs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy("ok").agg(collect_set(col("p")).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)),
+          |    y -> struct(least(x, y) AS u, greatest(x, y) AS v))))"""
+          .stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+
   /** The part co-purchase edge set shared by [[r9]]/[[r11]]: parts adjacent
-    * iff some order contains both; one keyed self-join on the order key +
-    * DISTINCT, `u < v`. Per-order fan-out is bounded by order size (~4
-    * lineitems), so the pair explode is corpus-linear. */
-  private[graft] def coEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
-        col("ok") === col("ok2") && col("p") < col("p2"))
-      .select(col("p").as("u"), col("p2").as("v")).distinct()
-  }
+    * iff some order contains both; [[orderPairs]] + DISTINCT, `u < v`. */
+  private[graft] def coEdges(s: SparkSession, d: String): DataFrame =
+    orderPairs(s, d).distinct()
 
   /** The (degree, triangles) frames shared by [[r9]]/[[r15]]: degree per
     * node (Ckpt'd — both the orientation and the output joins read it)
@@ -573,12 +600,6 @@ object Rdf {
   private def edgeSupportOf(tri: DataFrame): DataFrame =
     triangleEdges(tri).groupBy("u", "v").agg(count(lit(1)).as("sup"))
 
-  /** Per-edge triangle support of an undirected `u < v` edge frame: runs
-    * the oriented enumeration, then counts the 3-explode per edge key
-    * ([[r21]]'s peel rounds, whose edge set changes per round). */
-  private def edgeSupport(edges: DataFrame): DataFrame =
-    edgeSupportOf(orientedTriangles(edges)._2)
-
   def r9(s: SparkSession, d: String): DataFrame = {
     val (_, deg, tri) = triangleFrames(s, d)
     tri
@@ -639,8 +660,18 @@ object Rdf {
     * ROUNDED similarity break by neighbor key on both engines (D4/D6).
     */
   def r10(s: SparkSession, d: String): DataFrame = {
-    val sp = Tables.lineitem(s, d)
-      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct()
+    // Round-14: the (sk, p) catalog frame feeds FOUR consumers (both
+    // posting-join sides + both size joins) and the renamed references
+    // defeat ReuseExchange — the round-13 plan re-scanned lineitem and
+    // re-ran the distinct once per reference. One Ckpt runs them once
+    // (guide §2.4). A collect_set-by-part pair generation (orderPairs'
+    // shape) was MEASURED WORSE here — 9.5 s vs 3.3 s at sf0.1 — because
+    // part posting lists are ~30 suppliers wide (vs ~4-lineitem orders):
+    // the nested per-element array lambdas allocate ~900 interpreted
+    // objects per part where the keyed self-join streams rows through
+    // codegen, so the join formulation stays.
+    val sp = graft.Ckpt(Tables.lineitem(s, d)
+      .select(col("l_suppkey").as("sk"), col("l_partkey").as("p")).distinct())
     val sz = sp.groupBy("sk").agg(count(lit(1)).as("n"))
     val pairs = sp
       .join(sp.select(col("p").as("p2"), col("sk").as("s2"))
@@ -758,11 +789,8 @@ object Rdf {
     * end-to-end, no float anywhere (D2 trivially).
     */
   def r12(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    val pairs = li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
-        col("ok") === col("ok2") && col("p") < col("p2"))
-      .groupBy(col("p").as("u"), col("p2").as("v"))
+    val pairs = orderPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("co"))
     val w = greatest(lit(1L), lit(10L) - col("co")).as("w")
     val e = graft.Ckpt(
@@ -1028,18 +1056,14 @@ object Rdf {
     * min-label rounds flood the ENTIRE sf0.01 raw graph — avg degree
     * ~115 — to one label; the support-2 subgraph holds 186 distinct
     * 3-hop basins over 1,880 nodes), so both component analytics run
-    * support-pruned. ONE keyed agg over the order-local pair explode
-    * (per-order fan-out ~4 lineitems — corpus-linear). */
-  private[graft] def supportEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p")).distinct()
-    li.join(li.select(col("ok").as("ok2"), col("p").as("p2")),
-        col("ok") === col("ok2") && col("p") < col("p2"))
-      .groupBy(col("p").as("u"), col("p2").as("v"))
+    * support-pruned. [[orderPairs]] + ONE keyed agg (per-order fan-out
+    * ~4 lineitems — corpus-linear). */
+  private[graft] def supportEdges(s: SparkSession, d: String): DataFrame =
+    orderPairs(s, d)
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2)
       .select(col("u"), col("v"))
-  }
 
   def r18(s: SparkSession, d: String): DataFrame = {
     val pairs = supportEdges(s, d)
@@ -1147,22 +1171,50 @@ object Rdf {
     * edge can orphan a previously-strong one, which is exactly what the
     * per-round recount captures and a one-shot support filter misses).
     *
-    * Scale: each round re-runs the [[orientedTriangles]] O(√m)-bounded
-    * enumeration on the SHRUNKEN Ckpt'd edge frame (monotone — rounds get
-    * cheaper), one keyed support agg, one left-semi equi-join; never a
-    * pair explosion past the oriented wedge bound. Counts are exact longs;
-    * the edge key is a total order (D6). The oracle states the identical
-    * unrolled rounds over plain partkey-ordered triangles (orientation is
-    * a PLAN property — r9's argument).
+    * Scale (round-14 optimization): the enumeration runs ONCE. Because a
+    * peel only ever REMOVES edges, the triangles of each round's subgraph
+    * are exactly the previous round's triangles whose three edges all
+    * survive — so instead of re-running the [[orientedTriangles]] wedge
+    * join per round (3× the enumeration bill, the round-13 plan), each
+    * round (1) recounts per-edge support with one keyed agg over the
+    * CURRENT Ckpt'd triangle list, (2) derives the surviving edge set as
+    * `support ≥ 2` rows of that agg (an edge in no triangle has support
+    * 0 and is equally dropped — it simply never appears in the agg), and
+    * (3) filters the triangle list with three left-anti equi-joins
+    * against the REMOVED low-support edges (the peel's tail — usually a
+    * small fraction, so AQE broadcasts it and the triangle frame never
+    * shuffles; r14's removed-set rationale). The per-round recount the
+    * truss cascade requires still happens — on the maintained triangle
+    * list instead of a fresh enumeration. Counts are exact longs; the
+    * edge key is a total order (D6). The oracle states the identical
+    * unrolled rounds over plain partkey-ordered triangles (orientation
+    * and incremental maintenance are PLAN properties — r9's argument).
     */
   def r21(s: SparkSession, d: String): DataFrame = {
     val e0 = graft.Ckpt(coEdges(s, d))
-    val peeled = (1 to TrussPeels).foldLeft(e0) { (edges, _) =>
-      graft.Ckpt(edges.join(
-        edgeSupport(edges).filter(col("sup") >= 2).hint("SHUFFLE_HASH"),
-        Seq("u", "v"), "left_semi"))
+    var tri = graft.Ckpt(orientedTriangles(e0)._2)
+    var sup = graft.Ckpt(edgeSupportOf(tri))
+    var keep: DataFrame = null
+    for (_ <- 1 to TrussPeels) {
+      keep = sup.filter(col("sup") >= 2).select(col("u"), col("v"))
+      val low = sup.filter(col("sup") < 2)
+        .select(col("u").as("lu"), col("v").as("lv"))
+      // a triangle survives iff none of its three normalized edges is a
+      // removed low-support edge (all its edges HAVE support ≥ 1, so the
+      // zero-support edges dropped by `keep` can never appear in it).
+      // NOTE a delta-maintenance variant (flag killed triangles with three
+      // left-outer joins, decrement sup by the killed count instead of
+      // recounting) was MEASURED WORSE — 16.0 s min / 30.9 s avg vs this
+      // shape's 8.5 s at sf0.1 — so the per-round recount over the
+      // filtered triangle list stays.
+      def anti(t: DataFrame, x: String, y: String) =
+        t.join(low,
+          least(col(x), col(y)) === col("lu") &&
+            greatest(col(x), col(y)) === col("lv"), "left_anti")
+      tri = graft.Ckpt(anti(anti(anti(tri, "a", "b"), "a", "c"), "b", "c"))
+      sup = graft.Ckpt(edgeSupportOf(tri))
     }
-    peeled.join(edgeSupport(peeled), Seq("u", "v"), "left_outer")
+    keep.join(sup, Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
       .orderBy("u", "v")
   }
