@@ -62,7 +62,10 @@ object Llm {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
-    val enc = SetSim.tokenSets(toks)
+    // enc feeds the bucket-size guard AND both block-join sides — Ckpt so
+    // the encode pass (explode + vocab probe + per-doc collect agg) runs
+    // once, not three times (round-14, guide §2.4)
+    val enc = graft.Ckpt(SetSim.tokenSets(toks))
     SetSim.pairs(enc, blocks = 16)
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("lang"), col("a_id"), col("b_id"),

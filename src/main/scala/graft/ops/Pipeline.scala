@@ -247,7 +247,10 @@ object Pipeline {
     * oracle still runs.
     */
   def x10(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSigs(s, d)
+    // the signature agg feeds both pigeonhole join sides — Ckpt the
+    // per-doc sigs so the token explode + 16-column vote agg runs once;
+    // the half explode re-derives cheaply per side (round-14, guide §2.4)
+    val sig = graft.Ckpt(simhashSigs(s, d))
       .withColumn("half", explode(sequence(lit(0), lit(1))))
       .withColumn("hv", when(col("half") === 0, expr("simhash % 256"))
         .otherwise(expr("simhash div 256")))
@@ -392,11 +395,14 @@ object Pipeline {
     * banding, so the LSH recall is part of the declared semantics.
     */
   def x4(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
+    // e feeds the banding plus BOTH verify lookups, banded both candidate
+    // sides — Ckpt each so the scan+norm pass and the 16-band explode run
+    // once instead of per reference (round-14, guide §2.4)
+    val e = graft.Ckpt(Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
-      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb"))))
-    val banded = withBandVals(e).select(col("vec_id"), col("label"),
-      col("band"), col("bval"))
+      .withColumn("nrm", sqrt(vdot(col("emb"), col("emb")))))
+    val banded = graft.Ckpt(withBandVals(e).select(col("vec_id"), col("label"),
+      col("band"), col("bval")))
     // Both band sides are corpus-sized NARROW frames (SignBands over the
     // scan, no stage boundary beneath), so an unhinted join let the static
     // planner broadcast one of them on underestimated stats (the x1
@@ -1060,7 +1066,9 @@ object Pipeline {
     * bigger k only shrinks the cells. KMeansSpec exercises the swap.
     */
   def x21With(e: DataFrame, cent: DataFrame): DataFrame = {
-    val assign = x21Assign(e, cent)
+    // assign feeds both block-join sides — Ckpt so the broadcast-codebook
+    // cross join + argmin agg run once, not twice (round-14, guide §2.4)
+    val assign = graft.Ckpt(x21Assign(e, cent))
     val B = 8
     val a = assign.select(col("cell"), col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("nrm").as("a_nrm"))

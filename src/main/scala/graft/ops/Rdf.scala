@@ -208,14 +208,21 @@ object Rdf {
     var pr: Option[DataFrame] = None
     for (i <- 1 to PageRankIters)
       pr = Some(r7Step(ed, pr.map((_, defaultRank(i - 1)))))
-    // fold the dangling/base-only nodes back in once, decode the packed id
-    // to the declared string form BEFORE the ordering (ties in pr break on
-    // the STRING node id, exactly the oracle's ORDER BY), then top-25
-    val nodes = ed.select(col("src").as("node"))
-      .union(ed.select(col("dst").as("node"))).distinct()
-    nodes.join(pr.get.withColumnRenamed("dst", "node"), Seq("node"), "left")
-      .select(r7Decode(col("node")).as("node"),
-        coalesce(col("pr"), lit(defaultRank(PageRankIters))).as("pr"))
+    // fold the base-only nodes back in once, decode the packed id to the
+    // declared string form BEFORE the ordering (ties in pr break on the
+    // STRING node id, exactly the oracle's ORDER BY), then top-25.
+    // Round-14: every dst node is ALREADY keyed in the rank frame (pr is
+    // a groupBy over all edge dsts), so the only nodes to add are the
+    // SRC-ONLY ones — one src distinct + one anti join + union, instead
+    // of the old all-ends union (2·|E| rows) + distinct + corpus left
+    // join. The rank chain is Ckpt'd because the anti lookup makes it a
+    // second consumer.
+    val last = graft.Ckpt(pr.get.withColumnRenamed("dst", "node"))
+    val srcOnly = ed.select(col("src").as("node")).distinct()
+      .join(last.select(col("node")), Seq("node"), "left_anti")
+      .withColumn("pr", lit(defaultRank(PageRankIters)))
+    last.union(srcOnly)
+      .select(r7Decode(col("node")).as("node"), col("pr"))
       .orderBy(col("pr").desc, col("node")).limit(25)
       .select(col("node"), col("pr").as("rank"))
   }

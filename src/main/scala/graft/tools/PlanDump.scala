@@ -20,8 +20,16 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     graft.GraftExtensions.install(spark) // the driver-path session shape
     new java.io.File(outDir).mkdirs()
+    // pseudo-entries for UN-checkpointed building blocks whose plans the
+    // eager Ckpt hides inside every declared query (the PlanLintSpec
+    // exposure functions — committed so plan-shape claims about them are
+    // checkable without reading Spark)
+    val blocks: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "_coEdges" -> ((s: SparkSession, d: String) => graft.ops.Rdf.coEdges(s, d)),
+      "_supportEdges" -> ((s: SparkSession, d: String) => graft.ops.Rdf.supportEdges(s, d)))
     names.foreach { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, sf).queryExecution
+      val fn = blocks.getOrElse(name, graft.SparkEntry.queries(name))
+      val plan = fn(spark, sf).queryExecution
         .explainString(org.apache.spark.sql.execution.FormattedMode)
       val f = new java.io.PrintWriter(s"$outDir/${name}_$suffix.txt")
       try f.write(plan) finally f.close()
