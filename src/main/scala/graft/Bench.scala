@@ -48,10 +48,17 @@ object Bench {
     * and Profile floors, not the total's centiseconds). Past ~247 real
     * keys even reclaiming "metric"/"unit" cannot absorb a +10-key
     * round — see BASELINE.md round 14 for the renegotiation proposal.
-    * Deterministic from the key set alone; ADDING a
-    * key shifts later aliases, which is safe because every BENCH_r*.json
-    * is decoded through the sidecar committed in the same round —
-    * cross-round comparison always goes through full names.
+    *
+    * Round 15 (r14-verdict item 1): assignment is APPEND-ONLY, no longer
+    * positional. The round-14 assignment is FROZEN in
+    * [[BenchAliasFrozen]]; a key listed there keeps that alias forever,
+    * and only NEW keys draw from the free-alias sequence (singles first,
+    * then base-62 doubles, skipping anything frozen) in sorted-name
+    * order. The r14 positional scheme shifted every 2-char alias when a
+    * key was added (r13→r14 added 2), so the driver's PERF table
+    * compared different queries under the same label; now BENCH_rN and
+    * BENCH_rN+1 agree on every pre-existing key byte-for-byte. The
+    * committed sidecar `bench_keys.json` stays the decode authority.
     */
   private val aliasChars =
     (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).toIndexedSeq
@@ -59,11 +66,27 @@ object Bench {
   def aliasMap(names: Seq[String]): Map[String, String] = {
     require(names.size <= aliasSingles.size + 62 * 62,
       s"alias space exhausted: ${names.size} keys")
-    val n1 = aliasSingles.size
-    names.sorted.zipWithIndex.map { case (n, i) =>
-      n -> (if (i < n1) aliasSingles(i).toString
-            else s"${aliasChars((i - n1) / 62)}${aliasChars((i - n1) % 62)}")
-    }.toMap
+    val known = names.filter(BenchAliasFrozen.map.contains)
+    val fresh = names.filterNot(BenchAliasFrozen.map.contains).sorted
+    val used = known.map(BenchAliasFrozen.map).toSet
+    val free = (aliasSingles.iterator.map(_.toString) ++
+      (for (a <- aliasChars.iterator; b <- aliasChars.iterator)
+        yield s"$a$b")).filterNot(used)
+    known.map(n => n -> BenchAliasFrozen.map(n)).toMap ++
+      fresh.map(n => n -> free.next())
+  }
+
+  /** Bench-line value formatting. A measured (v > 0) key must never read
+    * as literal 0: the driver's PERF reader treats 0 as "dropped from
+    * bench" (r14-verdict item 1 — 35 demoted keys read as artifact
+    * drops), so a would-be-"0" is floored at one decisecond. prec = -1 is
+    * the ultimate parseability fallback (raw integer, zeros allowed — see
+    * the precision ladder in main). */
+  private[graft] def fmtValue(v: Double, prec: Int): String = {
+    val s = BigDecimal(v)
+      .setScale(math.max(prec, 0), BigDecimal.RoundingMode.HALF_UP)
+      .bigDecimal.stripTrailingZeros.toPlainString
+    if (s == "0" && v > 0 && prec >= 0) "0.1" else s
   }
 
   def main(args: Array[String]): Unit = {
@@ -140,9 +163,7 @@ object Bench {
     // exceeds the tail (worst case ~1.99KB — query growth or a slow run
     // widening values) fall back to decisecond precision rather than ship
     // an unparseable line.
-    def fmt(v: Double, prec: Int): String =
-      BigDecimal(v).setScale(prec, BigDecimal.RoundingMode.HALF_UP)
-        .bigDecimal.stripTrailingZeros.toPlainString
+    def fmt(v: Double, prec: Int): String = fmtValue(v, prec)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     val alias = aliasMap(results.keys.toSeq)
@@ -166,16 +187,37 @@ object Bench {
     // seconds FASTEST-FIRST until the line fits — a 0.1 s query's value
     // carries no attribution signal beyond its BASELINE.md Profile floor,
     // while the slow queries (where regressions live) keep their decimals
-    // as long as possible. Worst case every value is integer — coarse but
-    // always parseable, never parsed:null.
+    // as long as possible. Round 15: demotion never turns a measured key
+    // into literal 0 (the driver reads 0 as dropped) — sub-0.5 s keys are
+    // floored at one decisecond and skipped by the demotion pass; the
+    // raw-integer fallback (zeros allowed) exists only as the final
+    // always-parseable guarantee and is unreachable on a realistic board.
     def uniform(p: Int) = results.keys.map(_ -> p).toMap
     val out = Seq(uniform(2), uniform(1)).map(line).find(_.length <= 1999)
       .getOrElse {
         val prec = scala.collection.mutable.Map(uniform(1).toSeq: _*)
-        val fastestFirst = results.toSeq.sortBy(_._2).map(_._1).iterator
+        // Demote to integer seconds FASTEST-FIRST, but only keys whose
+        // integer form is actually SHORTER: under the no-zero floor a
+        // sub-0.5 s key would demote to "0.1" (3 chars, no saving), so it
+        // keeps its decisecond value and the savings come from the ≥0.5 s
+        // keys ("0.7"→"1", "5.3"→"5": 2 chars each). The board carries
+        // ~45-120 such keys against a ~60-90 char deci overshoot.
+        val eligible = results.toSeq.sortBy(_._2)
+          .filter { case (_, v) => fmt(v, 0).length < fmt(v, 1).length }
+          .map(_._1).iterator
         var l = line(prec)
-        while (l.length > 1999 && fastestFirst.hasNext) {
-          prec(fastestFirst.next()) = 0
+        while (l.length > 1999 && eligible.hasNext) {
+          prec(eligible.next()) = 0
+          l = line(prec)
+        }
+        // Ultimate parseability fallback — raw integers (zeros allowed),
+        // fastest-first. Unreachable unless nearly the whole board ran
+        // sub-0.5 s (the all-"0.1" line is ~2,085 chars and nothing legal
+        // can shrink it); a truncated line records parsed:null for EVERY
+        // key, which is strictly worse than a few zero-demoted tail keys.
+        val rest = results.toSeq.sortBy(_._2).map(_._1).iterator
+        while (l.length > 1999 && rest.hasNext) {
+          prec(rest.next()) = -1
           l = line(prec)
         }
         l

@@ -87,6 +87,47 @@ class ContractSpec extends SparkSpec {
     assert(drift.isEmpty, s"install-dependent results: ${drift.mkString(", ")}")
   }
 
+  test("alias assignment is append-only (frozen keys never move, new keys get free aliases)") {
+    // r14-verdict item 1: the positional scheme re-aliased every 2-char
+    // key when the board grew, so the driver's PERF table compared
+    // different queries under one label. Invariants now: (1) the frozen
+    // table is injective; (2) every declared key is frozen (regenerate
+    // BenchAliasFrozen when keys are added, AFTER the round's bench ran);
+    // (3) aliasMap over the current board IS the frozen assignment; and
+    // (4) adding hypothetical keys changes no existing alias and assigns
+    // fresh non-colliding aliases.
+    val frozen = BenchAliasFrozen.map
+    assert(frozen.values.toSet.size === frozen.size, "frozen aliases collide")
+    val board = SparkEntry.queries.keys.toSeq
+    assert(board.toSet.subsetOf(frozen.keySet),
+      s"unfrozen keys: ${(board.toSet -- frozen.keySet).toSeq.sorted} — " +
+        "new keys get free aliases this round; freeze them next round")
+    val now = Bench.aliasMap(board)
+    board.foreach { k =>
+      if (frozen.contains(k)) assert(now(k) === frozen(k), s"$k moved") }
+    val grown = Bench.aliasMap(board ++ Seq("zz_new_a", "zz_new_b"))
+    board.foreach(k => assert(grown(k) === now(k), s"$k moved on growth"))
+    assert(grown.values.toSet.size === grown.size, "grown aliases collide")
+  }
+
+  test("a measured key's bench value never formats as literal 0") {
+    // The driver reads a 0 value as "dropped from bench" (r14: 35 keys
+    // read as artifact drops). Bench.fmtValue floors any would-be-0 at
+    // one decisecond for every precision the ladder uses (2/1/0).
+    val probe = Seq(0.001, 0.01, 0.04, 0.3, 0.49, 0.5, 1.0, 10.14)
+    for (v <- probe; p <- Seq(2, 1, 0))
+      assert(Bench.fmtValue(v, p) != "0", s"fmt($v, $p) emitted 0")
+    // spot values: floor engages exactly where rounding would hit 0
+    assert(Bench.fmtValue(0.04, 1) === "0.1")
+    assert(Bench.fmtValue(0.3, 0) === "0.1")
+    assert(Bench.fmtValue(0.5, 0) === "1")
+    assert(Bench.fmtValue(5.34, 1) === "5.3")
+    // prec = -1 (the unreachable-in-practice final fallback) allows 0
+    assert(Bench.fmtValue(0.3, -1) === "0")
+    // failure sentinel stays -1 at every precision
+    assert(Bench.fmtValue(-1.0, 1) === "-1")
+  }
+
   test("committed bench_keys.json matches Bench.aliasMap over the query set") {
     // The sidecar is what lets a BENCH_r*.json reader decode alias keys;
     // a stale file silently mislabels every bench number. Regenerate with
