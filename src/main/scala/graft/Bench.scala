@@ -143,6 +143,16 @@ object Bench {
           .foreach { case (id, rdd) =>
             if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
           }
+        // Round-15: Ckpt.shared frames register in the session-global
+        // CacheManager, and entries OUTLIVE the RDD unpersist above — a
+        // later query whose plan contains a canonically-equal subtree
+        // would silently substitute the stale InMemoryRelation (plan
+        // drift: parquet pushdown lost above the cache, cross-query frame
+        // sharing). Clear the catalog cache so every query's timed region
+        // plans and computes from the parquet inputs alone. (No
+        // harness-level SQL cache exists to preserve; Tables' frame memo
+        // is plain logical plans, not cache entries.)
+        spark.catalog.clearCache()
       }
     }
     val mins = scala.collection.mutable.LinkedHashMap[String, Double]()

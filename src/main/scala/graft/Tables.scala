@@ -11,8 +11,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (verified via `.explain`: `PushedFilters`/`ReadSchema`).
   */
 object Tables {
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-DataFrame memo per (session, dir, table).
+    * `spark.read.parquet(path)` runs synchronous schema INFERENCE — a
+    * footer read — on every call, and this repo constructs each table's
+    * DataFrame fresh inside every declared query (235 queries × 3 bench
+    * passes, iterative operators, multi-table joins). ProbeOverhead
+    * measured 0.10-0.46 s of the sub-second tail's per-query time in plan
+    * CONSTRUCTION, dominated by exactly these footer reads (j3's five
+    * tables: 0.43 s). Returning the SAME immutable DataFrame per
+    * (session, dir, table) elides the repeat inference and relation
+    * resolution; the DATA is still read from parquet by every job — this
+    * memoizes a logical plan, never results. (A `.schema(inferred)`
+    * variant was tried first and REVERTED: the user-specified-schema read
+    * path drops parquet filter pushdown on the nested-column embeddings
+    * table — PlanLintSpec's pushdown lint caught PushedFilters: [] on
+    * x9/x11/l3 — while plan-identity memoization keeps the inferred-
+    * schema path byte-identical.) Keyed weakly by session so test
+    * sessions don't leak; a dir's fixture files are immutable within a
+    * process lifetime (the driver regenerating fixtures restarts the
+    * JVM).
+    */
+  private val frameCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]]()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = frameCache.synchronized {
+      var m = frameCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+        frameCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")

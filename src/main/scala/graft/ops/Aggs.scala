@@ -337,17 +337,20 @@ object Aggs {
     * emitted share divides — one correctly-rounded double op (D4).
     */
   def a20(s: SparkSession, d: String): DataFrame = {
-    val perPrice = Tables.lineitem(s, d)
+    // Round-15 (r14-verdict item 4): the crossing is SIZE-GATED — the
+    // level frame is materialized (Ckpt) so its exact level count is one
+    // cheap job, and past [[medianDistributedMinLevels]] the crossing
+    // runs the range-partitioned two-phase form instead of the
+    // flag-partitioned window (whose per-flag sort is ONE task however
+    // wide the cluster — the 100 TB scale-killer class). At every fixture
+    // SF the count is far below the measured crossover, so the declared
+    // plan stays the window form.
+    val perPrice = graft.Ckpt(Tables.lineitem(s, d)
       .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("price"),
         col("l_quantity").cast("bigint").as("w"))
       .groupBy(col("l_returnflag"), col("price"))
-      .agg(sum(col("w")).as("w"))
-    val wCum = Window.partitionBy("l_returnflag").orderBy("price")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wTot = Window.partitionBy("l_returnflag")
-    perPrice
-      .withColumn("cum", sum(col("w")).over(wCum))
-      .withColumn("tot", sum(col("w")).over(wTot))
+      .agg(sum(col("w")).as("w")))
+    cumLevelsGated(perPrice, "price", perPrice.count(), s)
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(out2(min(col("price"))).as("wmedian"),
@@ -413,22 +416,67 @@ object Aggs {
     * broadcasts it from its REAL runtime size (the corpus-broadcast-hint
     * lint's documented discipline for aggregate-topped build sides).
     */
+  /** The group-windowed cumulative-sum frame of a level frame
+    * ((l_returnflag, value, w) → + cum, tot): the LOCAL-scale form of the
+    * a20/a22 crossing — per-flag parallelism is the flag count, so one
+    * task sorts a whole flag's levels. */
+  private[graft] def cumLevelsWindow(levels: DataFrame,
+      value: String): DataFrame = {
+    val wCum = Window.partitionBy("l_returnflag").orderBy(value)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    levels
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("tot", sum(col("w")).over(wTot))
+  }
+
+  /** Conf knob for the crossing gate: the level count at or above which
+    * the range-partitioned two-phase form replaces the group window.
+    * Local default = the measured tie point (ProbeMedianGate, synthetic
+    * 3-flag level frames, this box/local[32]: window wins at 1M/2M/8M
+    * levels — 0.78 vs 1.73 s, 1.63 vs 3.65 s, 3.24 vs 4.10 s — the two tie
+    * at 20M — 9.71 vs 9.81 s — and distributed wins at 40M — 40.5 vs
+    * 38.5 s). Switching at the tie costs nothing below it and caps the
+    * window form's per-flag single-task sort beyond it; a cluster tunes
+    * the knob per hardware (the window form's parallelism is the FLAG
+    * count, so wider clusters cross over earlier). */
+  private[graft] val DistributedMinLevelsKey =
+    "spark.graft.median.distributedMinLevels"
+  private[graft] def medianDistributedMinLevels(s: SparkSession): Long =
+    s.conf.getOption(DistributedMinLevelsKey).map(_.toLong)
+      .getOrElse(20000000L)
+
+  /** SIZE-GATED cumulative-sum frame (r14-verdict item 4): pick the
+    * window or the range-partitioned distributed form from the MEASURED
+    * level count instead of hard-coding the local winner. The two forms
+    * are byte-identical (prefix sums are partition-boundary-invariant —
+    * CapabilitySpec proves the equality), so the gate is pure plan
+    * strategy; callers pass the count read off their already-materialized
+    * level frame (one cheap job — kCore's loop-probe discipline). */
+  private[graft] def cumLevelsGated(levels: DataFrame, value: String,
+      nLevels: Long, s: SparkSession): DataFrame =
+    if (nLevels >= medianDistributedMinLevels(s))
+      cumLevelsDistributed(levels, value)
+    else cumLevelsWindow(levels, value)
+
   def a22(s: SparkSession, d: String): DataFrame = {
     val lv = graft.Ckpt(Tables.lineitem(s, d)
       .select(col("l_returnflag"), dec2(col("l_extendedprice")).as("p"))
       .groupBy(col("l_returnflag"), col("p"))
       .agg(count(lit(1)).as("w")))
-    def lowerMedian(levels: DataFrame, value: String, out: String): DataFrame = {
-      val wCum = Window.partitionBy("l_returnflag").orderBy(value)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wTot = Window.partitionBy("l_returnflag")
-      levels
-        .withColumn("cum", sum(col("w")).over(wCum))
-        .withColumn("tot", sum(col("w")).over(wTot))
+    // One count over the Ckpt'd (already materialized) level frame feeds
+    // the size gate for BOTH crossings; the deviation frame's level count
+    // is ≤ lv's per flag (|p − med| collapses levels), so one gate decides
+    // both. At every fixture SF this picks the window form — the declared
+    // local plan is unchanged; past the measured crossover the crossing
+    // switches to the x27-style distributed prefix sum instead of one
+    // task sorting a whole flag's levels.
+    val nLevels = lv.count()
+    def lowerMedian(levels: DataFrame, value: String, out: String): DataFrame =
+      cumLevelsGated(levels, value, nLevels, s)
         .filter(col("cum") * 2 >= col("tot"))
         .groupBy(col("l_returnflag"))
         .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
-    }
     val med = lowerMedian(lv, "p", "med")
     val dev = lv.join(med, Seq("l_returnflag"))
       .select(col("l_returnflag"), abs(col("p") - col("med")).as("dv"), col("w"))
@@ -481,8 +529,12 @@ object Aggs {
       .orderBy("l_returnflag")
   }
 
-  private[graft] def lowerMedianDistributed(levels: DataFrame, value: String,
-      out: String): DataFrame = {
+  /** The range-partitioned two-phase cumulative-sum frame — the SCALE form
+    * of the a20/a22 crossing (same columns as [[cumLevelsWindow]] plus the
+    * internal cell tag; prefix sums are boundary-invariant so the cum/tot
+    * values are byte-identical). */
+  private[graft] def cumLevelsDistributed(levels: DataFrame,
+      value: String): DataFrame = {
     val base = graft.Ckpt(
       levels.repartitionByRange(col("l_returnflag"), col(value))
         .withColumn("cell", spark_partition_id()))
@@ -499,10 +551,14 @@ object Aggs {
     within.join(offs, Seq("cell", "l_returnflag"))
       .join(tots, Seq("l_returnflag"))
       .withColumn("cum", col("off") + col("cum_in"))
+  }
+
+  private[graft] def lowerMedianDistributed(levels: DataFrame, value: String,
+      out: String): DataFrame =
+    cumLevelsDistributed(levels, value)
       .filter(col("cum") * 2 >= col("tot"))
       .groupBy(col("l_returnflag"))
       .agg(min(col(value)).as(out), max(col("tot")).as(out + "_n"))
-  }
 
   /** a23 — WINSORIZED MEAN per order priority: clamp o_totalprice to its
     * group's [P5, P95] (exact interpolated percentiles — a10's

@@ -26,16 +26,22 @@ object DedupCluster {
     * their own survivor).
     */
   def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Ckpt the symmetrized edge frame: EVERY round's hook join reads it,
-    // and without the truncation each round re-executes the caller's whole
-    // pair-generation subtree (r18's order-local explode + support agg ran
-    // once per round — 16.5 s isolated; materialized once it reads 2.6 s).
-    val edges = graft.Ckpt(
+    // Materialize the symmetrized edge frame ONCE, hash-partitioned on the
+    // hook join's key (round-15, guide §2.4 co-location): EVERY round's
+    // hook join reads it, and without the truncation each round would
+    // re-execute the caller's whole pair-generation subtree (r18's
+    // order-local explode + support agg ran once per round — 16.5 s
+    // isolated; materialized once it reads 2.6 s). Ckpt.sharedBy
+    // additionally pins src-hash partitioning so the per-round hook join
+    // shuffles only the (|V|-sized) label frame, never the 2·|E| edges —
+    // localCheckpoint drops outputPartitioning and re-shuffled the edges
+    // every round (measured, ProbePartCkpt).
+    val edges = graft.Ckpt.sharedBy(
       pairs.select(col("a_id").cast("long").as("src"),
           col("b_id").cast("long").as("dst"))
         .union(pairs.select(col("b_id").cast("long").as("src"),
           col("a_id").cast("long").as("dst")))
-        .distinct())
+        .distinct(), col("src"))
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     // Convergence probe state: every step only ever DECREASES a node's

@@ -65,7 +65,7 @@ object Llm {
     // enc feeds the bucket-size guard AND both block-join sides — Ckpt so
     // the encode pass (explode + vocab probe + per-doc collect agg) runs
     // once, not three times (round-14, guide §2.4)
-    val enc = graft.Ckpt(SetSim.tokenSets(toks))
+    val enc = graft.Ckpt.shared(SetSim.tokenSets(toks))
     SetSim.pairs(enc, blocks = 16)
       .filter(col("inter") * 10 >= col("uni") * 9)
       .select(col("lang"), col("a_id"), col("b_id"),
@@ -192,7 +192,7 @@ object Llm {
     * the tf frame would silently miscount empty documents).
     */
   private[graft] def tfidfScores(s: SparkSession, d: String): DataFrame = {
-    val tf = graft.Ckpt(Tables.documents(s, d)
+    val tf = graft.Ckpt.shared(Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf")))

@@ -124,15 +124,20 @@ object Pipeline {
   }
 
   private def x1CandEnc(s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
-    // Round-14 optimization (guide §2.4 — duplicated subtrees): the sig
-    // frame feeds BOTH sides of the banding self-join and the enc frame
-    // BOTH per-pair verify joins, and the differently-projected references
-    // defeat ReuseExchange — the round-13 plan computed each corpus
-    // subtree (explode + dictionary SHUFFLE_HASH join + per-doc agg)
-    // TWICE per query (x1/x59/x17). One Ckpt each runs them once; both
-    // frames are doc-sized and narrow.
-    val sig = graft.Ckpt(x1Sig(s, d))
-    (x1CandFromSig(s, sig), graft.Ckpt(x1Enc(s, d)), sig)
+    // Round-14 (guide §2.4 — duplicated subtrees): the sig frame feeds
+    // BOTH sides of the banding self-join and the enc frame BOTH per-pair
+    // verify joins, and the differently-projected references defeat
+    // ReuseExchange — the round-13 plan computed each corpus subtree
+    // (explode + dictionary SHUFFLE_HASH join + per-doc agg) TWICE per
+    // query (x1/x59/x17). Round-15 (r14-verdict item 3): the round-14
+    // EAGER Ckpts regressed the family on the driver's bench (x1 +17%,
+    // x17 +22%, x59 +39%) — two serial barrier jobs per query cost more
+    // than the dedup saved at sf0.1. Ckpt.shared (lazy MEMORY_AND_DISK
+    // persist) keeps the single-subtree plan with no barrier: both frames
+    // are deterministic (min-aggregates / sorted token sets), so lazy
+    // cache-on-first-use is safe.
+    val sig = graft.Ckpt.shared(x1Sig(s, d))
+    (x1CandFromSig(s, sig), graft.Ckpt.shared(x1Enc(s, d)), sig)
   }
 
   private def x1Enc(s: SparkSession, d: String): DataFrame =
@@ -250,7 +255,7 @@ object Pipeline {
     // the signature agg feeds both pigeonhole join sides — Ckpt the
     // per-doc sigs so the token explode + 16-column vote agg runs once;
     // the half explode re-derives cheaply per side (round-14, guide §2.4)
-    val sig = graft.Ckpt(simhashSigs(s, d))
+    val sig = graft.Ckpt.shared(simhashSigs(s, d))
       .withColumn("half", explode(sequence(lit(0), lit(1))))
       .withColumn("hv", when(col("half") === 0, expr("simhash % 256"))
         .otherwise(expr("simhash div 256")))
@@ -311,7 +316,7 @@ object Pipeline {
     // references defeat ReuseExchange, so un-Ckpt'd the explode + distinct
     // + df-cap window subtree runs three times (round-14, guide §2.4;
     // l7/l9's shared-frame discipline)
-    val posts = graft.Ckpt(shinglePosts(s, d))
+    val posts = graft.Ckpt.shared(shinglePosts(s, d))
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
@@ -343,7 +348,7 @@ object Pipeline {
     */
   def x23(s: SparkSession, d: String): DataFrame = {
     // x3's round-14 rationale: posts has three renamed consumers
-    val posts = graft.Ckpt(shinglePosts(s, d))
+    val posts = graft.Ckpt.shared(shinglePosts(s, d))
     val sz = posts.groupBy(col("doc_id")).agg(count(lit(1)).cast("int").as("sz"))
     val pa = posts.select(col("lang"), col("tok"), col("doc_id").as("a_id"))
     val pb = posts.select(col("lang").as("lang_b"), col("tok").as("tok_b"),
@@ -356,7 +361,7 @@ object Pipeline {
     val sb = sz.select(col("doc_id").as("b_id"), col("sz").as("b_sz"))
     // both feeds the two directional filters — un-Ckpt'd, the whole
     // posting join + size joins ran twice (once per union branch)
-    val both = graft.Ckpt(inter.join(sa, "a_id").join(sb, "b_id"))
+    val both = graft.Ckpt.shared(inter.join(sa, "a_id").join(sb, "b_id"))
     val dirA = both.filter(col("inter") * 10 >= col("a_sz") * 8)
       .select(col("lang"), col("a_id").as("contained_id"),
         col("b_id").as("container_id"),
@@ -398,10 +403,10 @@ object Pipeline {
     // e feeds the banding plus BOTH verify lookups, banded both candidate
     // sides — Ckpt each so the scan+norm pass and the 16-band explode run
     // once instead of per reference (round-14, guide §2.4)
-    val e = graft.Ckpt(Tables.embeddings(s, d)
+    val e = graft.Ckpt.shared(Tables.embeddings(s, d)
       .withColumn("emb", col("embedding").cast("array<double>"))
       .withColumn("nrm", sqrt(vdot(col("emb"), col("emb")))))
-    val banded = graft.Ckpt(withBandVals(e).select(col("vec_id"), col("label"),
+    val banded = graft.Ckpt.shared(withBandVals(e).select(col("vec_id"), col("label"),
       col("band"), col("bval")))
     // Both band sides are corpus-sized NARROW frames (SignBands over the
     // scan, no stage boundary beneath), so an unhinted join let the static
@@ -954,7 +959,10 @@ object Pipeline {
       .select(col("doc_id"), col("lbl2").as("lbl"))
 
   def x20(s: SparkSession, d: String): DataFrame = {
-    val edges = graft.Ckpt(x20Edges(s, d))
+    // Round-15 (guide §2.4 co-location): the edge frame is loop-invariant
+    // and all 8 hook rounds join it on src — hash-partition it on src once
+    // (Ckpt.sharedBy) so only the label frame shuffles per round.
+    val edges = graft.Ckpt.sharedBy(x20Edges(s, d), col("src"))
     // labels0 stays Ckpt'd: un-checkpointed it is a NARROW documents scan
     // below the first shuffle, and the static planner would broadcast it
     // from the scan estimate (the planner-chosen-broadcast lint class —
@@ -1066,9 +1074,13 @@ object Pipeline {
     * bigger k only shrinks the cells. KMeansSpec exercises the swap.
     */
   def x21With(e: DataFrame, cent: DataFrame): DataFrame = {
-    // assign feeds both block-join sides — Ckpt so the broadcast-codebook
-    // cross join + argmin agg run once, not twice (round-14, guide §2.4)
-    val assign = graft.Ckpt(x21Assign(e, cent))
+    // assign feeds both block-join sides — shared so the broadcast-codebook
+    // cross join + argmin agg run once, not twice (round-14, guide §2.4).
+    // Round-15 (r14-verdict item 3): eager Ckpt → lazy persist; the
+    // barrier job regressed x21 +20% on the driver's bench and the argmin
+    // assignment is deterministic, so cache-on-first-use keeps the
+    // single-subtree plan without blocking.
+    val assign = graft.Ckpt.shared(x21Assign(e, cent))
     val B = 8
     val a = assign.select(col("cell"), col("vec_id").as("a_id"),
         col("emb").as("a_emb"), col("nrm").as("a_nrm"))
@@ -1160,7 +1172,7 @@ object Pipeline {
       .select(col("doc_id"), col("w"), size(col("w")).cast("bigint").as("n_tokens"))
     // occ feeds the dup-index agg AND the coverage join — Ckpt so the
     // 5-gram explode + md5 pass runs once (round-14, guide §2.4)
-    val occ = graft.Ckpt(docs
+    val occ = graft.Ckpt.shared(docs
       .select(col("doc_id"), posexplode(graft.functions.NGrams.ngrams(col("w"), 5)))
       .select(col("doc_id"), col("pos"),
         md5(col("col").cast("binary")).as("gh")))
@@ -1365,7 +1377,7 @@ object Pipeline {
     // narrow (doc, idx, hash) projection feeds the keep-index agg AND the
     // join back — Ckpt so the chunk explode + md5 pass runs once
     // (round-14, guide §2.4)
-    val chunks = graft.Ckpt(x29Chunks(s, d).select("doc_id", "idx", "h"))
+    val chunks = graft.Ckpt.shared(x29Chunks(s, d).select("doc_id", "idx", "h"))
     chunks.join(x29Keep(chunks), Seq("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_chunks"),
@@ -1414,7 +1426,7 @@ object Pipeline {
   def x32(s: SparkSession, d: String): DataFrame = {
     // two consumers (keep-index agg + payload join) — one chunk explode
     // (round-14, guide §2.4; x29's rationale with the payload kept)
-    val chunks = graft.Ckpt(x29Chunks(s, d))
+    val chunks = graft.Ckpt.shared(x29Chunks(s, d))
     chunks.join(x29Keep(chunks.select("doc_id", "idx", "h")), Seq("h"))
       .withColumn("kept",
         col("doc_id") === col("kd") && col("idx") === col("ki"))
@@ -1532,7 +1544,7 @@ object Pipeline {
     // fps feeds three consumers (shared-hash index, per-doc counts, the
     // shared-count join) — Ckpt so the 5-gram explode + winnow window +
     // distinct run once, not three times (round-14, guide §2.4)
-    val fps = graft.Ckpt(occ.withColumn("sel",
+    val fps = graft.Ckpt.shared(occ.withColumn("sel",
         min(concat(col("h"),
           lpad((lit(99999999) - col("pos")).cast("string"), 8, "0"))).over(win))
       .filter(col("pos") >= W - 1) // full windows only (standard winnowing)
@@ -1773,11 +1785,11 @@ object Pipeline {
     * candidate set and both verify joins are exactly x1's scale shape.
     */
   def x44(s: SparkSession, d: String): DataFrame = {
-    val sig = graft.Ckpt(x1Sig(s, d))
+    val sig = graft.Ckpt.shared(x1Sig(s, d))
     val cand = x1CandFromSig(s, sig)
     // enc feeds both verify joins — one materialization (x1CandEnc's
     // round-14 rationale)
-    val enc = graft.Ckpt(x1Enc(s, d))
+    val enc = graft.Ckpt.shared(x1Enc(s, d))
     // doc_id + the 8 slots only — sig also carries lang, which would
     // be ambiguous against cand's after the probe joins
     val sigSlots = sig.select(
@@ -1820,7 +1832,7 @@ object Pipeline {
     * blowup. The novelty division is one correctly-rounded double op (D4).
     */
   def x42(s: SparkSession, d: String): DataFrame = {
-    val tri = graft.Ckpt(Tables.documents(s, d)
+    val tri = graft.Ckpt.shared(Tables.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.NGrams.ngrams(split(col("text"), " "), 3))
           .as("tri"))
@@ -1857,7 +1869,7 @@ object Pipeline {
     * one source-keyed rollup. All corpus-linear.
     */
   def x43(s: SparkSession, d: String): DataFrame = {
-    val sw = graft.Ckpt(Tables.documents(s, d)
+    val sw = graft.Ckpt.shared(Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("w"))
       .groupBy("source", "w").agg(count(lit(1)).as("c")))
     val corpus = sw.groupBy("w").agg(sum(col("c")).as("cw"))
@@ -1903,7 +1915,7 @@ object Pipeline {
     * broadcast like x28/x43.
     */
   def x45(s: SparkSession, d: String): DataFrame = {
-    val dw = graft.Ckpt(Tables.documents(s, d)
+    val dw = graft.Ckpt.shared(Tables.documents(s, d)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .groupBy("doc_id", "lang", "w").agg(count(lit(1)).as("c")))
@@ -1991,10 +2003,10 @@ object Pipeline {
     * |labels|² × 64, domain-bounded.
     */
   def x47(s: SparkSession, d: String): DataFrame = {
-    val x = graft.Ckpt(Tables.embeddings(s, d)
+    val x = graft.Ckpt.shared(Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         posexplode(col("embedding").cast("array<double>")).as(Seq("j", "v"))))
-    val cent = graft.Ckpt(x.groupBy("label", "j")
+    val cent = graft.Ckpt.shared(x.groupBy("label", "j")
       .agg(sum(expr("CAST(v AS DECIMAL(18,6))")).as("sv"),
         count(lit(1)).as("n"))
       .select(col("label"), col("j"),
@@ -2217,7 +2229,7 @@ object Pipeline {
     * 1-row join.
     */
   def x54(s: SparkSession, d: String): DataFrame = {
-    val base = graft.Ckpt(x6(s, d)
+    val base = graft.Ckpt.shared(x6(s, d)
       .select(col("wc").cast("bigint").as("wc"),
         col("quality").cast("decimal(9,4)").as("qd")))
     val buckets = base.groupBy(expr("wc DIV 10").as("wc_bucket"))
@@ -2334,7 +2346,7 @@ object Pipeline {
     * (AQE skew territory), not a blowup.
     */
   def x57(s: SparkSession, d: String): DataFrame = {
-    val sig = graft.Ckpt(x1Sig(s, d))
+    val sig = graft.Ckpt.shared(x1Sig(s, d))
     def bands(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("lang"), array(
         md5(concat(col("mh0"), col("mh1")).cast("binary")),
@@ -2646,7 +2658,7 @@ object Pipeline {
   def x66(s: SparkSession, d: String): DataFrame = {
     // one Ckpt, three re-banding consumers — un-Ckpt'd, the signature
     // subtree ran once per config branch (round-14, guide §2.4)
-    val sig = graft.Ckpt(x1Sig(s, d))
+    val sig = graft.Ckpt.shared(x1Sig(s, d))
     def conf(name: String, bhs: Column*): DataFrame =
       sig.select(col("doc_id"), col("lang"), posexplode(array(bhs: _*))
         .as(Seq("pos", "bh")))

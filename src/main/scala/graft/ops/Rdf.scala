@@ -198,7 +198,12 @@ object Rdf {
     * bounded heap per partition, no global sort.
     */
   def r7(s: SparkSession, d: String): DataFrame = {
-    val ed = graft.Ckpt(r7Edges(s, d))
+    // Round-15 (guide §2.4 co-location): the edge frame is loop-invariant
+    // and every round's contribution join keys on src — hash-partition it
+    // on src ONCE (Ckpt.sharedBy) so rounds 2..k and the final src-distinct
+    // anti-join fold skip their edge-frame exchange; only the rank frame
+    // shuffles per round.
+    val ed = graft.Ckpt.sharedBy(r7Edges(s, d), col("src"))
     // The rank frame carries ONLY nodes with in-edges: a node nobody links
     // to holds the constant base rank (init 10^12 in round 1, 0.15·10^12
     // after), so it rides as the per-round COALESCE default on the
@@ -344,7 +349,9 @@ object Rdf {
 
   private[graft] def r7RedistributedUnit(s: SparkSession, d: String,
       unitFor: Long => Long): DataFrame = {
-    val ed = graft.Ckpt(r7Edges(s, d))
+    // src-partitioned loop-invariant edge frame — r7's round-15 rationale
+    // (per-round contribution joins + the srcs distinct skip the exchange)
+    val ed = graft.Ckpt.sharedBy(r7Edges(s, d), col("src"))
     val srcs = ed.select(col("src").as("node")).distinct()
     val nodes = graft.Ckpt(
       ed.select(col("dst").as("node")).union(srcs).distinct())
@@ -554,7 +561,12 @@ object Rdf {
     * builds the 1.2M-edge side; measured 7.9 → 4.9 s at sf0.1). */
   private[graft] def triangleFrames(s: SparkSession,
       d: String): (DataFrame, DataFrame, DataFrame) = {
-    val edges = graft.Ckpt(coEdges(s, d))
+    // Round-15: eager Ckpt → lazy Ckpt.shared for the single-pass shared
+    // frames of the enumeration (edges: deg agg + orientation join + r20's
+    // anti build; deg/oriented below): same one-computation plan, no
+    // serial barrier jobs before the consumer's own job graph (the
+    // x1Sig-family finding, applied to the triangle family).
+    val edges = graft.Ckpt.shared(coEdges(s, d))
     val (deg, tri) = orientedTriangles(edges)
     (edges, deg, tri)
   }
@@ -563,13 +575,18 @@ object Rdf {
     * arbitrary Ckpt'd undirected `u < v` edge frame (extracted for the
     * [[r21]] truss peeler, whose edge set changes per round): returns the
     * Ckpt'd degree frame and the triangle list (a, b, c). */
+  private[ops] def orientedTrianglesForProbe(edges: DataFrame): DataFrame =
+    orientedTriangles(edges)._2
+  private[ops] def edgeSupportForProbe(tri: DataFrame): DataFrame =
+    edgeSupportOf(tri)
+
   private def orientedTriangles(edges: DataFrame): (DataFrame, DataFrame) = {
-    val deg = graft.Ckpt(
+    val deg = graft.Ckpt.shared(
       edges.select(col("u").as("n")).union(edges.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg")))
     val asc = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = graft.Ckpt(edges
+    val oriented = graft.Ckpt.shared(edges
       .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
       .select(when(asc, col("u")).otherwise(col("v")).as("s"),
@@ -752,10 +769,14 @@ object Rdf {
   }
 
   def r11(s: SparkSession, d: String): DataFrame = {
-    val und = graft.Ckpt {
+    // Round-15 (guide §2.4 co-location): the undirected edge frame is
+    // loop-invariant and every frontier round joins it on u — partition it
+    // on u ONCE so the 2·|E| frame never re-shuffles; only the shrinking
+    // frontier shuffles per round (r14-verdict item-5 scheme).
+    val und = graft.Ckpt.sharedBy({
       val e = coEdges(s, d)
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-    }
+    }, col("u"))
     val seeds = und.select(col("u").as("n")).filter(col("n") % 100 === 0)
       .distinct().withColumn("dist", lit(0))
     var visited = graft.Ckpt(seeds)
@@ -763,13 +784,18 @@ object Rdf {
     for (k <- 1 to 4) {
       // the frontier (shrinking, ≤ |V| rows) is the hash-build side; the
       // checkpointed edge frame has unknown stats, so unhinted the planner
-      // sorts 2.4M edge rows per round for an SMJ
-      val next = graft.Ckpt(
+      // sorts 2.4M edge rows per round for an SMJ.
+      // Round-15: the LAST round's next/visited each have ONE consumer
+      // (the union / the final projection), so neither is materialized
+      // (round-14's single-consumer rule — the barriers bought nothing).
+      val nextRaw =
         frontier.hint("SHUFFLE_HASH").join(und, col("n") === col("u"))
           .select(col("v").as("n")).distinct()
           .join(visited.select(col("n")), Seq("n"), "left_anti")
-          .withColumn("dist", lit(k)))
-      visited = graft.Ckpt(visited.union(next))
+          .withColumn("dist", lit(k))
+      val next = if (k == 4) nextRaw else graft.Ckpt(nextRaw)
+      visited = if (k == 4) visited.union(next)
+        else graft.Ckpt(visited.union(next))
       frontier = next
     }
     visited.select(col("n"), col("dist")).orderBy("n")
@@ -800,22 +826,29 @@ object Rdf {
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("co"))
     val w = greatest(lit(1L), lit(10L) - col("co")).as("w")
-    val e = graft.Ckpt(
+    // u-partitioned loop-invariant edge frame — r11's round-15 rationale
+    val e = graft.Ckpt.sharedBy(
       pairs.select(col("u"), col("v"), w)
-        .union(pairs.select(col("v"), col("u"), w)))
+        .union(pairs.select(col("v"), col("u"), w)), col("u"))
     var dist = graft.Ckpt(
       e.agg(min(col("u")).as("n")).withColumn("dist", lit(0L)))
     var frontier = dist
-    for (_ <- 1 to 3) {
+    for (k <- 1 to 3) {
       val relaxed = frontier.hint("SHUFFLE_HASH")
         .join(e, col("n") === col("u"))
         .select(col("v").as("n"), (col("dist") + col("w")).as("dist"))
-      val next = graft.Ckpt(dist.union(relaxed)
-        .groupBy("n").agg(min("dist").as("dist")))
-      frontier = graft.Ckpt(next
-        .join(dist.withColumnRenamed("dist", "old"), Seq("n"), "left")
-        .filter(col("old").isNull || col("dist") < col("old"))
-        .select(col("n"), col("dist")))
+      // Round-15: the LAST round's distance map has ONE consumer (the
+      // final projection) and its frontier has NONE — skip that Ckpt and
+      // the whole dead frontier derivation (round-14's single-consumer
+      // rule).
+      val nextRaw = dist.union(relaxed)
+        .groupBy("n").agg(min("dist").as("dist"))
+      val next = if (k == 3) nextRaw else graft.Ckpt(nextRaw)
+      if (k < 3)
+        frontier = graft.Ckpt(next
+          .join(dist.withColumnRenamed("dist", "old"), Seq("n"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select(col("n"), col("dist")))
       dist = next
     }
     dist.select(col("n").as("p_partkey"), col("dist")).orderBy("p_partkey")
@@ -856,10 +889,14 @@ object Rdf {
     * r11's with one added column.
     */
   def r13(s: SparkSession, d: String): DataFrame = {
-    val und = graft.Ckpt {
+    // Round-15 (r14-verdict item 5): every bitmap round joins the
+    // loop-invariant 2·|E| edge frame on u — partition it on u ONCE
+    // (Ckpt.sharedBy) so the per-round Exchange on the edge frame is gone
+    // and only the (smaller) bitmap frame shuffles per round.
+    val und = graft.Ckpt.sharedBy({
       val e = coEdges(s, d)
       e.union(e.select(col("v").as("u"), col("u").as("v")))
-    }
+    }, col("u"))
     // Dense bit index over the panel via the x27 RANGE-PARTITIONED prefix
     // sum — round 9 ran this as one global row_number window (a
     // single-partition sort; tolerable at a 1% panel, but a 1% panel of a
@@ -882,13 +919,17 @@ object Rdf {
     var cur = graft.Ckpt(seedBits)
     val perRound = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (k <- 1 to 3) {
-      val next = graft.Ckpt(
+      // Round-15: the LAST round's bitmap frame has ONE consumer (its
+      // per-distance popcount diff — the next-round join never runs), so
+      // it stays lazy (round-14's single-consumer rule).
+      val nextRaw =
         und.join(cur.hint("SHUFFLE_HASH"), col("u") === col("n"))
           .select(col("v").as("n2"), col("w"), col("bits"))
           .union(cur.select(col("n").as("n2"), col("w"), col("bits")))
           .groupBy(col("n2"), col("w"))
           .agg(expr("bit_or(bits)").as("bits"))
-          .select(col("n2").as("n"), col("w"), col("bits")))
+          .select(col("n2").as("n"), col("w"), col("bits"))
+      val next = if (k == 3) nextRaw else graft.Ckpt(nextRaw)
       perRound += next
         .join(cur.select(col("n"), col("w"), col("bits").as("pb")),
           Seq("n", "w"), "left")
@@ -935,13 +976,16 @@ object Rdf {
     val e0 = coEdges(s, d)
     var und = graft.Ckpt(
       e0.union(e0.select(col("v").as("u"), col("u").as("v"))))
-    for (_ <- 1 to 3) {
+    for (k <- 1 to 3) {
       val removed = und.groupBy(col("u")).agg(count(lit(1)).as("dg"))
         .filter(col("dg") < 3).select(col("u").as("n"))
-      und = graft.Ckpt(und
+      // Round-15: the LAST peel's edge frame has ONE consumer (the final
+      // degree agg) — leave it lazy (round-14's single-consumer rule).
+      val undRaw = und
         .join(removed.select(col("n").as("u")), Seq("u"), "left_anti")
         .join(removed.select(col("n").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v")))
+        .select(col("u"), col("v"))
+      und = if (k == 3) undRaw else graft.Ckpt(undRaw)
     }
     und.groupBy(col("u")).agg(count(lit(1)).as("deg"))
       .select(col("u").as("p_partkey"), col("deg"))
@@ -1198,28 +1242,48 @@ object Rdf {
     * and incremental maintenance are PLAN properties — r9's argument).
     */
   def r21(s: SparkSession, d: String): DataFrame = {
-    val e0 = graft.Ckpt(coEdges(s, d))
+    val e0 = graft.Ckpt.shared(coEdges(s, d))
     var tri = graft.Ckpt(orientedTriangles(e0)._2)
     var sup = graft.Ckpt(edgeSupportOf(tri))
     var keep: DataFrame = null
-    for (_ <- 1 to TrussPeels) {
+    var round = 0
+    var converged = false
+    while (round < TrussPeels && !converged) {
       keep = sup.filter(col("sup") >= 2).select(col("u"), col("v"))
       val low = sup.filter(col("sup") < 2)
         .select(col("u").as("lu"), col("v").as("lv"))
-      // a triangle survives iff none of its three normalized edges is a
-      // removed low-support edge (all its edges HAVE support ≥ 1, so the
-      // zero-support edges dropped by `keep` can never appear in it).
-      // NOTE a delta-maintenance variant (flag killed triangles with three
-      // left-outer joins, decrement sup by the killed count instead of
-      // recounting) was MEASURED WORSE — 16.0 s min / 30.9 s avg vs this
-      // shape's 8.5 s at sf0.1 — so the per-round recount over the
-      // filtered triangle list stays.
-      def anti(t: DataFrame, x: String, y: String) =
-        t.join(low,
-          least(col(x), col(y)) === col("lu") &&
-            greatest(col(x), col(y)) === col("lv"), "left_anti")
-      tri = graft.Ckpt(anti(anti(anti(tri, "a", "b"), "a", "c"), "b", "c"))
-      sup = graft.Ckpt(edgeSupportOf(tri))
+      // Round-15 (r14-verdict item 7): when a round's removed set is EMPTY
+      // every remaining round is the identity (tri unchanged ⇒ recount ⇒
+      // same sup ⇒ same keep), so stop peeling — the probe is one cheap
+      // scan of the already-materialized sup frame (DedupCluster's loop
+      // discipline: only a tiny scalar surfaces to the driver), and the
+      // output is bit-identical to the full unroll, which is what the
+      // oracle states (each skipped round is an identity there too).
+      converged = low.isEmpty
+      if (!converged) {
+        // a triangle survives iff none of its three normalized edges is a
+        // removed low-support edge (all its edges HAVE support ≥ 1, so the
+        // zero-support edges dropped by `keep` can never appear in it).
+        // NOTE a delta-maintenance variant (flag killed triangles with three
+        // left-outer joins, decrement sup by the killed count instead of
+        // recounting) was MEASURED WORSE — 16.0 s min / 30.9 s avg vs this
+        // shape's 8.5 s at sf0.1 — so the per-round recount over the
+        // filtered triangle list stays.
+        def anti(t: DataFrame, x: String, y: String) =
+          t.join(low,
+            least(col(x), col(y)) === col("lu") &&
+              greatest(col(x), col(y)) === col("lv"), "left_anti")
+        // The LAST round's triangle list and recount each have exactly ONE
+        // consumer (the recount / the final emission join), so neither is
+        // materialized (round-14's single-consumer rule: an eager barrier
+        // on a once-read frame buys nothing) — two 1.9M/1.2M-row
+        // materializations and their blocking jobs gone at sf0.1.
+        val last = round + 1 == TrussPeels
+        val t = anti(anti(anti(tri, "a", "b"), "a", "c"), "b", "c")
+        tri = if (last) t else graft.Ckpt(t)
+        sup = if (last) edgeSupportOf(tri) else graft.Ckpt(edgeSupportOf(tri))
+      }
+      round += 1
     }
     keep.join(sup, Seq("u", "v"), "left_outer")
       .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
@@ -1255,16 +1319,23 @@ object Rdf {
     */
   def r22(s: SparkSession, d: String): DataFrame = {
     val e = supportEdges(s, d)
-    val und = graft.Ckpt(
-      e.union(e.select(col("v").as("u"), col("u").as("v"))))
+    // v-partitioned loop-invariant edge frame (the per-round label join
+    // keys on v) — r11's round-15 co-location rationale
+    val und = graft.Ckpt.sharedBy(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))), col("v"))
     var lbl = graft.Ckpt(und.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lbl")))
-    for (_ <- 1 to LabelPropRounds) {
+    for (k <- 1 to LabelPropRounds) {
       val nbrMin = und
         .join(lbl.select(col("n").as("v"), col("lbl").as("nl")), Seq("v"))
         .groupBy(col("u").as("n")).agg(min(col("nl")).as("nmin"))
-      lbl = graft.Ckpt(lbl.join(nbrMin, Seq("n"))
-        .select(col("n"), least(col("lbl"), col("nmin")).as("lbl")))
+      val lblRaw = lbl.join(nbrMin, Seq("n"))
+        .select(col("n"), least(col("lbl"), col("nmin")).as("lbl"))
+      // Round-15: the LAST round's labels feed only the size agg + final
+      // join — a lazy shared cache dedups those two consumers without the
+      // eager barrier (round-14's single-consumer rule, shared-frame form).
+      lbl = if (k == LabelPropRounds) graft.Ckpt.shared(lblRaw)
+        else graft.Ckpt(lblRaw)
     }
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("comm_size"))
     lbl.join(sizes, Seq("lbl"))

@@ -41,6 +41,7 @@ object Profile {
           .foreach { case (id, rdd) =>
             if (!preexisting.contains(id)) rdd.unpersist(blocking = false)
           }
+        spark.catalog.clearCache() // Bench.once's round-15 isolation rule
         t
       }
       // untimed, display only — but it still creates Ckpt'd blocks, and
@@ -53,6 +54,7 @@ object Profile {
         .foreach { case (id, rdd) =>
           if (!preDisplay.contains(id)) rdd.unpersist(blocking = false)
         }
+      spark.catalog.clearCache()
       println(f"$name%-22s ${times.min}%6.2f min  " +
         f"${times.sum / reps}%6.2f avg  $rows%d rows")
     }

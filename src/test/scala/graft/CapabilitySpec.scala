@@ -239,4 +239,20 @@ class CapabilitySpec extends SparkSpec {
     assert(dist.map(_.toSeq) == ref.map(_.toSeq))
     assert(dist.nonEmpty)
   }
+
+  test("a20/a22 size gate: forced-distributed crossing is byte-identical") {
+    // r14-verdict item 4: the crossing switches to the range-partitioned
+    // form on a MEASURED level count instead of hard-coding the local
+    // winner. Force the gate (threshold 1) and require a20/a22 outputs
+    // byte-identical to the default window path at sf0.001.
+    def snap(q: (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame) =
+      q(spark, sf001).collect().map(_.toSeq).toSeq
+    val refs = Seq(ops.Aggs.a20 _, ops.Aggs.a22 _).map(snap)
+    spark.conf.set(ops.Aggs.DistributedMinLevelsKey, "1")
+    try {
+      val forced = Seq(ops.Aggs.a20 _, ops.Aggs.a22 _).map(snap)
+      assert(forced == refs, "gated distributed crossing diverged")
+    } finally spark.conf.unset(ops.Aggs.DistributedMinLevelsKey)
+  }
 }

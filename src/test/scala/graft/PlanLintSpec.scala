@@ -19,6 +19,7 @@ class PlanLintSpec extends SparkSpec {
     // the whole-query plan — their internals are linted separately by the
     // building-blocks test below.
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      spark.catalog.clearCache() // plan-shape isolation: Ckpt.shared registers CacheManager entries at BUILD time; a stale entry from the previous query would substitute into this plan
       val plan = fn(spark, sf001).queryExecution.executedPlan.toString
       if (plan.contains("CartesianProduct")) Some(name) else None
     }
@@ -47,6 +48,7 @@ class PlanLintSpec extends SparkSpec {
     */
   test("no planner-chosen broadcast of an unreduced corpus frame") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      spark.catalog.clearCache() // plan-shape isolation: Ckpt.shared registers CacheManager entries at BUILD time; a stale entry from the previous query would substitute into this plan
       if (hasCorpusBroadcastBuild(fn(spark, sf001).queryExecution.sparkPlan))
         Some(name)
       else None
@@ -260,6 +262,7 @@ class PlanLintSpec extends SparkSpec {
       case _ => false
     }
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      spark.catalog.clearCache() // plan-shape isolation: Ckpt.shared registers CacheManager entries at BUILD time; a stale entry from the previous query would substitute into this plan
       val hinted = fn(spark, sf001).queryExecution.analyzed.collect {
         case h: ResolvedHint
           if h.hints.strategy.exists(_.toString.toUpperCase.contains("BROADCAST")) => h
@@ -301,6 +304,7 @@ class PlanLintSpec extends SparkSpec {
       "x11_ann_ivf" -> "LessThan(vec_id,",
       "l3_cosine_topk" -> "LessThan(vec_id,10)")
     val bad = expect.flatMap { case (name, frag) =>
+      spark.catalog.clearCache() // plan-shape isolation: Ckpt.shared registers CacheManager entries at BUILD time; a stale entry from the previous query would substitute into this plan
       val plan = SparkEntry.queries(name)(spark, sf001)
         .queryExecution.executedPlan.toString
       val pushed = pushedLists(plan)
@@ -477,6 +481,7 @@ class PlanLintSpec extends SparkSpec {
   test("m-group plans carry no blob-bearing exchange") {
     val offenders = SparkEntry.queries.keys.filter(_.startsWith("m")).filter {
       name =>
+        spark.catalog.clearCache() // plan-shape isolation (see above)
         hasBlobExchange(
           SparkEntry.queries(name)(spark, sf001).queryExecution.executedPlan)
     }
@@ -512,6 +517,7 @@ class PlanLintSpec extends SparkSpec {
     * construction: its references are no longer tiny-domain-only.) */
   test("no tiny-domain payload repartition in any declared query") {
     val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      spark.catalog.clearCache() // plan-shape isolation: Ckpt.shared registers CacheManager entries at BUILD time; a stale entry from the previous query would substitute into this plan
       if (hasTinyDomainPayloadRepartition(
           fn(spark, sf001).queryExecution.analyzed)) Some(name)
       else None
